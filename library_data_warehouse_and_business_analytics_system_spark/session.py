@@ -1,0 +1,53 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]``; the same config block is what we
+would ship to a real cluster (AQE on, adaptive skew-join, sensible
+shuffle parallelism). Nothing here is local-mode-specific except the
+master URL, which callers override in production.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs that matter at 100 TB just as much as at sf0.01.
+ENGINE_CONFS: dict[str, str] = {
+    # Adaptive query execution: runtime re-plan, skew-join splitting,
+    # partition coalescing — essential on real data distributions.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / toPandas boundary crossing.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics regardless of host tz.
+    "spark.sql.session.timeZone": "UTC",
+    # Exact decimal arithmetic for money (Oracle NUMBER parity,
+    # SURVEY.md §4.4).
+    "spark.sql.decimalOperations.allowPrecisionLoss": "false",
+    # Partition sizing: at 100 TB this is the lever that keeps a scan
+    # task's input ~128MB; harmless locally.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+}
+
+
+def get_spark(app_name: str = "library-dwh-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's config.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local runs;
+    pass ``None`` in a cluster deployment where spark-submit sets it.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{cpus}]")
+    for k, v in ENGINE_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config(
+        "spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus))
+    )
+    builder = builder.config("spark.driver.memory",
+                             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    builder = builder.config("spark.ui.enabled", "false")
+    return builder.getOrCreate()

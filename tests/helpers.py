@@ -1,0 +1,58 @@
+"""Differential-compare helpers mirroring the driver's oracle check:
+row-count + column names + order-insensitive exact value match."""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+import numpy as np
+import pandas as pd
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype(str)
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: v.isoformat()
+                if isinstance(v, (_dt.date, _dt.datetime))
+                else (tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+            )
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("int64")
+    if len(df.columns):
+        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
+                        name: str = "") -> None:
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    assert list(a.columns) == list(b.columns), (
+        f"{name}: columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
+    )
+    assert len(a) == len(b), f"{name}: row counts differ: spark={len(a)} oracle={len(b)}"
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            av = av.astype("float64")
+            bv = bv.astype("float64")
+            both_nan = np.isnan(av) & np.isnan(bv)
+            eq = (av == bv) | both_nan
+        else:
+            an = pd.isna(a[c]).to_numpy()
+            bn = pd.isna(b[c]).to_numpy()
+            eq = ((av == bv) & ~an & ~bn) | (an & bn)
+        if not bool(np.all(eq)):
+            bad = np.flatnonzero(~eq)[:5]
+            detail = [(int(i), a[c].iloc[int(i)], b[c].iloc[int(i)]) for i in bad]
+            raise AssertionError(
+                f"{name}: column {c!r} mismatches at rows {detail} "
+                f"({int((~eq).sum())} of {len(a)} rows differ)"
+            )
