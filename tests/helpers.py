@@ -15,11 +15,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.astype("datetime64[us]").astype(str)
+            s = s.astype("datetime64[us]")
+            if (s.dropna().dt.time == _dt.time(0)).all():
+                df[c] = s.dt.strftime("%Y-%m-%d")  # pure dates
+            else:
+                df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif s.dtype == object:
             df[c] = s.map(
-                lambda v: v.isoformat()
-                if isinstance(v, (_dt.date, _dt.datetime))
+                lambda v: v.strftime("%Y-%m-%d %H:%M:%S.%f")
+                if isinstance(v, _dt.datetime)
+                else v.strftime("%Y-%m-%d")
+                if isinstance(v, _dt.date)
                 else (tuple(v) if isinstance(v, (list, np.ndarray)) else v)
             )
         elif pd.api.types.is_float_dtype(s):
