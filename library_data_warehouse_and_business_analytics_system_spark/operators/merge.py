@@ -1,0 +1,83 @@
+"""Batch MERGE (upsert) emulation over plain DataFrames.
+
+The reference's incremental loads are Oracle MERGE statements
+(07_SubsequentLoading.sql:331-355,407-431; 08_InsertFines.sql:46-61).
+On Delta Lake this is ``DeltaTable.merge``; this container has no
+Delta, so we provide the same semantics as a pure DataFrame transform:
+the caller overwrites the target with the result. The plan is a single
+full-outer-shuffle join on the merge keys — the same physical shape
+Delta's merge executes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
+                 update_cols: list[str] | None = None,
+                 condition: Column | None = None) -> DataFrame:
+    """MERGE: WHEN MATCHED THEN UPDATE (source wins on ``update_cols``,
+    all non-key columns by default), WHEN NOT MATCHED THEN INSERT.
+
+    ``condition`` optionally guards the update branch (matched rows
+    failing it keep target values).
+    """
+    cols = target.columns
+    update_cols = update_cols or [c for c in cols if c not in keys]
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, keys, "full_outer")
+    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    take_source = matched if condition is None else (matched & condition)
+    out_cols = []
+    for c in cols:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in update_cols and c in source.columns:
+            out_cols.append(
+                F.when(take_source | F.col(f"t.{keys[0]}").isNull(), F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+    return joined.select(*out_cols)
+
+
+def insert_not_exists(target: DataFrame, source: DataFrame,
+                      keys: list[str]) -> DataFrame:
+    """``INSERT ... WHERE NOT EXISTS`` (05_InitialLoading.sql:400-406,
+    07_SubsequentLoading.sql:42): append only source rows whose key is
+    absent from target. Within-batch duplicates are dropped
+    deterministically (first by key order) to honor the target's PK."""
+    fresh = source.dropDuplicates(keys).join(target, keys, "left_anti")
+    return target.unionByName(fresh.select(target.columns))
+
+
+def merge_aggregate(target: DataFrame, source: DataFrame, keys: list[str],
+                    set_map: Mapping[str, Column]) -> DataFrame:
+    """MERGE with custom UPDATE expressions referencing t.* and s.*
+    (e.g. ``fineAmount = s.fineAmount`` guarded by status —
+    08_InsertFines.sql:46-61). ``set_map`` maps column → expression
+    over the joined ``t``/``s`` aliases; unmatched source rows insert."""
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, keys, "full_outer")
+    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        elif c in set_map:
+            expr = set_map[c]
+            src = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            out_cols.append(
+                F.when(t_exists, expr).otherwise(src).alias(c)
+            )
+        else:
+            src = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            out_cols.append(F.when(t_exists, F.col(f"t.{c}")).otherwise(src).alias(c))
+    return joined.select(*out_cols)

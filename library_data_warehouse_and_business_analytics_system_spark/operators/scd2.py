@@ -1,0 +1,122 @@
+"""Generic SCD Type-2 apply: the set-based Spark equivalent of the
+reference's row-at-a-time procedures ``Prod_Update_DimBook``
+(06_Type2_DimBook.sql:22-113) and ``Prod_Update_DimMembers_T2``
+(06_Type2_DimMembers.sql:4-117).
+
+Semantics reproduced exactly:
+- tracked-attribute change → expire current row
+  (``expiration_date = effective − 1 day``, never before its own
+  effective_date — the GREATEST/LEAST guards at
+  06_Type2_DimBook.sql:55 / 06_Type2_DimMembers.sql:73) and insert a
+  new current version;
+- unknown natural key → plain insert (first version);
+- ``close_only`` rows (inactive members, 06_Type2_DimMembers.sql:101-107)
+  → expire current with NO successor;
+- unchanged rows are untouched.
+
+On Delta this is a two-step MERGE; here it is one full-outer join +
+union, which is also what Delta executes physically.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+OPEN_END = dt.date(9999, 12, 31)
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    natural_key: str,
+    tracked: list[str],
+    surrogate_key: str,
+    effective_date: dt.date,
+    carried: list[str] | None = None,
+    close_only_flag: str | None = None,
+) -> DataFrame:
+    """Apply one SCD2 batch and return the new dimension DataFrame.
+
+    ``updates`` carries the natural key, new values for ``tracked``
+    (and optionally ``carried``) columns, and — if ``close_only_flag``
+    is given — a boolean column marking rows to expire without
+    successor. One update row per natural key.
+    """
+    carried = carried or []
+    eff = F.lit(effective_date)
+    yesterday = F.date_sub(eff, 1)
+
+    current = dim.filter(F.col("curr_ind") == "Y")
+    history = dim.filter(F.col("curr_ind") != "Y")
+
+    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
+    c = current.alias("c")
+    # full_outer on the natural key; side presence detected via marker
+    # (surrogate key null-ness is ambiguous under full_outer).
+    joined = c.join(u, natural_key, "full_outer")
+
+    def ucol(name: str) -> Column:
+        return F.col(f"u.{name}")
+
+    def ccol(name: str) -> Column:
+        return F.col(f"c.{name}")
+
+    has_current = ccol(surrogate_key).isNotNull()
+    u_present = F.col("_u_present").isNotNull()
+
+    changed = F.lit(False)
+    for t in tracked:
+        changed = changed | ~(
+            F.coalesce(ccol(t).cast("string"), F.lit("~"))
+            .eqNullSafe(F.coalesce(ucol(t).cast("string"), F.lit("~")))
+        )
+    close_only = (
+        F.coalesce(F.col(close_only_flag), F.lit(False))
+        if close_only_flag else F.lit(False)
+    )
+
+    # 1) current rows: keep, or expire (changed or close_only).
+    expire = u_present & has_current & (changed | close_only)
+    kept_current = joined.filter(has_current).select(
+        *[ccol(col).alias(col) for col in dim.columns if col not in
+          ("expiration_date", "curr_ind")],
+        F.when(expire,
+               F.greatest(yesterday, ccol("effective_date")))
+        .otherwise(ccol("expiration_date")).alias("expiration_date"),
+        F.when(expire, F.lit("N")).otherwise(ccol("curr_ind")).alias("curr_ind"),
+    )
+
+    # 2) successor versions: changed rows (not close-only) and brand-new keys.
+    insert_new = u_present & (
+        (~has_current & ~close_only) | (has_current & changed & ~close_only)
+    )
+    new_rows = joined.filter(insert_new).select(
+        F.col(natural_key).alias(natural_key),
+        *[F.coalesce(ucol(t), ccol(t)).alias(t) for t in tracked],
+        *[F.coalesce(ucol(col) if col in u.columns else F.lit(None), ccol(col))
+          .alias(col) for col in carried],
+        F.when(has_current, eff).otherwise(
+            F.coalesce(ucol("effective_date") if "effective_date" in u.columns
+                       else F.lit(None), eff)
+        ).alias("effective_date"),
+        F.lit(OPEN_END).alias("expiration_date"),
+        F.lit("Y").alias("curr_ind"),
+    )
+
+    # surrogate keys continue after current max
+    mx = dim.agg(F.max(surrogate_key)).collect()[0][0] or 100_000
+    from pyspark.sql import Window
+    w = Window.orderBy(natural_key)
+    new_rows = new_rows.withColumn(
+        surrogate_key, (F.row_number().over(w) + F.lit(mx)).cast("long")
+    )
+
+    ordered = [c_ for c_ in dim.columns]
+    return (
+        history.select(ordered)
+        .unionByName(kept_current.select(ordered))
+        .unionByName(new_rows.select(ordered))
+    )

@@ -1,0 +1,61 @@
+"""CHECK-constraint semantics for Spark (SURVEY.md §1.3).
+
+The reference enforces domains at write time via CHECK constraints and
+RAISE_APPLICATION_ERROR triggers (01_Create.sql passim,
+02_Trigger.sql:23,156,186-192). Spark has no declarative CHECK, so we
+validate as an explicit operator: evaluate every rule in ONE pass
+(no per-rule job), returning per-rule violation counts — the same
+single-scan trick a 100 TB audit needs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RuleViolation:
+    rule: str
+    violations: int
+
+
+class ConstraintError(ValueError):
+    def __init__(self, table: str, violations: list[RuleViolation]):
+        self.table = table
+        self.violations = violations
+        detail = ", ".join(f"{v.rule}={v.violations}" for v in violations)
+        super().__init__(f"CHECK violations in {table}: {detail}")
+
+
+def check_counts(df: DataFrame, rules: list[tuple[str, str]]) -> list[RuleViolation]:
+    """Count violations of each (name, sql_predicate) rule in one
+    aggregate pass over ``df``."""
+    aggs = [
+        F.sum(F.when(~F.expr(pred), 1).otherwise(0)).alias(name)
+        for name, pred in rules
+    ]
+    row = df.agg(*aggs).collect()[0]
+    return [RuleViolation(name, int(row[name] or 0)) for name, _ in rules]
+
+
+def validate(df: DataFrame, rules: list[tuple[str, str]], table: str = "df",
+             raise_on_violation: bool = True) -> list[RuleViolation]:
+    """Validate ``df`` against CHECK rules; raise (like the reference's
+    constraint rejection) or return the violation report."""
+    report = check_counts(df, rules)
+    bad = [v for v in report if v.violations > 0]
+    if bad and raise_on_violation:
+        raise ConstraintError(table, bad)
+    return report
+
+
+def quarantine(df: DataFrame, rules: list[tuple[str, str]]) -> tuple[DataFrame, DataFrame]:
+    """Split df into (valid, rejected) — the scale-friendly alternative
+    to failing the whole load when a handful of rows are bad."""
+    ok = F.lit(True)
+    for _, pred in rules:
+        ok = ok & F.expr(pred)
+    return df.filter(ok), df.filter(~ok)

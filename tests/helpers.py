@@ -38,7 +38,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
-                        name: str = "") -> None:
+                        name: str = "", float_rtol: float = 0.0) -> None:
+    """Driver-style compare. ``float_rtol=0`` demands bit-exact floats
+    (the driver's hash gate); a small rtol is for library-domain report
+    tests where both sides round doubles independently."""
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     assert list(a.columns) == list(b.columns), (
         f"{name}: columns differ: spark={list(a.columns)} oracle={list(b.columns)}"
@@ -50,7 +53,11 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = np.isnan(av) & np.isnan(bv)
-            eq = (av == bv) | both_nan
+            if float_rtol:
+                with np.errstate(invalid="ignore"):
+                    eq = np.isclose(av, bv, rtol=float_rtol, atol=1e-9) | both_nan
+            else:
+                eq = (av == bv) | both_nan
         else:
             an = pd.isna(a[c]).to_numpy()
             bn = pd.isna(b[c]).to_numpy()

@@ -1,0 +1,305 @@
+"""Library-domain engine tests: generators honor the reference's
+invariants (SURVEY.md §5), the ETL reproduces 05_InitialLoading.sql
+semantics, and the three LQY reports match an independent DuckDB
+translation of the reference SQL on the same warehouse."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pytest
+
+from library_data_warehouse_and_business_analytics_system_spark import schema as S
+from library_data_warehouse_and_business_analytics_system_spark.generators.library_data import (
+    AS_OF, generate,
+)
+from library_data_warehouse_and_business_analytics_system_spark.operators.validate import (
+    ConstraintError, validate,
+)
+from library_data_warehouse_and_business_analytics_system_spark.plans.library import (
+    initial_load, query1, query2, query3,
+)
+
+from .helpers import assert_frames_match
+
+
+@pytest.fixture(scope="module")
+def oltp(spark):
+    return generate(seed=42, scale=0.02).to_spark(spark)
+
+
+@pytest.fixture(scope="module")
+def dw(spark, oltp):
+    out = initial_load(spark, oltp, as_of=AS_OF)
+    return {k: v.cache() for k, v in out.items()}
+
+
+@pytest.fixture(scope="module")
+def duck_dw(dw):
+    """The Spark-built warehouse registered in DuckDB, so reference-SQL
+    translations can run against the exact same data."""
+    con = duckdb.connect()
+    for name, df in dw.items():
+        con.register(name + "_pdf", df.toPandas())
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM {name}_pdf")
+    yield con
+    con.close()
+
+
+# ---------------------------------------------------------------------------
+# generator invariants (02_InsertMembers.sql:202-227 quick checks)
+
+
+def test_generated_tables_pass_check_constraints(oltp):
+    for table, rules in S.CHECK_RULES.items():
+        validate(oltp[table], rules, table=table)
+
+
+def test_member_invariants(oltp):
+    pdf = oltp["members"].toPandas()
+    # status ↔ expiry consistency (02_InsertMembers.sql:211-214)
+    active = pdf[pdf.memberStatus == "active"]
+    expired = pdf[pdf.memberStatus == "expire"]
+    assert (active.expireDate >= AS_OF).all()
+    assert (expired.expireDate < AS_OF).all()
+    # active ratio ≈ 75% (:205-208), gender split ≈ 65/35 (:224-227)
+    assert 0.6 < len(active) / len(pdf) < 0.9
+    assert 0.5 < (pdf.memberGender == "female").mean() < 0.8
+    assert pdf.memberAge.between(12, 74).all()
+
+
+def test_borrow_status_mix(oltp):
+    pdf = oltp["borrowed_books"].toPandas()
+    mix = pdf.returnStatus.value_counts(normalize=True)
+    assert mix["Returned"] > 0.7                     # ~85% (:41-53)
+    assert (pdf.dueDate - pdf.borrowDate == dt.timedelta(days=10)).all()
+
+
+def test_po_header_equals_line_sum(oltp):
+    """trg_check_purchase_total / trg_guard_po_total
+    (02_Trigger.sql:303-379): header total == Σ(qty × purchasePrice)."""
+    po = oltp["purchase_orders"].toPandas().set_index("purchaseOrderId")
+    pd_ = oltp["purchase_details"].toPandas()
+    bt = oltp["book_titles"].toPandas().set_index("bookId")
+    pd_["amt"] = pd_.quantity * bt.loc[pd_.bookId].purchasePrice.values
+    sums = pd_.groupby("purchaseOrderId").amt.sum().round(2)
+    assert (abs(po.totalAmount - sums) < 0.02).all()
+
+
+def test_validate_rejects_bad_rows(spark):
+    bad = spark.createDataFrame(
+        [("M0001", "x", "1", "e", "other", 11, "a", "dead",
+          dt.date(2020, 1, 1), dt.date(2021, 1, 1))], S.MEMBERS)
+    with pytest.raises(ConstraintError) as ei:
+        validate(bad, S.CHECK_RULES["members"], table="members")
+    assert "ck_members_gender" in str(ei.value)
+
+
+# ---------------------------------------------------------------------------
+# ETL semantics (05_InitialLoading.sql)
+
+
+def test_dim_date_shape_and_attributes(dw):
+    dd = dw["dim_date"].toPandas().sort_values("dateKey")
+    assert len(dd) == 9497                      # 2000-01-01..2025-12-31
+    assert dd.dateKey.iloc[0] == 100001         # seq start (:68)
+    assert dd.dateKey.is_monotonic_increasing
+    ny = dd[dd.cal_date == dt.date(2024, 1, 1)].iloc[0]
+    assert ny.holiday_indicator == "Y" and ny.festive_event == "New Year's Day"
+    assert ny.business_day_ind == "N" and ny.cal_quarter == "Q1"
+    assert ny.cal_year_quarter == "2024-Q1" and ny.month_name == "JANUARY"
+    # weekday flag: 2024-01-06 is a Saturday
+    sat = dd[dd.cal_date == dt.date(2024, 1, 6)].iloc[0]
+    assert sat.weekday_indicator == "N" and sat.business_day_ind == "N"
+
+
+def test_dim_members_standardization(dw, oltp):
+    dm = dw["dim_members"].toPandas()
+    src = oltp["members"].toPandas().set_index("memberId")
+    assert dm.memberKey.min() == 100001
+    assert set(dm.memberGender) <= {"F", "M", "U"}
+    assert (dm.memberName == dm.memberName.str.upper()).all()
+    # address parse: state=2nd-last part, city=3rd-last (:256-277)
+    row = dm.iloc[0]
+    parts = [p.strip() for p in src.loc[row.memberId].memberAddress.split(",")]
+    assert row.state == parts[-2].upper()
+    assert row.city == parts[-3].upper()
+    assert row["MemberDuration"].endswith(" years")
+
+
+def test_dim_book_standardization(dw):
+    db = dw["dim_book"].toPandas()
+    assert (db.genre == db.genre.str.upper()).all()
+    assert (db.price >= 0).all()
+    assert db.popularity.notna().all()
+    assert (db.curr_ind == "Y").all()
+
+
+def test_fact_sales_measures(dw, oltp):
+    fs = dw["fact_sales"].toPandas()
+    sd = oltp["sales_details"].toPandas()
+    assert len(fs) == len(sd)                   # one row per sales line
+    assert (fs.line_total >= 0).all()
+    assert (fs.discount >= 0).all()
+    assert (fs.quantity >= 1).all()
+    assert set(fs.discount_desc.unique()) != set()
+
+
+def test_fact_borrowing_measures(dw):
+    fb = dw["fact_borrowing"].toPandas()
+    assert (fb.overdueDays >= 0).all()
+    assert (fb.borrowDuration >= 0).all()
+    assert fb.returnRate.between(0, 100).all()
+    # PK grain holds after dedup
+    assert not fb.duplicated(["dateKey", "memberKey", "bookKey"]).any()
+
+
+def test_fact_purchase_measures(dw, oltp):
+    fp = dw["fact_purchase"].toPandas()
+    assert (fp.totalAmount >= 0).all()
+    assert set(fp.flag_ind) <= {"Y", "N"}
+    # grain: one row per (date, book, supplier, PO)
+    assert not fp.duplicated(
+        ["dateKey", "bookKey", "supplierKey", "purchaseOrderId"]).any()
+
+
+# ---------------------------------------------------------------------------
+# LQY reports vs independent DuckDB translation on the same warehouse
+
+
+Q1_SQL = """
+WITH sales_q AS (
+  SELECT d.cal_year AS year, d.cal_quarter AS qtr, b.genre,
+         SUM(CAST(fs.line_total AS DECIMAL(18,4))) AS amount,
+         SUM(fs.quantity) AS qty
+  FROM fact_sales fs
+  JOIN dim_date d ON d.dateKey = fs.dateKey
+  JOIN dim_book b ON b.bookKey = fs.bookKey
+  JOIN dim_members m ON m.memberKey = fs.memberKey
+  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt}
+    AND ('{g}' = 'ALL' OR UPPER(m.memberGender) = '{g}')
+  GROUP BY 1, 2, 3
+), genre_year AS (
+  SELECT year, genre,
+         SUM(CASE WHEN qtr='Q1' THEN amount ELSE 0 END) AS q1_amt,
+         SUM(CASE WHEN qtr='Q2' THEN amount ELSE 0 END) AS q2_amt,
+         SUM(CASE WHEN qtr='Q3' THEN amount ELSE 0 END) AS q3_amt,
+         SUM(CASE WHEN qtr='Q4' THEN amount ELSE 0 END) AS q4_amt,
+         SUM(qty) AS tot_qty, SUM(amount) AS tot_amt
+  FROM sales_q GROUP BY year, genre
+), genre_metrics AS (
+  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
+    CASE WHEN q1_amt=0 THEN NULL
+         ELSE ROUND((q2_amt-q1_amt)/NULLIF(q1_amt,0)*100,1) END AS pct_q1_q2,
+    CASE WHEN q2_amt=0 THEN NULL
+         ELSE ROUND((q3_amt-q2_amt)/NULLIF(q2_amt,0)*100,1) END AS pct_q2_q3,
+    CASE WHEN q3_amt=0 THEN NULL
+         ELSE ROUND((q4_amt-q3_amt)/NULLIF(q3_amt,0)*100,1) END AS pct_q3_q4,
+    tot_qty,
+    LAG(tot_qty) OVER (PARTITION BY genre ORDER BY year) AS prev_qty,
+    tot_amt,
+    LAG(tot_amt) OVER (PARTITION BY genre ORDER BY year) AS prev_amt
+  FROM genre_year
+), ranked AS (
+  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
+         pct_q1_q2, pct_q2_q3, pct_q3_q4, tot_qty,
+         CASE WHEN prev_qty IS NULL OR prev_qty=0 THEN 0
+              ELSE ROUND((tot_qty-prev_qty)/prev_qty*100,1) END AS qty_diff_pct,
+         tot_amt,
+         CASE WHEN prev_amt IS NULL OR prev_amt=0 THEN 0
+              ELSE ROUND((tot_amt-prev_amt)/prev_amt*100,1) END AS amt_diff_pct,
+         ROW_NUMBER() OVER (PARTITION BY year
+                            ORDER BY COALESCE(tot_amt,0) DESC) AS rn
+  FROM genre_metrics
+  WHERE year BETWEEN {yf} AND {yt}
+)
+SELECT year, genre,
+       CAST(COALESCE(q1_amt,0) AS DOUBLE) AS q1_amt,
+       CAST(COALESCE(q2_amt,0) AS DOUBLE) AS q2_amt,
+       CAST(COALESCE(q3_amt,0) AS DOUBLE) AS q3_amt,
+       CAST(COALESCE(q4_amt,0) AS DOUBLE) AS q4_amt,
+       CAST(pct_q1_q2 AS DOUBLE) AS pct_q1_q2,
+       CAST(pct_q2_q3 AS DOUBLE) AS pct_q2_q3,
+       CAST(pct_q3_q4 AS DOUBLE) AS pct_q3_q4,
+       CAST(COALESCE(tot_qty,0) AS BIGINT) AS tot_qty,
+       CAST(qty_diff_pct AS DOUBLE) AS qty_diff_pct,
+       CAST(COALESCE(tot_amt,0) AS DOUBLE) AS tot_amt,
+       CAST(amt_diff_pct AS DOUBLE) AS amt_diff_pct
+FROM ranked WHERE rn <= {lim}
+ORDER BY year, tot_amt DESC, genre
+"""
+
+
+def test_query1_matches_reference_sql(dw, duck_dw):
+    got = query1(dw, 2018, 2022, limit=5, gender="ALL").toPandas()
+    exp = duck_dw.execute(Q1_SQL.format(yf=2018, yt=2022, g="ALL", lim=5)).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "query1", float_rtol=1e-9)
+
+
+def test_query1_gender_filter(dw, duck_dw):
+    got = query1(dw, 2019, 2021, limit=3, gender="F").toPandas()
+    exp = duck_dw.execute(Q1_SQL.format(yf=2019, yt=2021, g="F", lim=3)).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "query1_f", float_rtol=1e-9)
+
+
+Q3_SQL = """
+WITH joined AS (
+  SELECT d.cal_year AS year, d.cal_quarter AS quarter,
+         CAST(SUBSTRING(d.cal_quarter, 2, 1) AS INT) AS qnum,
+         UPPER(COALESCE(NULLIF(TRIM(m.state), ''), 'UNKNOWN')) AS state,
+         CAST(fs.line_total AS DECIMAL(18,4)) AS line_total,
+         CAST(fs.quantity AS DECIMAL(18,4))
+           * (CAST(0.8 AS DECIMAL(8,4))
+              * CAST(COALESCE(b.price, 0) AS DECIMAL(18,4))) AS cost
+  FROM fact_sales fs
+  JOIN dim_date d ON d.dateKey = fs.dateKey
+  JOIN dim_book b ON b.bookKey = fs.bookKey
+  JOIN dim_members m ON m.memberKey = fs.memberKey
+  WHERE d.cal_year BETWEEN {yf} AND {yt}
+), agg AS (
+  SELECT year, quarter, qnum, state,
+         SUM(line_total) AS total_revenue, SUM(cost) AS total_cost,
+         SUM(line_total) - SUM(cost) AS total_gm
+  FROM joined GROUP BY year, quarter, qnum, state
+), f AS (
+  SELECT *, CASE WHEN total_revenue = 0 THEN NULL
+                 ELSE ROUND(total_gm / NULLIF(total_revenue,0) * 100, 2)
+            END AS total_gm_pct
+  FROM agg
+), q AS (
+  SELECT *, ROUND(total_gm_pct - LAG(total_gm_pct) OVER
+                  (PARTITION BY state ORDER BY year, qnum), 2) AS gm_pct_qoq
+  FROM f
+)
+SELECT year, quarter, state,
+       CAST(total_revenue AS DOUBLE) AS total_revenue,
+       CAST(total_cost AS DOUBLE) AS total_cost,
+       CAST(total_gm AS DOUBLE) AS total_gm,
+       CAST(total_gm_pct AS DOUBLE) AS total_gm_pct,
+       CAST(COALESCE(gm_pct_qoq, 0) AS DOUBLE) AS gm_pct_qoq,
+       CASE WHEN COALESCE(total_gm_pct, 0) >= {cov} THEN 'Meets Target'
+            WHEN COALESCE(total_gm_pct, 0) >= {cov} - 3 THEN 'Near Target'
+            ELSE 'Below Target' END AS signal
+FROM q ORDER BY year, qnum, state
+"""
+
+
+def test_query3_matches_reference_sql(dw, duck_dw):
+    got = query3(dw, 2016, 2020, states_csv="%", target_gm_pct=15.0).toPandas()
+    exp = duck_dw.execute(Q3_SQL.format(yf=2016, yt=2020, cov=15)).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "query3", float_rtol=1e-9)
+
+
+def test_query2_runs_and_is_sane(dw):
+    got = query2(dw, 2017, 2020, topn=5).toPandas()
+    assert len(got) > 0
+    assert (got.spend >= 0).all()
+    # top-N per (year, quarter) respected
+    assert got.groupby(["year", "quarter"]).size().max() <= 5
+    # AOV = spend / po_cnt where po_cnt > 0
+    nz = got[got.po_cnt_qtr > 0]
+    assert (abs(nz.aov - (nz.spend / nz.po_cnt_qtr).round(2)) < 0.02).all()
