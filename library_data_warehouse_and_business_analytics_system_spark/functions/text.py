@@ -1,0 +1,112 @@
+"""Text-analysis primitives for training-data pipelines: tokenizing,
+language-ID scoring, quality metrics, shingling, fingerprints. Pure
+Column expressions (split/regexp/HOFs) — the hot path never leaves the
+JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword heuristic
+#: language identifier. Public knowledge (most-frequent function words).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "zu", "auf"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def tokens(text: Column) -> Column:
+    r"""Whitespace tokenization: ``split(trim(text), '\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: words + digit runs + punctuation
+    symbols counted separately (a cheap, deterministic BPE proxy)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """How many tokens are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(F.lower(text)), lambda t: F.array_contains(sw, t)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Stopword-ratio score per candidate language."""
+    n = token_count(text)
+    return {lang: stopword_hits(text, lang) / F.nullif(n, F.lit(0))
+            for lang in STOPWORDS}
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over lang_scores with deterministic tie-break (language
+    code order); 'und' when no stopword hits at all."""
+    scores = lang_scores(text)
+    pairs = F.array(*[
+        F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    best = F.array_max(F.filter(pairs, lambda p: p.score > 0))
+    return F.coalesce(best.lang, F.lit("und"))
+
+
+def punct_ratio(text: Column) -> Column:
+    non_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    return punct / F.nullif(non_ws.cast("double"), F.lit(0.0))
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return (F.aggregate(F.transform(t, lambda x: F.length(x).cast("double")),
+                        F.lit(0.0), lambda a, x: a + x)
+            / F.nullif(F.size(t).cast("double"), F.lit(0.0)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + stopword
+    presence + sane mean token length (Gopher/C4-style rule scoring
+    re-expressed as one Column)."""
+    n = token_count(text)
+    len_ok = F.when(n.between(50, 100_000), 1.0).when(n.between(10, 49), 0.5) \
+        .otherwise(0.0)
+    mtl = mean_token_len(text)
+    mtl_ok = F.when(mtl.between(3.0, 10.0), 1.0).otherwise(0.0)
+    any_sw = F.greatest(*[stopword_hits(text, code) for code in STOPWORDS])
+    sw_ok = F.when(any_sw > 0, 1.0).otherwise(0.0)
+    return (len_ok + mtl_ok + sw_ok) / F.lit(3.0)
+
+
+def shingles(text: Column, n: int = 5) -> Column:
+    """Word n-gram shingle strings (space-joined)."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+
+
+def shingle_hashes(text: Column, n: int = 5) -> Column:
+    """Distinct 64-bit shingle hashes (xxhash64)."""
+    return F.array_distinct(
+        F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
+
+
+def doc_fingerprint(text: Column, k: int = 8) -> Column:
+    """Cheap deterministic document fingerprint: md5 over the first-k
+    tokens, last-k tokens and the token count — robust to mid-document
+    edits, SQL-expressible for oracle checks."""
+    t = tokens(text)
+    head = F.array_join(F.slice(t, 1, k), " ")
+    tail = F.array_join(F.slice(t, -k, k), " ")
+    return F.md5(F.concat_ws("|", head, tail, F.size(t).cast("string")))

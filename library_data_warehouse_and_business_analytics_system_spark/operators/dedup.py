@@ -1,0 +1,214 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, exact n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the part that matters at 100 TB):
+- every shuffle key is a fixed-width hash, never document text;
+- LSH banding turns the O(n²) pair space into equi-join buckets —
+  candidate generation is a groupBy on (band, signature);
+- the exact-Jaccard verifier only runs on LSH candidates;
+- SimHash is one explode + one 64-column aggregate (no pair join at
+  signature time); near-dup pairs come from banding the 64-bit key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import shingle_hashes
+
+# ---------------------------------------------------------------------------
+# exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per identical text (hash-groupBy; the shuffle
+    moves 16-byte md5s, not documents)."""
+    keep = (
+        df.select(F.md5(text_col).alias("_h"), F.col(id_col))
+        .groupBy("_h").agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
+    """k MinHash values per document: shingle → xxhash64 seeded per
+    hash-function index → min. One row per doc, signature as array."""
+    sh = shingle_hashes(F.col(text_col), shingle_n)
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        bands: int = 16) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Returns distinct (a, b) id pairs with a < b."""
+    k = bands
+    sig = signatures.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("signature",
+                                   b * (64 // k) + 1, 64 // k).cast("string"))
+                .alias("bucket"),
+            )
+            for b in range(k)
+        ])).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
+                            threshold: float = 0.8, num_hashes: int = 64,
+                            bands: int = 16, shingle_n: int = 5) -> DataFrame:
+    """Candidates from LSH, verified with EXACT shingle Jaccard — the
+    standard verify-after-bucket pipeline. Output: (a, b, jaccard)."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    cands = lsh_candidate_pairs(sigs, id_col, bands)
+    sh = df.select(F.col(id_col),
+                   shingle_hashes(F.col(text_col), shingle_n).alias("sh"))
+    pairs = (
+        cands.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
+        .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select("a", "b",
+                     (inter / F.nullif(union, F.lit(0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the ground truth the sketches approximate)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        threshold: float = 0.8, shingle_n: int = 5) -> DataFrame:
+    """All-pairs exact Jaccard via inverted index on shingle hashes:
+    explode → self-join on shingle → count intersections → filter.
+    Shuffles (shingle_hash, doc_id) longs only."""
+    sh = df.select(F.col(id_col),
+                   shingle_hashes(F.col(text_col), shingle_n).alias("sh"))
+    sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
+    inv = sh.select(id_col, F.explode("sh").alias("h"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("a"), F.col(f"b.{id_col}").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("a"),
+                                F.col("n_sh").alias("na")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"),
+                           F.col("n_sh").alias("nb")), "b")
+        .select("a", "b",
+                (F.col("inter")
+                 / F.nullif(F.col("na") + F.col("nb") - F.col("inter"),
+                            F.lit(0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document, fully JVM-side: explode tokens,
+    xxhash64 each, vote per bit (+1/-1), reassemble the sign vector
+    into one bigint."""
+    from ..functions.text import tokens
+
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.xxhash64("t")
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)
+    ])
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via 4-band blocking
+    (pigeonhole: ≤3 differing bits → at least one identical 16-bit
+    band), then exact bit_count verify."""
+    sh = simhash(df, text_col, id_col)
+    banded = sh.select(
+        id_col, "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright("simhash", b * 16)
+                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for b in range(4)
+        ])).alias("bb"),
+    ).select(id_col, "simhash", "bb.band", "bb.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"),
+                hamming.alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+
+
+def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                             threshold: float = 0.95) -> DataFrame:
+    """Pairs of near-identical embeddings (cosine ≥ τ). Brute-force
+    pair join over normalized vectors; for corpus-scale inputs feed
+    LSH buckets (similarity.random_hyperplane_buckets) first."""
+    from ..functions.vectors import cosine
+
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Drop every doc that appears as the 'b' side of a dup pair —
+    i.e. keep the lowest-id representative of each dup cluster
+    (transitive closure approximated by min-id propagation, one
+    iteration; exact for pairwise clusters)."""
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -7,9 +7,12 @@ their exact counterparts instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions import text as TX
+from ..functions.vectors import cosine
+from ..operators import dedup, similarity
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -74,3 +77,202 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Text quality scoring (Gopher/C4-style rule heuristics as one pass).
+
+
+_SW_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in ws) + ")"
+    for lang, ws in TX.STOPWORDS.items()
+}
+
+_SW_HITS_SQL = ", ".join(
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    f" t -> t IN {_SW_SQL[lang]}))" for lang in sorted(_SW_SQL)
+)
+
+
+@register(
+    "text_quality_scores",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             list_reduce(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                        t -> CAST(len(t) AS DOUBLE)),
+                         (a, x) -> a + x)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_tok_len,
+             GREATEST({_SW_HITS_SQL}) AS max_sw_hits
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1.0
+                 WHEN n_tokens BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END
+            + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+            + CASE WHEN max_sw_hits > 0 THEN 1.0 ELSE 0.0 END) / 3.0
+             AS quality
+    FROM scored
+    ORDER BY doc_id
+    """,
+    operators=("TEXT-QUALITY", "P1"),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang",
+            TX.token_count(F.col("text")).alias("n_tokens"),
+            TX.quality_score(F.col("text")).alias("quality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language identification: stopword-ratio heuristic, argmax across
+# candidate languages, compared against the labeled lang column.
+
+
+_LANG_CANDS_SQL = ", ".join(
+    "{'score': CAST(len(list_filter(t, x -> x IN "
+    + _SW_SQL[lang] + ")) AS DOUBLE) / nullif(n, 0), 'lang': '"
+    + lang + "'}" for lang in sorted(_SW_SQL)
+)
+
+
+@register(
+    "lang_id_confusion",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(lower(trim(text)), '\\s+') AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, [{_LANG_CANDS_SQL}] AS cands
+      FROM toks
+    )
+    SELECT lang, COALESCE(list_max(list_filter(cands, c -> c.score > 0)).lang,
+                          'und') AS predicted, COUNT(*) AS n_docs
+    FROM scored
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    operators=("TEXT-LANGID", "A1"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", TX.predict_lang(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: head/tail/k-token md5 fingerprint dedup.
+
+
+@register(
+    "doc_fingerprint_dedup",
+    r"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(concat_ws('|',
+                 array_to_string(t[1:8], ' '),
+                 array_to_string(t[GREATEST(len(t) - 7, 1):len(t)], ' '),
+                 CAST(len(t) AS VARCHAR))) AS fingerprint
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents)
+    )
+    SELECT fingerprint, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_docs
+    FROM fp GROUP BY fingerprint
+    ORDER BY keep_doc_id
+    """,
+    operators=("TEXT-FINGERPRINT", "DEDUP-EXACT"),
+)
+def doc_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = TX.tokens(F.col("text"))
+    head = F.array_join(F.slice(t, 1, 8), " ")
+    tail = F.array_join(F.slice(t, F.greatest(F.size(t) - 7, F.lit(1)), 8), " ")
+    fp = F.md5(F.concat_ws("|", head, tail, F.size(t).cast("string")))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("keep_doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k: the exact ANN baseline, oracle-matched
+# bit-for-bit (both engines fold the dot product left-to-right).
+
+_DOT = ("list_reduce(list_transform(range(1, 65), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)")
+
+
+@register(
+    "cosine_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='e.embedding')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}), 0)
+               AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-BRUTE", "W2", "J5"),
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (
+        similarity.brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch/ANN operators without a faithful SQL twin → rows-only for the
+# driver; their quality is pytest-verified against exact ground truth
+# (tests/test_llm_ops.py).
+
+
+@register("minhash_lsh_pairs", None, operators=("DEDUP-MINHASH-LSH",))
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id", threshold=0.5)
+
+
+@register("simhash_pairs", None, operators=("DEDUP-SIMHASH",))
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+@register("lsh_ann_topk", None, operators=("ANN-LSH",))
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(emb, queries, "embedding", "vec_id",
+                               dim=64, k=10).orderBy("query_id", "rank")
