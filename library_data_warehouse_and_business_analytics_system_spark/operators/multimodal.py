@@ -1,0 +1,195 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media are opaque ``binary`` payload columns with a typed metadata
+struct alongside — the layout a 100 TB training-data lake uses
+(payloads in parquet binary columns or object-store refs; all pruning
+and shuffling happens on the small typed columns, never the bytes).
+
+This container has no codec libraries (PIL/cv2/torchaudio), so the
+byte-level decode is STUBBED: ``mode="fake"`` derives deterministic
+pseudo-metadata/features from the payload's md5 (reproducible in SQL,
+so the plumbing is oracle-checkable end-to-end); ``mode="real"``
+raises ``NotImplementedError`` unless a decoder import succeeds. The
+Spark-side plumbing — schemas, Arrow batch iteration, UDF signatures,
+partition preservation — is real and is what these operators test.
+
+All per-row Python work runs in ``mapInPandas`` (Arrow-batched, one
+Python worker per partition); nothing here shuffles, so throughput
+scales with executors × cores on payload-sized rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (ArrayType, BinaryType, DoubleType, FloatType,
+                               IntegerType, LongType, StringType, StructField,
+                               StructType)
+
+#: Typed metadata carried next to every payload.
+MEDIA_META_SCHEMA = StructType([
+    StructField("kind", StringType()),        # image | audio | video
+    StructField("format", StringType()),      # e.g. png, wav, mp4
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("duration_ms", LongType()),
+])
+
+MEDIA_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("data", BinaryType()),
+    StructField("meta", MEDIA_META_SCHEMA),
+])
+
+DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("mean_pixel", DoubleType()),
+])
+
+
+def _real_image_decoder() -> Callable | None:
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    raise NotImplementedError(
+        "real image decode: PIL available but decode not wired up yet")
+
+
+def fake_decode(payload: bytes) -> tuple[int, int, int, float]:
+    """Deterministic pseudo-decode from the payload's md5 — the SQL
+    oracle reproduces this with substr/hex-cast over md5(text)."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + int(h[0:4], 16) % 497
+    height = 16 + int(h[4:8], 16) % 497
+    n_channels = 1 + int(h[8], 16) % 3
+    mean_pixel = int(h[9:13], 16) / 65535.0
+    return width, height, n_channels, mean_pixel
+
+
+def decode_images(df: DataFrame, payload_col: str = "data",
+                  id_col: str = "media_id", mode: str = "fake") -> DataFrame:
+    """Payload → (dims, channels, mean pixel) via mapInPandas.
+
+    Batch contract: the function receives an iterator of Arrow-sized
+    pandas batches (spark.sql.execution.arrow.maxRecordsPerBatch) per
+    partition and must stream, never materialize the partition.
+    """
+    if mode == "real":
+        decoder = _real_image_decoder()
+        if decoder is None:
+            raise NotImplementedError(
+                "real image decode requires PIL/cv2 (not in this container); "
+                "use mode='fake' for the deterministic stub")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [fake_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(decoded,
+                               columns=["width", "height", "n_channels",
+                                        "mean_pixel"])
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+
+def extract_features(df: DataFrame, dim: int = 64,
+                     payload_col: str = "data",
+                     id_col: str = "media_id") -> DataFrame:
+    """Deterministic fake feature vector per payload (seeded by the
+    payload digest). Stands in for a vision/audio encoder; downstream
+    ANN/dedup operators (operators/similarity.py, operators/dedup.py)
+    consume its ``array<float>`` exactly as they would a real one."""
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vecs = []
+            for p in pdf[payload_col]:
+                seed = int.from_bytes(hashlib.md5(bytes(p)).digest()[:8],
+                                      "big")
+                rng = np.random.default_rng(seed)
+                v = rng.standard_normal(dim).astype(np.float32)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+            yield pd.DataFrame({"media_id": pdf[id_col].values,
+                                "embedding": vecs})
+
+    return df.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def resize_meta(df: DataFrame, target_w: int, target_h: int,
+                meta_col: str = "meta") -> DataFrame:
+    """Aspect-preserving resize planning — pure column math on the
+    typed metadata (scale factor, output dims, letterbox padding).
+    The pixel-level resample belongs in the decode stub; everything a
+    planner needs (and everything shuffled at scale) is the metadata."""
+    m = F.col(meta_col)
+    scale = F.least(F.lit(target_w) / m.width, F.lit(target_h) / m.height)
+    out_w = F.floor(m.width * scale).cast("int")
+    out_h = F.floor(m.height * scale).cast("int")
+    return df.withColumn("resize_plan", F.struct(
+        scale.alias("scale"),
+        out_w.alias("out_width"),
+        out_h.alias("out_height"),
+        ((F.lit(target_w) - out_w) / 2).cast("int").alias("pad_x"),
+        ((F.lit(target_h) - out_h) / 2).cast("int").alias("pad_y"),
+    ))
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000,
+                  meta_col: str = "meta",
+                  id_col: str = "media_id") -> DataFrame:
+    """Video → one row per sampled frame timestamp (0, every_ms, …,
+    ≤ duration). Pure JVM explode — the frame *reference* (payload
+    offset) is computed without touching bytes; actual frame decode is
+    the stubbed mapInPandas step. At scale the explode multiplies rows
+    before any Python boundary, so the expensive decode runs once per
+    sampled frame, embarrassingly parallel."""
+    m = F.col(meta_col)
+    return (
+        df.filter(m.kind == "video")
+        .select(
+            id_col, meta_col,
+            F.explode(F.sequence(F.lit(0).cast("long"), m.duration_ms,
+                                 F.lit(every_ms).cast("long"))).alias("frame_ts_ms"))
+        .withColumn("frame_idx",
+                    (F.col("frame_ts_ms") / every_ms).cast("int"))
+        .select(id_col, "frame_idx", "frame_ts_ms")
+    )
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: the driver's ``documents`` table as a media corpus
+    (utf-8 payloads + synthesized typed metadata). Lets every operator
+    above run on real testdata without codec libraries."""
+    payload = F.encode("text", "utf-8")
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        payload.alias("data"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "video")
+            .when(F.col("doc_id") % 3 == 1, "image")
+            .otherwise("audio").alias("kind"),
+            F.lit("raw").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_channels"),
+            F.lit(16000).alias("sample_rate"),
+            (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
+        ).alias("meta"),
+    )

@@ -276,3 +276,80 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 8)
     return similarity.lsh_topk(emb, queries, "embedding", "vec_id",
                                dim=64, k=10).orderBy("query_id", "rank")
+
+
+@register("ivf_ann_topk", None, operators=("ANN-IVF",))
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: assign vectors to nearest of c seeded
+    centroids, probe the query's closest cells only — the scale path
+    where brute force is O(corpus) per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, queries, "embedding", "vec_id",
+                               dim=64, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dup pairs. The Spark side hashes shingles
+# (xxhash64) before set ops so shuffles move longs; Jaccard over the
+# distinct hash sets equals Jaccard over the distinct shingle strings
+# the oracle computes directly (collision probability ~2^-64).
+
+
+@register(
+    "ngram_jaccard_dups",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.g, b.g))
+               / nullif(len(a.g) + len(b.g)
+                        - len(list_intersect(a.g, b.g)), 0) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT a, b, jaccard FROM pairs
+    WHERE jaccard >= 0.5
+    ORDER BY a, b
+    """,
+    operators=("DEDUP-NGRAM-JACCARD", "J1", "A1"),
+)
+def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                     threshold=0.5).orderBy("a", "b")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (brute-force verify tier; LSH-bucketed
+# candidate generation is the 100 TB path — see operators/similarity.py).
+
+
+@register(
+    "embedding_near_dups",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / nullif(sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}),
+                        0) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cos FROM pairs
+    WHERE cos >= 0.4
+    ORDER BY a, b
+    """,
+    operators=("DEDUP-EMBEDDING", "J5"),
+)
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                          threshold=0.4).orderBy("a", "b")

@@ -1,0 +1,64 @@
+"""Registry entries for the multimodal operators.
+
+The documents table doubles as the media corpus (utf-8 payload bytes +
+synthesized typed metadata — operators/multimodal.documents_as_media),
+so the mapInPandas decode plumbing is differential-tested end-to-end:
+the deterministic fake decode is pure md5 arithmetic, which the DuckDB
+oracle reproduces with substr/hex-cast over md5(text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as MM
+from ..sources.catalog import load_table
+from .registry import register
+
+
+@register(
+    "media_decode_stats",
+    """
+    SELECT doc_id AS media_id,
+           16 + CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 497
+             AS width,
+           16 + CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 497
+             AS height,
+           1 + CAST('0x' || substr(md5(text), 9, 1) AS INTEGER) % 3
+             AS n_channels,
+           CAST('0x' || substr(md5(text), 10, 4) AS INTEGER) / 65535.0
+             AS mean_pixel
+    FROM documents
+    ORDER BY media_id
+    """,
+    operators=("MEDIA-DECODE", "UDF-MAPINPANDAS"),
+)
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.decode_images(media).orderBy("media_id")
+
+
+@register(
+    "media_frame_counts",
+    """
+    SELECT doc_id AS media_id,
+           (n_chars * 10) // 1000 + 1 AS n_frames,
+           CAST((n_chars * 10) // 1000 * 1000 AS BIGINT) AS last_frame_ts_ms
+    FROM documents
+    WHERE doc_id % 3 = 0
+    ORDER BY media_id
+    """,
+    operators=("MEDIA-FRAMESAMPLE", "S9", "A1"),
+)
+def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return (
+        MM.sample_frames(media, every_ms=1000)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.max("frame_ts_ms").alias("last_frame_ts_ms"))
+        .orderBy("media_id")
+    )

@@ -1,0 +1,102 @@
+"""Batch twins of the Structured Streaming operators.
+
+``F.window`` / ``F.session_window`` evaluate identically on batch and
+streaming DataFrames, so each streaming aggregation in
+``streaming/events.py`` registers here as a batch query with a DuckDB
+oracle (integer epoch-bucket math reproduces Spark's window assignment
+tz-independently). The streaming tests then assert stream == batch on
+the same input — together that oracle-checks the streaming semantics.
+
+Reference anchor: the reference has no streaming (SURVEY.md §2.9); its
+incremental MERGE loads (07_SubsequentLoading.sql:324-435) map to the
+foreachBatch upsert exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.catalog import load_table
+from ..streaming.events import (session_window_stats, sliding_event_counts,
+                                tumbling_event_counts)
+from .registry import register
+
+
+@register(
+    "events_tumbling_hourly",
+    """
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    operators=("STREAM-TUMBLING", "A1"),
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return tumbling_event_counts(events, window="1 hour") \
+        .orderBy("window_start", "event_type")
+
+
+@register(
+    "events_sliding_1h30m",
+    """
+    SELECT CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800
+             - g.k * 1800 AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS g(k)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    operators=("STREAM-SLIDING", "A1", "J5"),
+)
+def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min: each event belongs to the
+    two half-hour-aligned windows covering it — the oracle materializes
+    exactly those two window starts per event."""
+    events = load_table(spark, sf_dir, "events")
+    return sliding_event_counts(events, window="1 hour", slide="30 minutes") \
+        .orderBy("window_start", "event_type")
+
+
+@register(
+    "events_session_windows",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch(ts) - epoch(prev_ts) >= 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ordered
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts))) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts))) AS BIGINT) AS session_end,
+           COUNT(*) AS n_events
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    operators=("STREAM-SESSION", "W1", "A1"),
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window in batch mode vs a LAG+running-SUM oracle. A new
+    session starts when the gap to the previous event is >= 30 min
+    (Spark merges an event only while ts < previous-window end)."""
+    events = load_table(spark, sf_dir, "events")
+    return session_window_stats(events, gap="30 minutes") \
+        .orderBy("user_id", "session_start")

@@ -1,0 +1,229 @@
+"""Structured Streaming surface over the ``events`` stream.
+
+The reference is batch-only (SURVEY.md §2.9): its "incremental" path is
+bind-variable MERGE / NOT-EXISTS re-runs (07_SubsequentLoading.sql:324-435).
+The idiomatic Spark replacement is Structured Streaming:
+
+- a file/Kafka source feeding watermarked windowed aggregations
+  (tumbling / sliding / session windows);
+- ``foreachBatch`` + MERGE for exactly the incremental-upsert semantics
+  of ``07_SubsequentLoading.sql:331-355`` — each micro-batch plays the
+  role of one "new OLTP rows arrived" batch;
+- ``applyInPandasWithState`` for custom stateful logic the built-in
+  windows can't express (running per-key totals with timeouts).
+
+Every aggregation here has a batch twin in ``plans/streaming_ops.py``
+(same ``F.window`` / ``F.session_window`` expressions run in batch mode)
+which is differential-tested against a DuckDB oracle; the streaming
+tests then assert stream == batch on the same input. At scale, the file
+source below swaps for Kafka and the parquet sink for Delta — the plan
+shapes (partial aggregation per micro-batch, state store keyed by
+window+group) are unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StringType, StructField,
+                               StructType, TimestampType)
+
+#: Schema of the events stream (TESTDATA.md), post timestamp-normalization.
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def events_file_stream(spark: SparkSession, source_dir: str,
+                       max_files_per_trigger: int = 1) -> DataFrame:
+    """Parquet-directory file source for the events schema.
+
+    ``maxFilesPerTrigger=1`` makes each file one micro-batch, which is
+    how the tests replay "days arriving in order". In production the
+    same pipeline reads Kafka; only this constructor changes.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed aggregations (shared by batch twins in plans/streaming_ops.py).
+
+
+def tumbling_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window counts+sums per event_type with late-data bound.
+
+    Works on a streaming *or* batch DataFrame (``F.window`` is the same
+    expression in both); the watermark is applied only when streaming.
+    Output keys window start as epoch seconds so the DuckDB oracle can
+    reproduce it with integer bucket math (tz-independent).
+    """
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    # Sum through DECIMAL: exact + order-independent, so the streaming
+    # partial-agg merge order and the oracle's scan order can't skew
+    # low-order double bits.
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast("decimal(20,6)"))
+             .cast("double").alias("sum_value"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_event_counts(events: DataFrame, window: str = "1 hour",
+                         slide: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide
+    overlapping windows — Spark expands this natively; the oracle
+    reproduces it with a generated bucket-offset cross join)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+def session_window_stats(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Gap-based session windows per user (F.session_window): the
+    streaming-native form of the batch LAG+running-SUM sessionizer
+    (plans/core_sql2.events_sessionize). A session's bounds are
+    [first_ts, last_ts] over events closer than ``gap`` apart."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+        .select("user_id",
+                F.unix_timestamp("first_ts").alias("session_start"),
+                F.unix_timestamp("last_ts").alias("session_end"),
+                "n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch incremental upsert — the Structured Streaming analogue of
+# the reference's MERGE-based subsequent loading.
+
+
+def start_foreach_batch_upsert(stream: DataFrame, target_path: str,
+                               checkpoint_dir: str, keys: list[str],
+                               aggregate) -> "StreamingQuery":  # noqa: F821
+    """Continuously MERGE micro-batches into a parquet target.
+
+    Each micro-batch is aggregated by ``aggregate(batch_df)`` and
+    merged into ``target_path`` on ``keys`` with additive update
+    semantics delegated to the caller's aggregate (read-modify-write;
+    on Delta this is ``DeltaTable.merge`` and the read-back disappears).
+    Mirrors 07_SubsequentLoading.sql:331-355 where each run folds just
+    the new rows into the facts.
+    """
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = aggregate(batch_df)
+        if os.path.isdir(target_path) and any(
+            f.endswith(".parquet") for f in os.listdir(target_path)
+        ):
+            current = spark.read.parquet(target_path)
+            merged = (
+                current.unionByName(delta)
+                .groupBy(keys)
+                .agg(*[F.sum(c).alias(c) for c in delta.columns
+                       if c not in keys])
+            )
+        else:
+            merged = delta
+        # Plain parquet has no transactional overwrite-in-place; stage
+        # then atomically rename. Delta/Iceberg make this a real MERGE.
+        tmp = target_path + f".tmp{batch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        bak = target_path + f".old{batch_id}"
+        if os.path.isdir(target_path):
+            os.rename(target_path, bak)
+        os.rename(tmp, target_path)
+
+    return (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: running per-user totals via
+# applyInPandasWithState (state the built-in windows can't express).
+
+RUNNING_STATE_SCHEMA = StructType([
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+RUNNING_OUTPUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("n_events", LongType()),
+    StructField("sum_value", DoubleType()),
+])
+
+
+def _running_totals(key, pdfs: Iterator[pd.DataFrame],
+                    state: GroupState) -> Iterator[pd.DataFrame]:
+    n, s = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+    state.update((n, s))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                        "sum_value": [round(s, 6)]})
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Cumulative per-user event count/value-sum, emitted every
+    micro-batch (output mode ``update``). State lives in the state
+    store keyed by user_id — at 100 TB this scales with distinct users,
+    not events, and RocksDB state backend handles the key volume."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=RUNNING_OUTPUT_SCHEMA,
+        stateStructType=RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, table_name: str,
+                         checkpoint_dir: str,
+                         output_mode: str = "complete") -> None:
+    """Drain a streaming aggregation into an in-memory sink with
+    availableNow (process-everything-then-stop) — the test harness's
+    way of getting a deterministic final answer from a stream."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

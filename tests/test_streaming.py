@@ -1,0 +1,140 @@
+"""Structured Streaming tests: stream == batch on the same input.
+
+Each windowed aggregation's batch twin is oracle-checked against DuckDB
+in test_correctness.py; here we replay the events table through a file
+source (one parquet file per micro-batch) and assert the streaming
+result equals the batch result — closing the loop stream == batch ==
+oracle. Plus: foreachBatch incremental upsert (the Spark-native form of
+07_SubsequentLoading.sql's MERGE loads) and an applyInPandasWithState
+custom stateful operator.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import load_table
+from library_data_warehouse_and_business_analytics_system_spark.streaming import events as SE
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Events re-written as 4 time-ordered parquet files: file k holds
+    the k-th ts-quartile and gets an increasing mtime, so the file
+    source replays history chronologically (a Kafka-like in-order feed;
+    session-window state filters events behind the watermark, so a
+    shuffled replay would legitimately drop them as late)."""
+    import os
+    import time
+
+    d = tmp_path_factory.mktemp("events_stream")
+    src = str(d / "src")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    chunked = events.withColumn(
+        "_chunk", F.ntile(4).over(Window.orderBy("ts", "event_id")))
+    base = time.time()
+    seen: set[str] = set()
+    for k in range(1, 5):
+        chunked.filter(F.col("_chunk") == k).drop("_chunk") \
+            .coalesce(1).write.mode("append").parquet(src)
+        fresh = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(os.path.join(src, f), (base + k * 10, base + k * 10))
+    return src
+
+
+def _drain(spark, stream_df, name, tmp_path, mode="complete"):
+    SE.run_stream_to_memory(stream_df, name, str(tmp_path / f"ck_{name}"),
+                            output_mode=mode)
+    return spark.table(name)
+
+
+def _sorted_pdf(df) -> pd.DataFrame:
+    pdf = df.toPandas()
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(cols).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("agg_fn", [
+    SE.tumbling_event_counts,
+    SE.sliding_event_counts,
+    SE.session_window_stats,
+], ids=["tumbling", "sliding", "session"])
+def test_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path, agg_fn):
+    stream = SE.events_file_stream(spark, stream_dir)
+    name = f"mem_{agg_fn.__name__}"
+    got = _drain(spark, agg_fn(stream), name, tmp_path)
+    expected = agg_fn(load_table(spark, sf_dir, "events"))
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected),
+                                  check_dtype=False)
+
+
+def test_foreach_batch_upsert(spark, stream_dir, tmp_path):
+    """Micro-batch MERGE accumulation == one-shot batch aggregate."""
+    target = str(tmp_path / "user_totals")
+
+    def per_batch_totals(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(20,6)")).alias("sum_value"))
+
+    stream = SE.events_file_stream(spark, stream_dir)
+    q = SE.start_foreach_batch_upsert(stream, target, str(tmp_path / "ck_fb"),
+                                      keys=["user_id"],
+                                      aggregate=per_batch_totals)
+    q.awaitTermination()
+
+    got = spark.read.parquet(target)
+    expected = per_batch_totals(spark.read.parquet(stream_dir))
+    got = got.select("user_id", "n_events",
+                     F.col("sum_value").cast("double").alias("sum_value"))
+    expected = expected.select("user_id", "n_events",
+                               F.col("sum_value").cast("double").alias("sum_value"))
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected),
+                                  check_dtype=False)
+
+
+def test_stateful_running_totals(spark, stream_dir, tmp_path):
+    """applyInPandasWithState: last update per user == batch totals."""
+    stream = SE.events_file_stream(spark, stream_dir, max_files_per_trigger=2)
+    got = _drain(spark, SE.running_user_totals(stream), "mem_state",
+                 tmp_path, mode="update")
+    # update mode appends one row per (user, micro-batch); the final
+    # state is the row with the max n_events per user.
+    final = (got.groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "sum_value")).alias("s"))
+             .select("user_id", "s.n_events", "s.sum_value"))
+    batch = spark.read.parquet(stream_dir)
+    expected = batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"))
+    g = _sorted_pdf(final)
+    e = _sorted_pdf(expected)
+    # float sums accumulated per-batch vs one shot: compare to 1e-6
+    pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=False,
+                                  atol=1e-5)
+
+
+def test_watermark_bounds_state(spark, stream_dir, tmp_path):
+    """Append-mode windowed agg with a watermark emits only finalized
+    windows; with availableNow the final append output must equal the
+    batch aggregation for every window older than max(ts) - watermark."""
+    stream = SE.events_file_stream(spark, stream_dir)
+    agg = SE.tumbling_event_counts(stream, window="1 hour",
+                                   watermark="2 hours")
+    got = _drain(spark, agg, "mem_wm", tmp_path, mode="append")
+    batch = spark.read.parquet(stream_dir)
+    cutoff = batch.agg(F.max("ts")).collect()[0][0]
+    expected = SE.tumbling_event_counts(batch, window="1 hour").filter(
+        F.col("window_start") + 3600
+        <= F.unix_timestamp(F.lit(cutoff)) - 7200)
+    got_final = got.filter(
+        F.col("window_start") + 3600
+        <= F.unix_timestamp(F.lit(cutoff)) - 7200)
+    pd.testing.assert_frame_equal(_sorted_pdf(got_final),
+                                  _sorted_pdf(expected), check_dtype=False)
