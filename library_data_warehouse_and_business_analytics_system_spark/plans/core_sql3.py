@@ -1,0 +1,260 @@
+"""Batch 3 relational coverage: correlated scalar subqueries (J8), set
+operations (§2.7), CUBE / GROUPING SETS (A9 generalized), the SCD2
+expire-and-insert shape as a window query (E8), and the math/conditional
+scalar surface (§2.8).
+
+The reference expresses J8 as a correlated scalar lookup
+(02_Trigger.sql:206-212: fine amount ← book price through a 3-table
+chain); Catalyst decorrelates the same SQL into a left-outer aggregate
+join — we register the SQL form on purpose to exercise that rewrite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# ---------------------------------------------------------------------------
+# J8 — correlated scalar subquery, decorrelated by Catalyst.
+
+
+_J8_SQL = """
+    SELECT o_orderkey,
+           (SELECT MAX(l_extendedprice) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS max_item_price,
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS n_items
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    ORDER BY o_orderkey
+"""
+
+
+@register("orders_scalar_subquery", _J8_SQL, operators=("J8", "P2"))
+def orders_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical SQL text runs on both engines; Spark's plan shows the
+    subqueries rewritten to one aggregated left outer join each
+    (ReuseSubquery merges the two scans of lineitem)."""
+    _views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_J8_SQL)
+
+
+# ---------------------------------------------------------------------------
+# §2.7 set operations — absent in the reference (grep-verified,
+# SURVEY.md §2.7) but part of the engine surface Spark gives for free.
+
+
+_SETOPS_SQL = """
+    SELECT 'both' AS tag, n_name FROM nation
+    WHERE n_nationkey IN (
+      SELECT c_nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT 'customers_only' AS tag, n_name FROM nation
+    WHERE n_nationkey IN (
+      SELECT c_nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier)
+    ORDER BY tag, n_name
+"""
+
+
+@register("nation_set_ops", _SETOPS_SQL, operators=("SET-OPS", "J4"))
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    cust_n = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"))
+    supp_n = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"))
+    both = cust_n.intersect(supp_n)          # INTERSECT (distinct)
+    cust_only = cust_n.subtract(supp_n)      # EXCEPT (distinct)
+    tagged = (
+        both.withColumn("tag", F.lit("both"))
+        .unionByName(cust_only.withColumn("tag", F.lit("customers_only")))
+    )
+    return (
+        tagged.join(nation, tagged.k == nation.n_nationkey)
+        .select("tag", "n_name")
+        .orderBy("tag", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 generalized — CUBE with GROUPING() flags. The reference's subtotal
+# rows are SQL*Plus COMPUTE artifacts (LQY_query1.txt:36-37); CUBE is
+# the engine-level form (rollup_year_quarter covers ROLLUP).
+
+
+@register(
+    "cube_order_stats",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    operators=("A9", "A1"),
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+            .cast("double").alias("total_price"),
+        )
+        .select("o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+                "n_orders", "total_price")
+        .orderBy("g_status", "g_priority", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_GSETS_SQL = """
+    SELECT n_name, o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), ())
+    ORDER BY n_name, o_orderstatus
+"""
+
+
+@register("grouping_sets_orders", _GSETS_SQL, operators=("A9", "J1"))
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "orders", "customer", "nation")
+    return spark.sql(_GSETS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# E8 as a query — SCD2 expire-and-insert shape (effective/expiration/
+# curr_ind with expiration = next effective − 1 day, open version
+# 9999-12-31) built with LEAD, mirroring 06_Type2_DimMembers.sql:65-107.
+# The write-side Delta-style apply lives in operators/scd2.py; this is
+# the same derivation as a pure plan with a DuckDB oracle.
+
+
+@register(
+    "customer_spend_scd2_versions",
+    """
+    WITH daily AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(o_orderdate AS DATE) AS effective_date,
+             COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                  AS DOUBLE) AS day_spend
+      FROM orders
+      WHERE o_custkey % 100 = 0
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey,
+           CAST(effective_date AS VARCHAR) AS effective_date,
+           CAST(COALESCE(LEAD(effective_date) OVER (PARTITION BY c_custkey
+                                                    ORDER BY effective_date)
+                           - 1,
+                         DATE '9999-12-31') AS VARCHAR) AS expiration_date,
+           CASE WHEN LEAD(effective_date) OVER (PARTITION BY c_custkey
+                                                ORDER BY effective_date)
+                     IS NULL
+                THEN 'Y' ELSE 'N' END AS curr_ind,
+           n_orders, day_spend
+    FROM daily
+    ORDER BY c_custkey, effective_date
+    """,
+    operators=("E8", "W1", "A1"),
+)
+def customer_spend_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.filter(F.col("o_custkey") % 100 == 0)
+        .groupBy(F.col("o_custkey").alias("c_custkey"),
+                 F.to_date("o_orderdate").alias("effective_date"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("day_spend"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy("effective_date")
+    nxt = F.lead("effective_date").over(w)
+    return (
+        daily.select(
+            "c_custkey",
+            F.col("effective_date").cast("string").alias("effective_date"),
+            F.coalesce(F.date_sub(nxt, 1),
+                       F.lit("9999-12-31").cast("date"))
+            .cast("string").alias("expiration_date"),
+            F.when(nxt.isNull(), "Y").otherwise("N").alias("curr_ind"),
+            "n_orders", "day_spend")
+        .orderBy("c_custkey", "effective_date")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 math/conditional scalar surface: ABS/SIGN/MOD/FLOOR/CEIL/SQRT/
+# GREATEST/LEAST and the division guard x/NULLIF(y,0)
+# (05_InitialLoading.sql:393; LQY_query1.txt:72). Transcendentals
+# (LN/POWER) are deliberately excluded from the oracle-matched output:
+# libm last-ulp differences between JVM and C++ break bit-exactness.
+
+
+@register(
+    "math_function_surface",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_extendedprice - 1000.0) AS abs_v,
+           CAST(SIGN(l_discount - 0.05) AS INTEGER) AS sign_v,
+           CAST(l_quantity AS BIGINT) % 7 AS mod_v,
+           CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS floor_v,
+           CAST(CEIL(l_extendedprice / 100) AS BIGINT) AS ceil_v,
+           SQRT(l_quantity) AS sqrt_v,
+           GREATEST(l_discount, l_tax) AS max_rate,
+           LEAST(l_discount, l_tax) AS min_rate,
+           l_quantity / NULLIF(l_discount, 0) AS guarded_div
+    FROM lineitem
+    WHERE l_orderkey % 500 = 0
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    operators=("MATH-SURFACE", "P4"),
+)
+def math_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 500 == 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_v"),
+            F.signum(F.col("l_discount") - 0.05).cast("int").alias("sign_v"),
+            (F.col("l_quantity").cast("bigint") % 7).alias("mod_v"),
+            F.floor(F.col("l_extendedprice") / 100).cast("bigint")
+            .alias("floor_v"),
+            F.ceil(F.col("l_extendedprice") / 100).cast("bigint")
+            .alias("ceil_v"),
+            F.sqrt("l_quantity").alias("sqrt_v"),
+            F.greatest("l_discount", "l_tax").alias("max_rate"),
+            F.least("l_discount", "l_tax").alias("min_rate"),
+            (F.col("l_quantity") / F.nullif("l_discount", F.lit(0)))
+            .alias("guarded_div"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
