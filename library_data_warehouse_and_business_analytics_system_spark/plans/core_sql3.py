@@ -258,3 +258,58 @@ def math_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# P5/J1/W3 over the part dimension: LIKE prefix filter + share-of-total.
+# Reference: LIKE predicate 02_InsertMembers.sql:9; RATIO_TO_REPORT
+# share-of-total 02_InsertMembers.sql:224-227.
+
+
+_BRAND_REV = ("CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+              " * (CAST(1 AS DECIMAL(8,6))"
+              " - CAST(l_discount AS DECIMAL(8,6)))), 2) AS DOUBLE)")
+
+
+@register(
+    "brand_revenue_share",
+    f"""
+    WITH b AS (
+      SELECT p_brand, {_BRAND_REV} AS revenue, COUNT(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE 'ECONOMY%'
+      GROUP BY p_brand
+    ), tot AS (
+      SELECT {_BRAND_REV} AS total
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_type LIKE 'ECONOMY%'
+    )
+    SELECT p_brand, revenue, n_lines, revenue / total AS revenue_share
+    FROM b, tot
+    ORDER BY p_brand
+    """,
+    operators=("P5", "J1", "W3", "A1"),
+)
+def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total from two exact decimal aggregates (numerator and
+    denominator each rounded to 2dp before the double division), so the
+    ratio is bit-identical across engines regardless of sum order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(8,6)")
+              - F.col("l_discount").cast("decimal(8,6)")))
+    lines = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_type").like("ECONOMY%"))
+    )
+    by_brand = lines.groupBy("p_brand").agg(
+        F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+    total = lines.agg(F.round(F.sum(rev), 2).cast("double").alias("total"))
+    return (
+        by_brand.crossJoin(F.broadcast(total))
+        .select("p_brand", "revenue", "n_lines",
+                (F.col("revenue") / F.col("total")).alias("revenue_share"))
+        .orderBy("p_brand")
+    )

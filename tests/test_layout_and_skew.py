@@ -1,0 +1,132 @@
+"""Physical-layout tests: partition pruning actually prunes, bucketed
+joins actually avoid the shuffle, salted operators match their plain
+equivalents. These are the 100 TB design contracts (SURVEY.md §4)
+asserted on the plans themselves, not just on results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark.operators import skew as SK
+from library_data_warehouse_and_business_analytics_system_spark.sources import warehouse as WH
+from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def part_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("wh"))
+    WH.write_partitioned(load_table(spark, sf_dir, "orders"), "orders", d)
+    return d
+
+
+def test_partition_pruning(spark, part_dir):
+    orders = WH.read_partitioned(spark, part_dir, "orders")
+    pruned = orders.filter(F.col("o_year") == 1997)
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan and "o_year" in plan
+    # pruned scan must read strictly fewer files than the full scan
+    n_all = orders.select(F.input_file_name()).distinct().count()
+    n_pruned = pruned.select(F.input_file_name()).distinct().count()
+    assert 0 < n_pruned < n_all
+    # correctness: partition column agrees with the derivation
+    bad = pruned.filter(F.year("o_orderdate") != 1997).count()
+    assert bad == 0
+
+
+def test_widen_then_clip_prunes_range(spark, part_dir):
+    """The LAG widen-scan pattern (cal_year BETWEEN from-1 AND to,
+    LQY_query1.txt:50) becomes a partition-range predicate."""
+    orders = WH.read_partitioned(spark, part_dir, "orders")
+    widened = orders.filter(F.col("o_year").between(1996, 1998))
+    years = [r["o_year"] for r in
+             widened.select("o_year").distinct().collect()]
+    assert sorted(years) == [1996, 1997, 1998]
+    assert "PartitionFilters" in _plan(widened)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lt, ot = WH.write_bucketed_pair(spark, li, orders, str(tmp_path),
+                                    n_buckets=4, suffix="t1")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (spark.table(lt).join(
+            spark.table(ot),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderstatus").count())
+        plan = _plan(joined)
+        join_section = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        # the join itself must not shuffle either side
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        # and the result matches the plain join
+        plain = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+                 .groupBy("o_orderstatus").count())
+        assert sorted(map(tuple, joined.collect())) \
+            == sorted(map(tuple, plain.collect()))
+        assert join_section is not None
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        WH.drop_bucketed_pair(spark, lt, ot)
+
+
+def test_heavy_hitters(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    hh = SK.heavy_hitters(li, ["l_returnflag"], min_share=0.2)
+    rows = {r["l_returnflag"]: r["share"] for r in hh.collect()}
+    assert rows  # returnflag has ~3 values, all above 20%
+    assert all(s >= 0.2 for s in rows.values())
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey")
+    plain = cust.join(nation, ["c_nationkey"]).select("c_custkey", "n_name")
+    salted = SK.salted_join(cust, nation, ["c_nationkey"], n_salts=8) \
+        .select("c_custkey", "n_name")
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").limit(500)
+    cust = load_table(spark, sf_dir, "customer") \
+        .filter(F.col("c_custkey") % 2 == 0) \
+        .withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, ["o_custkey"], "left") \
+        .select("o_orderkey", "c_name")
+    salted = SK.salted_join(orders, cust, ["o_custkey"], how="left",
+                            n_salts=4).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect()), key=str) \
+        == sorted(map(tuple, salted.collect()), key=str)
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    got = SK.salted_agg(
+        li, ["l_returnflag"],
+        {"sum_qty": F.sum(F.col("l_quantity").cast("decimal(18,4)")),
+         "count_lines": F.count(F.lit(1)),
+         "max_price": F.max("l_extendedprice")},
+        n_salts=8)
+    exp = li.groupBy("l_returnflag").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("count_lines"),
+        F.max("l_extendedprice").alias("max_price"))
+    assert sorted(map(tuple, got.collect())) \
+        == sorted(map(tuple, exp.collect()))
+
+
+def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    with pytest.raises(ValueError):
+        SK.salted_agg(li, ["l_returnflag"],
+                      {"avg_qty": F.avg("l_quantity")}).collect()
