@@ -345,13 +345,13 @@ def generate(seed: int = 42, scale: float = 0.02) -> LibraryData:  # noqa: C901
         for st in rng.sample(staff, 6):
             sched_n += 1
             sh = shifts[rng.randrange(11)]
-            schedules.append((_fmt("SC", sched_n, 4)[:5], sh[0], st[0], d))
+            schedules.append((_fmt("SC", sched_n, 3), sh[0], st[0], d))
             start = dt.datetime.combine(d, sh[2].time())
             late_min = rng.choice([0, 0, 0, 0, rng.randrange(1, 40)])
             actual_start = start + dt.timedelta(minutes=late_min)
             status = "Late" if actual_start > start else "Present"
             attendance.append((
-                _fmt("A", sched_n, 4)[:5], schedules[-1][0], status,
+                _fmt("A", sched_n, 4), schedules[-1][0], status,
                 actual_start,
                 dt.datetime.combine(d, sh[3].time()),
             ))
