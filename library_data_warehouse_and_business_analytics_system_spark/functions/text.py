@@ -110,3 +110,47 @@ def doc_fingerprint(text: Column, k: int = 8) -> Column:
     head = F.array_join(F.slice(t, 1, k), " ")
     tail = F.array_join(F.slice(t, -k, k), " ")
     return F.md5(F.concat_ws("|", head, tail, F.size(t).cast("string")))
+
+
+# ---------------------------------------------------------------------------
+# Shared-tokenization variants: at corpus scale the regex split is the
+# dominant per-row cost, so multi-metric passes tokenize ONCE into a
+# projected array column and derive every metric from it (lowercasing
+# via transform(), never a second split).
+
+
+def stopword_hits_from(tokens_lower: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens_lower, lambda t: F.array_contains(sw, t)))
+
+
+def mean_token_len_from(t: Column) -> Column:
+    return (F.aggregate(F.transform(t, lambda x: F.length(x).cast("double")),
+                        F.lit(0.0), lambda a, x: a + x)
+            / F.nullif(F.size(t).cast("double"), F.lit(0.0)))
+
+
+def quality_score_from(t: Column, tokens_lower: Column) -> Column:
+    """quality_score over pre-tokenized arrays (identical semantics)."""
+    n = F.size(t)
+    len_ok = F.when(n.between(50, 100_000), 1.0).when(n.between(10, 49), 0.5) \
+        .otherwise(0.0)
+    mtl_ok = F.when(mean_token_len_from(t).between(3.0, 10.0), 1.0) \
+        .otherwise(0.0)
+    any_sw = F.greatest(*[stopword_hits_from(tokens_lower, code)
+                          for code in STOPWORDS])
+    sw_ok = F.when(any_sw > 0, 1.0).otherwise(0.0)
+    return (len_ok + mtl_ok + sw_ok) / F.lit(3.0)
+
+
+def predict_lang_from(t: Column, tokens_lower: Column) -> Column:
+    """predict_lang over pre-tokenized arrays (identical semantics)."""
+    n = F.size(t)
+    pairs = F.array(*[
+        F.struct((stopword_hits_from(tokens_lower, lang)
+                  / F.nullif(n, F.lit(0))).alias("score"),
+                 F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    best = F.array_max(F.filter(pairs, lambda p: p.score > 0))
+    return F.coalesce(best.lang, F.lit("und"))

@@ -403,6 +403,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY user_id
     """,
     operators=("W1", "W2", "A3", "SESSIONIZE"),
+    bench=True,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")

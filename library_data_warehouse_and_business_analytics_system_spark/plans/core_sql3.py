@@ -140,7 +140,8 @@ _GSETS_SQL = """
 """
 
 
-@register("grouping_sets_orders", _GSETS_SQL, operators=("A9", "J1"))
+@register("grouping_sets_orders", _GSETS_SQL, operators=("A9", "J1"),
+          bench=True)
 def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     _views(spark, sf_dir, "orders", "customer", "nation")
     return spark.sql(_GSETS_SQL)

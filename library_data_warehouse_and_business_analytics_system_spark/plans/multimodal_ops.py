@@ -33,6 +33,7 @@ from .registry import register
     ORDER BY media_id
     """,
     operators=("MEDIA-DECODE", "UDF-MAPINPANDAS"),
+    bench=True,
 )
 def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -34,6 +34,7 @@ from .registry import register
     ORDER BY 1, 2
     """,
     operators=("STREAM-TUMBLING", "A1"),
+    bench=True,
 )
 def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
