@@ -15,7 +15,10 @@ Semantics reproduced exactly:
 - unchanged rows are untouched.
 
 On Delta this is a two-step MERGE; here it is one full-outer join +
-union, which is also what Delta executes physically.
+union, which is also what Delta executes physically. Update columns are
+name-prefixed before the join, so the operator is lineage-safe under
+repeated application (batch after batch on the same in-memory dim —
+property-tested in tests/test_scd2_properties.py).
 """
 
 from __future__ import annotations
@@ -26,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 OPEN_END = dt.date(9999, 12, 31)
+
+_P = "__u_"  # update-side column prefix (avoids self-join ambiguity)
 
 
 def scd2_apply(
@@ -52,20 +57,20 @@ def scd2_apply(
     current = dim.filter(F.col("curr_ind") == "Y")
     history = dim.filter(F.col("curr_ind") != "Y")
 
-    u = updates.withColumn("_u_present", F.lit(True)).alias("u")
-    c = current.alias("c")
-    # full_outer on the natural key; side presence detected via marker
-    # (surrogate key null-ness is ambiguous under full_outer).
-    joined = c.join(u, natural_key, "full_outer")
+    u_cols = updates.columns
+    u = updates.select(*[F.col(c).alias(_P + c) for c in u_cols]) \
+        .withColumn(_P + "present", F.lit(True))
+    joined = current.join(
+        u, F.col(natural_key) == F.col(_P + natural_key), "full_outer")
 
     def ucol(name: str) -> Column:
-        return F.col(f"u.{name}")
+        return F.col(_P + name)
 
     def ccol(name: str) -> Column:
-        return F.col(f"c.{name}")
+        return F.col(name)
 
     has_current = ccol(surrogate_key).isNotNull()
-    u_present = F.col("_u_present").isNotNull()
+    u_present = ucol("present").isNotNull()
 
     changed = F.lit(False)
     for t in tracked:
@@ -74,7 +79,7 @@ def scd2_apply(
             .eqNullSafe(F.coalesce(ucol(t).cast("string"), F.lit("~")))
         )
     close_only = (
-        F.coalesce(F.col(close_only_flag), F.lit(False))
+        F.coalesce(ucol(close_only_flag), F.lit(False))
         if close_only_flag else F.lit(False)
     )
 
@@ -94,12 +99,12 @@ def scd2_apply(
         (~has_current & ~close_only) | (has_current & changed & ~close_only)
     )
     new_rows = joined.filter(insert_new).select(
-        F.col(natural_key).alias(natural_key),
+        F.coalesce(ucol(natural_key), ccol(natural_key)).alias(natural_key),
         *[F.coalesce(ucol(t), ccol(t)).alias(t) for t in tracked],
-        *[F.coalesce(ucol(col) if col in u.columns else F.lit(None), ccol(col))
+        *[F.coalesce(ucol(col) if col in u_cols else F.lit(None), ccol(col))
           .alias(col) for col in carried],
         F.when(has_current, eff).otherwise(
-            F.coalesce(ucol("effective_date") if "effective_date" in u.columns
+            F.coalesce(ucol("effective_date") if "effective_date" in u_cols
                        else F.lit(None), eff)
         ).alias("effective_date"),
         F.lit(OPEN_END).alias("expiration_date"),

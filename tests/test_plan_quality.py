@@ -1,0 +1,90 @@
+"""Plan-contract tests: every registered query must compile to a
+physical plan that scales — no row-at-a-time Python UDFs anywhere, no
+cartesian product unless the operator is defined as one (pair
+generation / share-of-total), and parquet scans must prune columns.
+
+These run against the PLAN, not the data, so they're cheap and they
+catch regressions that correctness tests can't (a query can be right
+and still shuffle the world)."""
+
+from __future__ import annotations
+
+import pytest
+
+from library_data_warehouse_and_business_analytics_system_spark.plans import QUERIES
+
+#: operators whose semantics are all-pairs / universe products — a
+#: cartesian (or broadcast nested loop) stage is the intended shape.
+CARTESIAN_OK = {
+    "cosine_topk",          # query × corpus scoring
+    "lsh_ann_topk", "ivf_ann_topk",
+    "embedding_near_dups",  # all-pairs verify tier
+    "region_status_universe",  # cross-join universe + zero-fill (J5)
+    "brand_revenue_share",  # scalar total broadcast-crossed into groups
+    "events_sliding_1h30m",
+    "nation_set_ops",
+    "orders_scalar_subquery",
+    "market_share",
+    "order_price_bands",    # J7 non-equi range join vs 3-row broadcast bands
+}
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    # cached DataFrames from other test modules would replace parquet
+    # scans with InMemoryTableScan and hide the ReadSchema lines.
+    spark.catalog.clearCache()
+    out = {}
+    for name, spec in QUERIES.items():
+        df = spec.fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+def test_no_python_row_udfs(plans):
+    """BatchEvalPython = per-row Python in the hot path; the engine's
+    policy is JVM columns + Arrow mapInPandas only."""
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == []
+
+
+def test_no_unexpected_cartesian(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if ("CartesianProduct" in p or "BroadcastNestedLoopJoin" in p)
+        and n not in CARTESIAN_OK
+    ]
+    assert offenders == []
+
+
+def test_scans_prune_columns(plans):
+    """Column pruning must reach the parquet scan: a 2-3 column
+    projection over the 11-column lineitem reads exactly those
+    columns (checked on the scan's ReadSchema)."""
+    cases = {
+        # query -> (a column it must read, a column it must NOT read)
+        "revenue_by_nation": ("l_extendedprice", "l_shipdate"),
+        "suppliers_of_large_shipments": ("l_suppkey", "l_tax"),
+        "dedup_exact": ("text", "lang"),
+    }
+    for name, (need, prune) in cases.items():
+        scans = [ln for ln in plans[name].splitlines() if "ReadSchema" in ln]
+        assert any(need in ln for ln in scans), name
+        assert not any(prune in ln for ln in scans), (
+            f"{name}: scan reads {prune!r} which the query never uses")
+
+
+def test_aggregates_have_partial_phase(plans):
+    """Hash aggregates must plan map-side partial aggregation (two
+    HashAggregate levels) — the thing that keeps groupBy shuffles
+    proportional to groups, not rows."""
+    for name in ("pricing_summary", "revenue_by_nation", "dedup_exact"):
+        p = plans[name]
+        assert p.count("HashAggregate") >= 2, name
+
+
+def test_broadcast_joins_for_dimensions(plans):
+    """Star joins onto nation/region must broadcast (no shuffle of the
+    fact side for a 25-row dimension)."""
+    for name in ("revenue_by_nation", "nation_customer_counts"):
+        assert "BroadcastHashJoin" in plans[name], name
