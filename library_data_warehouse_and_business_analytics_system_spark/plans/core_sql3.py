@@ -314,3 +314,95 @@ def brand_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("revenue") / F.col("total")).alias("revenue_share"))
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window-frame surface: explicit ROWS BETWEEN frames (the reference uses
+# only default frames, SURVEY.md §2.5; the engine exposes the full frame
+# spec) — 7-row trailing moving average + running total over the daily
+# order series, plus FIRST/LAST_VALUE.
+
+
+_FRAMES_SQL = """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             COUNT(*) AS n,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS amt
+      FROM orders GROUP BY 1
+    )
+    SELECT d, n, amt,
+           CAST(ROUND(SUM(CAST(amt AS DECIMAL(18,4))) OVER (
+                 ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+                AS DOUBLE) AS amt_7d_sum,
+           CAST(SUM(n) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS n_running,
+           FIRST_VALUE(amt) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                                  AND CURRENT ROW) AS amt_week_ago,
+           LAST_VALUE(amt) OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                                 AND 6 FOLLOWING) AS amt_week_ahead
+    FROM daily
+    ORDER BY d
+"""
+
+
+@register("daily_order_window_frames", _FRAMES_SQL,
+          operators=("W-FRAMES", "W1", "A1"))
+def daily_order_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+             .cast("double").alias("amt"))
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    wrun = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wfwd = Window.orderBy("d").rowsBetween(0, 6)
+    return (
+        daily.select(
+            "d", "n", "amt",
+            F.round(F.sum(F.col("amt").cast("decimal(18,4)")).over(w7), 2)
+            .cast("double").alias("amt_7d_sum"),
+            F.sum("n").over(wrun).cast("bigint").alias("n_running"),
+            F.first("amt").over(w7).alias("amt_week_ago"),
+            F.last("amt").over(wfwd).alias("amt_week_ahead"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentile / distribution surface: exact interpolated percentiles per
+# group (both engines implement the same 1-based (n-1)·p interpolation,
+# bit-exact on doubles).
+
+
+@register(
+    "order_price_percentiles",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.50) AS p50,
+           quantile_cont(o_totalprice, 0.90) AS p90,
+           MAX(o_totalprice) AS p100
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    operators=("A-PERCENTILE", "A1"),
+)
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.percentile("o_totalprice", F.lit(0.25)).alias("p25"),
+             F.percentile("o_totalprice", F.lit(0.50)).alias("p50"),
+             F.percentile("o_totalprice", F.lit(0.90)).alias("p90"),
+             F.max("o_totalprice").alias("p100"))
+        .orderBy("o_orderstatus")
+    )
