@@ -101,3 +101,53 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return session_window_stats(events, gap="30 minutes") \
         .orderBy("user_id", "session_start")
+
+
+@register(
+    "events_interval_join",
+    """
+    SELECT a.event_id, a.user_id,
+           COUNT(b.event_id) AS n_views_before,
+           CAST(COALESCE(SUM(CAST(b.value AS DECIMAL(20,6))), 0) AS DOUBLE)
+             AS view_value_before
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'view'
+     AND b.ts >= a.ts - INTERVAL 30 MINUTE
+     AND b.ts < a.ts
+    WHERE a.event_type = 'purchase'
+    GROUP BY a.event_id, a.user_id
+    ORDER BY a.event_id
+    """,
+    operators=("STREAM-INTERVAL-JOIN", "J7", "A1"),
+)
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bound self-join (the batch twin of a stream-stream interval
+    join): each purchase joined to the same user's views in the
+    preceding 30 minutes. The equi key (user_id) carries the shuffle;
+    the time bound is a join residual — the same plan shape Spark uses
+    for watermarked stream-stream joins, where the bound also limits
+    state retention."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_value"), F.col("event_id").alias("v_id"))
+    joined = purchases.join(
+        views,
+        (purchases.user_id == views.v_user)
+        & (views.v_ts >= purchases.ts - F.expr("INTERVAL 30 MINUTE"))
+        & (views.v_ts < purchases.ts),
+        "left")
+    return (
+        joined.groupBy("event_id", "user_id")
+        .agg(F.count("v_id").alias("n_views_before"),
+             F.coalesce(F.sum(F.col("v_value").cast("decimal(20,6)")),
+                        F.lit(0).cast("decimal(20,6)")).cast("double")
+             .alias("view_value_before"))
+        .orderBy("event_id")
+    )

@@ -227,3 +227,30 @@ def run_stream_to_memory(stream_df: DataFrame, table_name: str,
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join: purchases ⋈ same-user views within the
+# preceding 30 minutes. Watermarks on both sides + the event-time bound
+# let Spark expire join state (a view can only match purchases up to
+# 30 min later, so state retention is watermark + 30 min per side).
+# Batch twin with the DuckDB oracle: plans/streaming_ops.events_interval_join.
+
+
+def purchase_view_interval_join(events: DataFrame,
+                                watermark: str = "2 hours") -> DataFrame:
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts"))
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"), F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"), F.col("value").alias("v_value"))
+    if events.isStreaming:
+        purchases = purchases.withWatermark("p_ts", watermark)
+        views = views.withWatermark("v_ts", watermark)
+    return purchases.join(
+        views,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTE"))
+        & (F.col("v_ts") < F.col("p_ts")),
+        "inner",
+    ).select("p_id", "user_id", "p_ts", "v_id", "v_ts", "v_value")

@@ -138,3 +138,15 @@ def test_watermark_bounds_state(spark, stream_dir, tmp_path):
         <= F.unix_timestamp(F.lit(cutoff)) - 7200)
     pd.testing.assert_frame_equal(_sorted_pdf(got_final),
                                   _sorted_pdf(expected), check_dtype=False)
+
+
+def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
+    """Watermarked purchases⋈views interval join: streaming pairs ==
+    batch pairs on the same replay."""
+    stream = SE.events_file_stream(spark, stream_dir)
+    got = _drain(spark, SE.purchase_view_interval_join(stream),
+                 "mem_ssj", tmp_path, mode="append")
+    expected = SE.purchase_view_interval_join(
+        spark.read.parquet(stream_dir))
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected),
+                                  check_dtype=False)
