@@ -365,3 +365,30 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id",
                                           threshold=0.4).orderBy("a", "b")
+
+
+@register(
+    "doc_bpe_token_counts",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+             AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    operators=("TEXT-TOKENS", "P1"),
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-word-ish token counting (words / digit runs / punctuation
+    counted separately — a deterministic BPE proxy) next to plain
+    whitespace counts; both engines run the same RE2 pattern."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+            TX.token_count(F.col("text")).alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
