@@ -33,3 +33,36 @@ def continue_surrogate_key(existing: DataFrame, new_rows: DataFrame, key_col: st
     row = existing.agg(F.max(key_col).alias("mx")).collect()[0]
     base = int(row["mx"]) + 1 if row["mx"] is not None else start
     return with_surrogate_key(new_rows, key_col, order_by, start=base)
+
+
+def with_fact_surrogate_key(df: DataFrame, key_col: str,
+                            start: int = SEQ_START) -> DataFrame:
+    """Unique contiguous ids at FACT scale: partition-local row_number
+    + driver-side cumulative partition offsets (the DataFrame form of
+    zipWithIndex). No global single-partition window — the only
+    coordination is one count per partition.
+
+    Ids are unique and contiguous but their assignment order follows
+    partition layout, not a business ordering — use the window variant
+    (``with_surrogate_key``) when the reference's ORDER BY semantics
+    matter (dimension-sized inputs only).
+    """
+    pid_df = df.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["cnt"]
+              for r in pid_df.groupBy("_pid").agg(
+                  F.count(F.lit(1)).alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.coalesce(*[
+        F.when(F.col("_pid") == pid, F.lit(off))
+        for pid, off in offsets.items()
+    ], F.lit(0)) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
+    return (
+        pid_df.withColumn("_rn", F.row_number().over(w))
+        .withColumn(key_col,
+                    (F.lit(start - 1) + off_expr + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn")
+    )

@@ -130,3 +130,33 @@ def test_salted_agg_rejects_non_decomposable(spark, sf_dir):
     with pytest.raises(ValueError):
         SK.salted_agg(li, ["l_returnflag"],
                       {"avg_qty": F.avg("l_quantity")}).collect()
+
+
+def test_fact_surrogate_key_unique_contiguous(spark, sf_dir):
+    from library_data_warehouse_and_business_analytics_system_spark.operators.surrogate import (
+        with_fact_surrogate_key,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").repartition(7)
+    keyed = with_fact_surrogate_key(li, "row_sk", start=100_001)
+    n = li.count()
+    stats = keyed.agg(
+        F.countDistinct("row_sk").alias("d"),
+        F.min("row_sk").alias("lo"), F.max("row_sk").alias("hi")).collect()[0]
+    assert stats["d"] == n
+    assert stats["lo"] == 100_001 and stats["hi"] == 100_000 + n
+    # and no global shuffle to one partition: plan has no
+    # single-partition Exchange for the id assignment
+    plan = keyed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """HLL sketch (approx_count_distinct) within its documented rsd on
+    real cardinalities — the constant-memory path for 100 TB distinct
+    counts (exact countDistinct shuffles every distinct value)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    got = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact")).collect()[0]
+    assert abs(got["approx"] - got["exact"]) / got["exact"] < 0.06
