@@ -111,7 +111,7 @@ def load_dim_book(book_titles: DataFrame) -> DataFrame:
         F.lit("AVAILABLE").alias("bookStatus"),
         F.upper(F.trim("title")).alias("title"),
         F.upper(F.trim("author")).alias("author"),
-        F.upper(F.trim("genre")).alias("genre"),
+        X.canonical_genre(F.col("genre")).alias("genre"),
         X.nonneg_money(F.col("salesPrice")).cast("double").alias("price"),
         F.coalesce("popularity", F.lit(3.0)).alias("popularity"),
         F.lit(dt.date(2004, 7, 1)).alias("effective_date"),

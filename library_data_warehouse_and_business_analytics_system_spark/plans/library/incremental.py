@@ -75,7 +75,7 @@ def scd2_update_dim_book(dim_book: DataFrame, changed_titles: DataFrame,
         F.lit("AVAILABLE").alias("bookStatus"),
         F.upper(F.trim("title")).alias("title"),
         F.upper(F.trim("author")).alias("author"),
-        F.upper(F.trim("genre")).alias("genre"),
+        X.canonical_genre(F.col("genre")).alias("genre"),
         F.coalesce("popularity", F.lit(3.0)).alias("popularity"),
     )
     return scd2_apply(dim_book, updates, "bookId",
