@@ -406,3 +406,45 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("o_totalprice").alias("p100"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array aggregation surface: collect-to-array (made deterministic with
+# array_sort — bare collect_list order is partition-dependent), size /
+# membership / join back to string. The A7 LISTAGG pattern
+# (LQY_query2.txt:31) generalized to real array columns.
+
+
+@register(
+    "order_quantity_arrays",
+    """
+    SELECT l_orderkey,
+           list_sort(list(l_quantity)) AS qty_sorted,
+           len(list(l_quantity)) AS n_items,
+           list_contains(list(l_quantity), 1.0) AS has_qty1,
+           array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
+             AS line_nums
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+    operators=("A7", "ARRAY-OPS", "A1"),
+)
+def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 200 == 0)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_quantity")).alias("qty_sorted"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.array_contains(F.collect_list("l_quantity"), 1.0)
+            .alias("has_qty1"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_linenumber")
+                                            .cast("string"))), ",")
+            .alias("line_nums"),
+        )
+        .orderBy("l_orderkey")
+    )
