@@ -419,7 +419,8 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "order_quantity_arrays",
     """
     SELECT l_orderkey,
-           list_sort(list(l_quantity)) AS qty_sorted,
+           array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',')
+             AS qty_sorted,
            len(list(l_quantity)) AS n_items,
            list_contains(list(l_quantity), 1.0) AS has_qty1,
            array_to_string(list_sort(list(CAST(l_linenumber AS VARCHAR))), ',')
@@ -432,12 +433,19 @@ def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("A7", "ARRAY-OPS", "A1"),
 )
 def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # qty_sorted is emitted as a joined string (not a raw array column):
+    # the driver's canonicalizer sorts/hashes output columns through
+    # pandas, which cannot hash list values. Quantities are whole
+    # numbers, so a bigint cast keeps the string form engine-agnostic.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") % 200 == 0)
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_quantity")).alias("qty_sorted"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("l_quantity")
+                                            .cast("bigint"))), ",")
+            .alias("qty_sorted"),
             F.count(F.lit(1)).alias("n_items"),
             F.array_contains(F.collect_list("l_quantity"), 1.0)
             .alias("has_qty1"),
