@@ -191,8 +191,9 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
 def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                              threshold: float = 0.95) -> DataFrame:
     """Pairs of near-identical embeddings (cosine ≥ τ). Brute-force
-    pair join over normalized vectors; for corpus-scale inputs feed
-    LSH buckets (similarity.random_hyperplane_buckets) first."""
+    all-pairs join — the exact ground-truth tier used as the recall
+    oracle for the bucketed path below; O(n²), never the default at
+    corpus scale."""
     from ..functions.vectors import cosine
 
     a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
@@ -201,6 +202,65 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_bucketed(
+        df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+        dim: int = 64, n_planes: int = 2, n_tables: int = 20,
+        seed: int = 42) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane LSH
+    candidate generation + exact in-bucket cosine verify.
+
+    Each of ``n_tables`` independent tables hashes a vector to the
+    ``n_planes``-bit sign pattern of seeded Gaussian projections;
+    candidates are pairs sharing a bucket in ANY table (equi-join on
+    (table, bucket) — never an all-pairs join), then the exact cosine
+    filter keeps true matches only, so precision is always 1 and
+    recall is tuned by (n_planes, n_tables). Collision probability per
+    table is (1 − θ/π)^n_planes: for a high τ (0.95 → θ≈18°) deep
+    12-plane tables are selective; the shallow 2-plane/20-table
+    default covers low-τ settings (τ=0.4 → θ≈66°, per-table collision
+    ≈0.4, 20-table miss ≈ 0.6^20 ≈ 4e-5).
+
+    The shuffle key is (table, bucket) — 12 bytes — and the verify
+    join moves vectors only for co-bucketed pairs. All expressions are
+    JVM-side HOF arithmetic (no UDFs)."""
+    from ..functions.vectors import cosine, dot
+    from .similarity import _seeded_planes
+
+    def plane_col(p: list[float]):
+        return F.array(*[F.lit(x) for x in p])
+
+    tables = []
+    for t in range(n_tables):
+        planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            bit = F.when(dot(F.col(vec_col), plane_col(p)) >= 0,
+                         F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+            bucket = bucket.bitwiseXOR(bit)
+        tables.append(F.struct(F.lit(t).alias("table"),
+                               bucket.alias("bucket")))
+
+    hashed = df.select(
+        F.col(id_col), F.col(vec_col),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    cands = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"),
+                F.col(f"a.{vec_col}").alias("va"),
+                F.col(f"b.{vec_col}").alias("vb"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cands.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

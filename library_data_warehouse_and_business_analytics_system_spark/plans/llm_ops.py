@@ -340,8 +340,13 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup pairs (brute-force verify tier; LSH-bucketed
-# candidate generation is the 100 TB path — see operators/similarity.py).
+# Embedding-cosine near-dup pairs. The registered (default) path is the
+# LSH-bucketed one — hyperplane bucket candidates, exact cosine verify
+# inside buckets only — with params chosen so recall is 1.0 on this
+# corpus (pytest-asserted against the brute tier); the DuckDB oracle is
+# the all-pairs ground truth, so a hash-green row proves the bucketed
+# plan loses nothing. Brute force stays available as the verify tier
+# (operators/dedup.embedding_near_dup_pairs).
 
 
 @register(
@@ -363,8 +368,9 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id",
-                                          threshold=0.4).orderBy("a", "b")
+    return dedup.embedding_near_dup_pairs_bucketed(
+        emb, "embedding", "vec_id", threshold=0.4, dim=64,
+    ).orderBy("a", "b")
 
 
 @register(

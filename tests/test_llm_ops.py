@@ -118,3 +118,18 @@ def test_embedding_near_dup_pairs_symmetric_threshold(emb):
     pdf = pairs.toPandas()
     assert (pdf.a < pdf.b).all()
     assert (pdf.cos >= 0.9).all()
+
+
+def test_embedding_near_dup_bucketed_matches_brute(emb):
+    """The bucketed (default/scale) path must recover exactly the
+    brute-force pair set on this corpus — the shallow 2-plane/20-table
+    config leaves ~4e-5 per-pair miss probability even for pairs at
+    the τ=0.4 boundary (θ≈66°), and precision is 1 by construction
+    (exact cosine verify inside buckets)."""
+    brute = {(r.a, r.b, r.cos) for r in
+             dedup.embedding_near_dup_pairs(emb, "embedding", "vec_id",
+                                            0.4).collect()}
+    bucketed = {(r.a, r.b, r.cos) for r in
+                dedup.embedding_near_dup_pairs_bucketed(
+                    emb, "embedding", "vec_id", 0.4, dim=64).collect()}
+    assert bucketed == brute

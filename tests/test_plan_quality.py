@@ -18,7 +18,9 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 CARTESIAN_OK = {
     "cosine_topk",          # query × corpus scoring
     "lsh_ann_topk", "ivf_ann_topk",
-    "embedding_near_dups",  # all-pairs verify tier
+    # embedding_near_dups deliberately NOT listed: its default path is
+    # LSH-bucketed (equi-join on (table, bucket)) — a cartesian there
+    # is a regression.
     "region_status_universe",  # cross-join universe + zero-fill (J5)
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "events_sliding_1h30m",
