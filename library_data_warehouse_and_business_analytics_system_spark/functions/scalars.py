@@ -45,8 +45,11 @@ def _part_from_right(addr: Column, k: int) -> Column:
     INSTR(addr, ',', -1, k)+SUBSTR arithmetic
     (05_InitialLoading.sql:256-277)."""
     parts = F.split(addr, ",")
+    # Oracle's rule demands the part be BETWEEN two commas: the ref
+    # guards on INSTR(addr,',',-1,k+1) > 0, i.e. k+1 commas → k+2
+    # parts ('City, Malaysia' has no state and yields UNKNOWN).
     return F.when(
-        F.size(parts) > k,  # need k commas → k+1 parts
+        F.size(parts) > k + 1,
         F.upper(F.trim(F.element_at(parts, -(k + 1)))),
     ).otherwise("UNKNOWN")
 

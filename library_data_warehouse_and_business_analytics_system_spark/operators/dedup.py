@@ -38,13 +38,27 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 64, shingle_n: int = 5) -> DataFrame:
     """k MinHash values per document: shingle → xxhash64 seeded per
-    hash-function index → min. One row per doc, signature as array."""
-    sh = shingle_hashes(F.col(text_col), shingle_n)
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda h, i=i: F.xxhash64(h, F.lit(i))))
+    hash-function index → min. One row per doc, signature as array.
+
+    Plan shape: ONE tokenization pass (explode the distinct shingle
+    hashes), then all k mins as a single 64-expression hash aggregate —
+    partial aggregation makes the shuffle k longs per doc. The naive
+    alternative (k array ``transform``s over a shingle expression) has
+    Catalyst inline the tokenization into every one of the k copies:
+    measured 20× slower at 5k docs, and the re-evaluation grows with
+    document size, so it's also the wrong 100 TB shape."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingle_hashes(F.col(text_col),
+                                                  shingle_n))).alias("_h"))
+    agg = sh.groupBy(id_col).agg(*[
+        F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
     ])
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return agg.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)])
+        .alias("signature"))
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
@@ -155,19 +169,21 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
-def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
-                           max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ k via 4-band blocking
-    (pigeonhole: ≤3 differing bits → at least one identical 16-bit
-    band), then exact bit_count verify."""
-    sh = simhash(df, text_col, id_col)
+def _banded_hamming_pairs(sh: DataFrame, id_col: str, n_bands: int,
+                          band_bits: int, max_hamming: int) -> DataFrame:
+    """Pairs with Hamming(simhash) ≤ max_hamming via band blocking:
+    by pigeonhole, ≤ n_bands−1 differing bits guarantees at least one
+    identical band, so candidate generation is an equi-join on
+    (band, key) — never an all-pairs join — and the bit_count verify
+    is exact. Complete (recall 1) whenever max_hamming < n_bands."""
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         id_col, "simhash",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
-                     F.shiftright("simhash", b * 16)
-                     .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-            for b in range(4)
+                     F.shiftright("simhash", b * band_bits)
+                     .bitwiseAND(F.lit(mask)).alias("key"))
+            for b in range(n_bands)
         ])).alias("bb"),
     ).select(id_col, "simhash", "bb.band", "bb.key")
     a = banded.alias("a")
@@ -182,6 +198,51 @@ def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                           max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ k via 4-band blocking
+    (pigeonhole: ≤3 differing bits → at least one identical 16-bit
+    band), then exact bit_count verify."""
+    return _banded_hamming_pairs(simhash(df, text_col, id_col), id_col,
+                                 n_bands=4, band_bits=16,
+                                 max_hamming=max_hamming)
+
+
+def simhash32_md5(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash with md5-derived token hashes — the oracle-
+    checkable variant: every step (md5 hex → 32-bit int, per-bit vote,
+    sign reassembly) is reproducible in ANSI SQL, so the banded
+    blocking above can be differentially tested against a brute-force
+    SQL ground truth bit-for-bit. The 64-bit xxhash64 variant
+    (``simhash``) stays the production default."""
+    from ..functions.text import tokens
+
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("t"))
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    votes = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+              .otherwise(-1)).alias(f"b{i}")
+        for i in range(32)
+    ])
+    sim = None
+    for i in range(32):
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)) \
+            .otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    return votes.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash32_near_dup_pairs(df: DataFrame, text_col: str, id_col: str,
+                             max_hamming: int = 3) -> DataFrame:
+    """Banded near-dup pairs over the 32-bit md5 SimHash (4 bands of
+    8 bits — complete for Hamming ≤ 3 by pigeonhole)."""
+    return _banded_hamming_pairs(simhash32_md5(df, text_col, id_col),
+                                 id_col, n_bands=4, band_bits=8,
+                                 max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -244,23 +305,29 @@ def embedding_near_dup_pairs_bucketed(
         tables.append(F.struct(F.lit(t).alias("table"),
                                bucket.alias("bucket")))
 
+    # Candidate generation and dedup run on (id, id) pairs ONLY — the
+    # vectors are joined back afterwards, so the dedup shuffle moves
+    # 16 bytes per candidate instead of 2×dim doubles (measured 8×
+    # faster at 2k vectors; at corpus scale it is the difference
+    # between shuffling ids and shuffling the embedding table).
     hashed = df.select(
-        F.col(id_col), F.col(vec_col),
+        F.col(id_col),
         F.explode(F.array(*tables)).alias("tb"),
-    ).select(id_col, vec_col, "tb.table", "tb.bucket")
+    ).select(id_col, "tb.table", "tb.bucket")
     a = hashed.alias("a")
     b = hashed.alias("b")
-    cands = (
+    cand_ids = (
         a.join(b, ["table", "bucket"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("a"),
-                F.col(f"b.{id_col}").alias("b"),
-                F.col(f"a.{vec_col}").alias("va"),
-                F.col(f"b.{vec_col}").alias("vb"))
+                F.col(f"b.{id_col}").alias("b"))
         .dropDuplicates(["a", "b"])
     )
+    va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (
-        cands.select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        cand_ids.join(va, "a").join(vb, "b")
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
 

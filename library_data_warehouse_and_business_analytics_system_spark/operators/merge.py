@@ -28,10 +28,13 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
     """
     cols = target.columns
     update_cols = update_cols or [c for c in cols if c not in keys]
-    t = target.alias("t")
-    s = source.alias("s")
+    # Explicit presence markers: inferring "matched" from key null-ness
+    # breaks when a key column is legitimately NULL in either side.
+    t = target.withColumn("__t", F.lit(True)).alias("t")
+    s = source.withColumn("__s", F.lit(True)).alias("s")
     joined = t.join(s, keys, "full_outer")
-    matched = F.col(f"s.{keys[0]}").isNotNull() & F.col(f"t.{keys[0]}").isNotNull()
+    matched = F.col("t.__t").isNotNull() & F.col("s.__s").isNotNull()
+    t_absent = F.col("t.__t").isNull()
     take_source = matched if condition is None else (matched & condition)
     out_cols = []
     for c in cols:
@@ -39,7 +42,7 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
             out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
         elif c in update_cols and c in source.columns:
             out_cols.append(
-                F.when(take_source | F.col(f"t.{keys[0]}").isNull(), F.col(f"s.{c}"))
+                F.when(take_source | t_absent, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}")).alias(c)
             )
         else:
@@ -63,10 +66,10 @@ def merge_aggregate(target: DataFrame, source: DataFrame, keys: list[str],
     (e.g. ``fineAmount = s.fineAmount`` guarded by status —
     08_InsertFines.sql:46-61). ``set_map`` maps column → expression
     over the joined ``t``/``s`` aliases; unmatched source rows insert."""
-    t = target.alias("t")
+    t = target.withColumn("__t", F.lit(True)).alias("t")
     s = source.alias("s")
     joined = t.join(s, keys, "full_outer")
-    t_exists = F.col(f"t.{keys[0]}").isNotNull()
+    t_exists = F.col("t.__t").isNotNull()
     out_cols = []
     for c in target.columns:
         if c in keys:

@@ -98,10 +98,17 @@ def scd2_apply(
     insert_new = u_present & (
         (~has_current & ~close_only) | (has_current & changed & ~close_only)
     )
+    # Carried (untracked) columns: the reference's procedures insert
+    # the successor version with the CURRENT row's carried values
+    # (06_Type2_DimBook.sql inserts title/author/genre/popularity from
+    # the existing row), so an update batch that also carries new
+    # values for untracked columns must NOT see them applied — the
+    # update side is used only for brand-new natural keys.
     new_rows = joined.filter(insert_new).select(
         F.coalesce(ucol(natural_key), ccol(natural_key)).alias(natural_key),
         *[F.coalesce(ucol(t), ccol(t)).alias(t) for t in tracked],
-        *[F.coalesce(ucol(col) if col in u_cols else F.lit(None), ccol(col))
+        *[F.when(has_current, ccol(col))
+          .otherwise(ucol(col) if col in u_cols else F.lit(None))
           .alias(col) for col in carried],
         F.when(has_current, eff).otherwise(
             F.coalesce(ucol("effective_date") if "effective_date" in u_cols
@@ -111,12 +118,21 @@ def scd2_apply(
         F.lit("Y").alias("curr_ind"),
     )
 
-    # surrogate keys continue after current max
-    mx = dim.agg(F.max(surrogate_key)).collect()[0][0] or 100_000
+    # Surrogate keys continue after the current max. The max is a
+    # 1-row aggregate broadcast-crossed into the new rows — no driver
+    # collect, so the whole apply stays one lazy plan. The global
+    # row_number window is acceptable because SCD2 batches are
+    # dimension-sized (documented contract; facts use
+    # operators/surrogate.with_fact_surrogate_key).
     from pyspark.sql import Window
+    mx_df = dim.agg(
+        F.coalesce(F.max(surrogate_key), F.lit(100_000)).alias("__mx"))
     w = Window.orderBy(natural_key)
-    new_rows = new_rows.withColumn(
-        surrogate_key, (F.row_number().over(w) + F.lit(mx)).cast("long")
+    new_rows = (
+        new_rows.crossJoin(F.broadcast(mx_df))
+        .withColumn(surrogate_key,
+                    (F.row_number().over(w) + F.col("__mx")).cast("long"))
+        .drop("__mx")
     )
 
     ordered = [c_ for c_ in dim.columns]

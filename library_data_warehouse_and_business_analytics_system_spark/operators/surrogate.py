@@ -47,7 +47,13 @@ def with_fact_surrogate_key(df: DataFrame, key_col: str,
     (``with_surrogate_key``) when the reference's ORDER BY semantics
     matter (dimension-sized inputs only).
     """
-    pid_df = df.withColumn("_pid", F.spark_partition_id())
+    # Pin the partition layout before the two passes: counts and
+    # row_numbers must observe the IDENTICAL partitioning, but an
+    # uncached nondeterministic lineage (e.g. downstream of a shuffle)
+    # could recompute differently between the two jobs and collide or
+    # gap ids. localCheckpoint materializes eagerly and truncates the
+    # lineage, so both passes read the same frozen blocks.
+    pid_df = df.withColumn("_pid", F.spark_partition_id()).localCheckpoint()
     counts = {r["_pid"]: r["cnt"]
               for r in pid_df.groupBy("_pid").agg(
                   F.count(F.lit(1)).alias("cnt")).collect()}

@@ -54,8 +54,14 @@ def validate(df: DataFrame, rules: list[tuple[str, str]], table: str = "df",
 
 def quarantine(df: DataFrame, rules: list[tuple[str, str]]) -> tuple[DataFrame, DataFrame]:
     """Split df into (valid, rejected) — the scale-friendly alternative
-    to failing the whole load when a handful of rows are bad."""
+    to failing the whole load when a handful of rows are bad.
+
+    A rule predicate that evaluates to NULL PASSES (Oracle CHECK
+    semantics, same as check_counts) — each conjunct is coalesced to
+    TRUE so ``ok`` is never NULL and valid + rejected is exactly the
+    input (a bare three-valued ``ok`` would drop NULL-predicate rows
+    from both sides)."""
     ok = F.lit(True)
     for _, pred in rules:
-        ok = ok & F.expr(pred)
+        ok = ok & F.coalesce(F.expr(pred), F.lit(True))
     return df.filter(ok), df.filter(~ok)

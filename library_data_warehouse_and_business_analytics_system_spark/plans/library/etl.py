@@ -21,9 +21,53 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ...functions import scalars as X
+from ...operators import validate as V
 from ...operators.surrogate import with_surrogate_key
+from ...schema import CHECK_RULES
 
 OPEN_END = dt.date(9999, 12, 31)
+
+
+# ---------------------------------------------------------------------------
+# Load-time CHECK enforcement. The reference rejects constraint-
+# violating rows at write time (01_Create.sql CHECK domains;
+# 02_Trigger.sql:23,156,186-192 RAISE_APPLICATION_ERROR); a Spark load
+# must do the same at its entry points or bad fixtures land silently.
+
+
+def screen_oltp(oltp: dict[str, DataFrame], mode: str = "quarantine",
+                rejects_out: dict[str, DataFrame] | None = None,
+                ) -> dict[str, DataFrame]:
+    """Apply the reference's CHECK rejection semantics to an OLTP dict.
+
+    ``mode``:
+      - ``"quarantine"`` (default): divert violating rows, load the
+        rest — the scale-friendly analogue of per-row rejection; the
+        diverted rows are exposed via ``rejects_out`` (pass a dict to
+        receive one DataFrame per screened table).
+      - ``"strict"``: raise :class:`ConstraintError` on any violation
+        (RAISE_APPLICATION_ERROR parity — the whole statement fails).
+      - ``"off"``: trust the input (callers that already screened).
+
+    NULL predicates pass, matching Oracle CHECK three-valued logic.
+    """
+    if mode == "off":
+        return dict(oltp)
+    out: dict[str, DataFrame] = {}
+    for name, df in oltp.items():
+        rules = CHECK_RULES.get(name)
+        if not rules:
+            out[name] = df
+            continue
+        if mode == "strict":
+            V.validate(df, rules, table=name)
+            out[name] = df
+        else:
+            ok, bad = V.quarantine(df, rules)
+            out[name] = ok
+            if rejects_out is not None:
+                rejects_out[name] = bad
+    return out
 
 # ---------------------------------------------------------------------------
 # Holiday list (05_InitialLoading.sql:113-152): fixed national holidays
@@ -280,9 +324,14 @@ def load_fact_sales(sales_details: DataFrame, book_orders: DataFrame,
 
 
 def initial_load(spark: SparkSession, oltp: dict[str, DataFrame],
-                 as_of: dt.date) -> dict[str, DataFrame]:
+                 as_of: dt.date, validate_mode: str = "quarantine",
+                 rejects_out: dict[str, DataFrame] | None = None,
+                 ) -> dict[str, DataFrame]:
     """EP2 end-to-end: dims before facts (the only ordering constraint,
-    SURVEY.md §3)."""
+    SURVEY.md §3). CHECK rules are enforced at entry (``screen_oltp``)
+    so constraint-violating source rows are rejected, not loaded —
+    02_Trigger.sql:23,156,186-192 parity."""
+    oltp = screen_oltp(oltp, validate_mode, rejects_out)
     dim_date = build_dim_date(spark)
     dim_book = load_dim_book(oltp["book_titles"])
     dim_members = load_dim_members(oltp["members"], as_of)

@@ -26,7 +26,8 @@ from ...operators.merge import insert_not_exists, merge_upsert
 from ...operators.scd2 import scd2_apply
 from ...operators.surrogate import continue_surrogate_key
 from .etl import (load_dim_book, load_dim_members, load_dim_suppliers,
-                  load_fact_borrowing, load_fact_purchase, load_fact_sales)
+                  load_fact_borrowing, load_fact_purchase, load_fact_sales,
+                  screen_oltp)
 
 # ---------------------------------------------------------------------------
 # Dim deltas: Prod_Insert_{Member,Book,Supplier}_Dim
@@ -146,13 +147,19 @@ def cap_overdue_days(fact_borrowing: DataFrame, cap: int = 15) -> DataFrame:
 def subsequent_load(spark: SparkSession, dw: dict[str, DataFrame],
                     oltp: dict[str, DataFrame],
                     oltp_delta: dict[str, DataFrame],
-                    as_of: dt.date) -> dict[str, DataFrame]:
+                    as_of: dt.date, validate_mode: str = "quarantine",
+                    rejects_out: dict[str, DataFrame] | None = None,
+                    ) -> dict[str, DataFrame]:
     """EP3 end-to-end: dim inserts → SCD2 updates → fact MERGEs →
     retro-corrections, in the reference's order (:27-435).
 
     ``oltp`` is the full post-delta OLTP state (needed for fact-load
     joins to copies/titles); ``oltp_delta`` holds only the new rows.
+    The delta is screened against the CHECK rules at entry (same
+    rejection semantics as ``initial_load``; the full-state ``oltp``
+    passed alongside is assumed already-loaded, hence already clean).
     """
+    oltp_delta = screen_oltp(oltp_delta, validate_mode, rejects_out)
     out = dict(dw)
     if "book_titles" in oltp_delta:
         out["dim_book"] = insert_new_dim_books(out["dim_book"],

@@ -129,39 +129,56 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes",
 
 def start_foreach_batch_upsert(stream: DataFrame, target_path: str,
                                checkpoint_dir: str, keys: list[str],
-                               aggregate) -> "StreamingQuery":  # noqa: F821
+                               aggregate, n_buckets: int = 32,
+                               ) -> "StreamingQuery":  # noqa: F821
     """Continuously MERGE micro-batches into a parquet target.
 
     Each micro-batch is aggregated by ``aggregate(batch_df)`` and
     merged into ``target_path`` on ``keys`` with additive update
-    semantics delegated to the caller's aggregate (read-modify-write;
-    on Delta this is ``DeltaTable.merge`` and the read-back disappears).
-    Mirrors 07_SubsequentLoading.sql:331-355 where each run folds just
-    the new rows into the facts.
+    semantics delegated to the caller's aggregate. Mirrors
+    07_SubsequentLoading.sql:331-355 where each run folds just the new
+    rows into the facts.
+
+    Scale shape: the target is hash-partitioned on the merge key into
+    ``n_buckets`` directories (``part=N``), and a micro-batch rewrites
+    ONLY the partitions its delta touches — the read side prunes to
+    affected partitions and the write uses dynamic partition overwrite.
+    Work per batch is O(touched partitions), parallel across them,
+    never a single-task whole-target rewrite. On Delta/Iceberg the
+    read-merge-write collapses into a transactional keyed MERGE.
     """
+    part = F.pmod(F.xxhash64(*[F.col(k) for k in keys]),
+                  F.lit(n_buckets)).cast("int")
+
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        delta = aggregate(batch_df)
-        if os.path.isdir(target_path) and any(
-            f.endswith(".parquet") for f in os.listdir(target_path)
-        ):
-            current = spark.read.parquet(target_path)
+        delta = aggregate(batch_df).withColumn("part", part)
+        have_target = os.path.isdir(target_path) and any(
+            f.startswith("part=") or f.endswith(".parquet")
+            for f in os.listdir(target_path)
+        )
+        if have_target:
+            touched = [r["part"] for r in
+                       delta.select("part").distinct().collect()]
+            current = (spark.read.parquet(target_path)
+                       .filter(F.col("part").isin(touched))
+                       .select(delta.columns))
             merged = (
                 current.unionByName(delta)
-                .groupBy(keys)
+                .groupBy(*keys, "part")
                 .agg(*[F.sum(c).alias(c) for c in delta.columns
-                       if c not in keys])
+                       if c not in keys and c != "part"])
             )
         else:
             merged = delta
-        # Plain parquet has no transactional overwrite-in-place; stage
-        # then atomically rename. Delta/Iceberg make this a real MERGE.
-        tmp = target_path + f".tmp{batch_id}"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        bak = target_path + f".old{batch_id}"
-        if os.path.isdir(target_path):
-            os.rename(target_path, bak)
-        os.rename(tmp, target_path)
+        conf = spark.conf
+        prev = conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (merged.write.mode("overwrite").partitionBy("part")
+             .parquet(target_path))
+        finally:
+            conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return (
         stream.writeStream.foreachBatch(upsert)

@@ -15,6 +15,11 @@ TEST_SF = os.environ.get("TEST_SF", "0.001")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_TEST_DIR", f"/root/testdata/sf{TEST_SF}")
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: reference-scale end-to-end runs (scale=1.0)")
+
+
 @pytest.fixture(scope="session")
 def spark():
     spark = get_spark("tests", shuffle_partitions=8)

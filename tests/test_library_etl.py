@@ -96,6 +96,38 @@ def test_validate_rejects_bad_rows(spark):
     assert "ck_members_gender" in str(ei.value)
 
 
+def test_quarantine_null_predicate_passes_and_partitions_exactly(spark):
+    """Oracle CHECK three-valued logic: a NULL predicate PASSES, and
+    valid + rejected must be exactly the input (no rows lost when a
+    rule evaluates to NULL)."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.validate import (
+        quarantine,
+    )
+    df = spark.createDataFrame(
+        [(1, 10), (2, None), (3, -5)], "id long, qty int")
+    ok, bad = quarantine(df, [("qty_nonneg", "qty >= 0")])
+    assert {r.id for r in ok.collect()} == {1, 2}   # NULL passes
+    assert {r.id for r in bad.collect()} == {3}
+
+
+def test_initial_load_quarantines_violating_fixture(spark, oltp):
+    """A constraint-violating member must be rejected at the load entry
+    point — not silently loaded (02_Trigger.sql:186-192 parity)."""
+    bad_member = spark.createDataFrame(
+        [("M9999x", "Bad Row", "9", "b@x.com", "other", 200, "addr",
+          "dead", dt.date(2020, 1, 1), dt.date(2021, 1, 1))], S.MEMBERS)
+    tainted = dict(oltp)
+    tainted["members"] = oltp["members"].unionByName(bad_member)
+    rejects: dict = {}
+    dw = initial_load(spark, tainted, as_of=AS_OF, rejects_out=rejects)
+    loaded_ids = {r.memberId for r in
+                  dw["dim_members"].select("memberId").collect()}
+    assert "M9999x" not in loaded_ids
+    assert {r.memberId for r in rejects["members"].collect()} == {"M9999x"}
+    with pytest.raises(ConstraintError):
+        initial_load(spark, tainted, as_of=AS_OF, validate_mode="strict")
+
+
 # ---------------------------------------------------------------------------
 # ETL semantics (05_InitialLoading.sql)
 

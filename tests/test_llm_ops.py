@@ -25,17 +25,51 @@ def emb(spark, sf_dir):
 
 
 def test_minhash_lsh_recall_vs_exact(docs):
-    """Every exact-Jaccard pair ≥ 0.7 must be recovered by the
-    MinHash-LSH pipeline at threshold 0.7 (LSH banding at 64 hashes /
-    16 bands catches J≥0.7 pairs w.p. ≫ 99%); and LSH output must be a
-    subset of exact pairs ≥ threshold (verification step is exact)."""
+    """MinHash-LSH at threshold 0.5 must recover EXACTLY the all-pairs
+    exact-Jaccard set on this corpus: the verify step is exact (so no
+    false positives ever), and the min pair Jaccard here is ~0.86 →
+    per-pair band-miss probability < 1e-5. Equality (not just ≥0.9
+    recall) is the regression net: the round-1 transform-lambda bug
+    that collapsed all 64 hash functions into one position-dependent
+    hash still passed a 0.9-recall assertion."""
     exact = {(r.a, r.b) for r in
-             dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.7).collect()}
+             dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()}
     lsh = {(r.a, r.b) for r in
-           dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id", 0.7).collect()}
-    assert lsh <= exact            # no false positives (exact verify)
-    if exact:
-        assert len(lsh & exact) / len(exact) >= 0.9
+           dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id", 0.5).collect()}
+    assert lsh == exact
+
+
+def test_minhash_signature_positions_are_independent(spark):
+    """Each signature position must come from a DIFFERENT hash
+    function — near-dup docs whose shared shingles sit at different
+    positions must still agree on most positions (regression for the
+    two-arg transform lambda that passed the array index as the hash
+    seed)."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "a b c d e f g h i j")],
+        "doc_id long, text string")
+    sigs = {r.doc_id: r.signature for r in
+            dedup.minhash_signatures(df, "text", "doc_id").collect()}
+    assert len(set(sigs[1])) > 32          # 64 distinct hash functions
+    agree = sum(x == y for x, y in zip(sigs[1], sigs[2]))
+    assert agree >= 40                     # J = 6/7 → E[agree] ≈ 55
+
+
+def test_simhash32_banding_matches_brute_force(docs):
+    """The 4×8-bit band blocking must find EXACTLY the pairs a brute
+    all-pairs Hamming≤3 scan finds — completeness is guaranteed by
+    pigeonhole, so any diff is a blocking bug."""
+    from pyspark.sql import functions as F
+    sh = dedup.simhash32_md5(docs, "text", "doc_id")
+    a = sh.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sb"))
+    brute = (a.crossJoin(b).filter(F.col("a") < F.col("b"))
+             .select("a", "b", F.bit_count(
+                 F.col("sa").bitwiseXOR(F.col("sb"))).alias("hamming"))
+             .filter(F.col("hamming") <= 3))
+    banded = dedup.simhash32_near_dup_pairs(docs, "text", "doc_id", 3)
+    assert ({(r.a, r.b, r.hamming) for r in banded.collect()}
+            == {(r.a, r.b, r.hamming) for r in brute.collect()})
 
 
 def test_exact_dedup_keeps_one_per_text(docs):

@@ -89,6 +89,12 @@ def test_foreach_batch_upsert(spark, stream_dir, tmp_path):
                                       aggregate=per_batch_totals)
     q.awaitTermination()
 
+    # the sink must be key-partitioned and multi-file (no coalesce(1)
+    # whole-target rewrite)
+    import os
+    part_dirs = [f for f in os.listdir(target) if f.startswith("part=")]
+    assert len(part_dirs) > 1
+
     got = spark.read.parquet(target)
     expected = per_batch_totals(spark.read.parquet(stream_dir))
     got = got.select("user_id", "n_events",
