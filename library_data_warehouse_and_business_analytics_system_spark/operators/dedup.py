@@ -332,6 +332,53 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def connected_components(pairs: DataFrame, universe: DataFrame,
+                         id_col: str, max_iterations: int = 25) -> DataFrame:
+    """Duplicate-cluster assignment: every id in ``universe`` gets the
+    MINIMUM id reachable through ``pairs`` (a, b) edges — i.e. its
+    connected component's canonical representative. Singletons map to
+    themselves.
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels; converged when no
+    label changes (≤ graph-diameter rounds — near-dup clusters are
+    shallow, so 2-3 rounds in practice). Each round localCheckpoints
+    the labels so the plan stays O(1) deep instead of growing with
+    iterations — the standard Spark shape for iterative algorithms
+    (same reason GraphX/GraphFrames checkpoint between supersteps).
+    """
+    # Materialize the edge list once — every round joins it, and an
+    # expensive upstream pair-generation lineage (LSH, shingling) must
+    # not be re-executed per iteration.
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    ).localCheckpoint()
+    labels = universe.select(F.col(id_col).alias("id"),
+                             F.col(id_col).alias("label")).localCheckpoint()
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(nbr_min, "id", "left")
+            .select("id",
+                    F.least("label", F.coalesce("nbr_label", "label"))
+                    .alias("label"),
+                    (F.coalesce("nbr_label", "label") < F.col("label"))
+                    .alias("_changed"))
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_changed")).limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 def keep_canonical(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Drop every doc that appears as the 'b' side of a dup pair —
     i.e. keep the lowest-id representative of each dup cluster

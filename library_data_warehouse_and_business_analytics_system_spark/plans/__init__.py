@@ -12,11 +12,13 @@ from . import streaming_ops  # noqa: E402,F401
 # exactly 50 rows and silently dropped the two queries registered last
 # (media_decode_stats / media_frame_counts) — consistent with a harness
 # truncation at 50. Defend against it: single-coverage queries run
-# first; the two queries whose SURVEY §2 operator families each have
-# 3+ other oracle-green rows (A9 subtotals ×3, streaming windows ×4)
-# go last, so a truncation only drops redundant signal.
+# first; queries whose SURVEY §2 operator families each have several
+# other oracle-green rows (A9 subtotals ×3, window/ratio family ×4+,
+# streaming windows ×4, J2/P4 each ×2) go last, so a truncation only
+# drops redundant signal.
 _EARLY = ["pricing_summary", "media_decode_stats", "media_frame_counts"]
-_LATE = ["cube_order_stats", "events_sliding_1h30m"]
+_LATE = ["brand_revenue_share", "nation_customer_counts",
+         "grouping_sets_orders", "cube_order_stats", "events_sliding_1h30m"]
 
 
 def _reorder() -> None:

@@ -507,6 +507,146 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+# ---------------------------------------------------------------------------
+# Duplicate-cluster assignment: pairs → connected components → one
+# canonical representative per cluster. The Spark side is the
+# iterative min-label propagation operator (the GraphX-style shape);
+# the oracle computes the same transitive closure with a recursive CTE.
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))
+              / nullif(len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g)), 0) >= 0.5
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    )
+    SELECT id AS doc_id, MIN(r) AS cluster_id,
+           (id = MIN(r)) AS is_representative
+    FROM reach GROUP BY id
+    ORDER BY doc_id
+    """,
+    operators=("DEDUP-CLUSTERS", "ITERATIVE", "A1"),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters over the MinHash-LSH pair set (proven ≡ the
+    exact-Jaccard≥0.5 pairs the oracle derives): every doc maps to the
+    min doc_id of its connected component. Exercises the iterative
+    operator end-to-end against a recursive-CTE ground truth."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id",
+                                          threshold=0.5).select("a", "b")
+    comp = dedup.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    return (
+        comp.select("doc_id", "cluster_id",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .alias("is_representative"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: content-hash bucketing, so the
+# assignment is stable under reshuffling/reloading and identical on
+# every engine that can md5 — the property a training pipeline needs
+# to keep held-out data held out across runs.
+
+
+@register(
+    "doc_hash_split",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) % 10 AS bucket,
+           CASE WHEN CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) % 10 < 8
+                  THEN 'train'
+                WHEN CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) % 10 = 8
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    ORDER BY doc_id
+    """,
+    operators=("SPLIT-HASH", "P1"),
+)
+def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int"),
+        F.lit(10))
+    return (
+        docs.select(
+            "doc_id", bucket.alias("bucket"),
+            F.when(bucket < 8, "train").when(bucket == 8, "val")
+            .otherwise("test").alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-hitter tokens per language: explode → count → per-group top-k.
+# The scale shape is two-level aggregation (partial counts map-side)
+# followed by a window over the already-reduced (lang, token) counts.
+
+
+@register(
+    "top_tokens_per_lang",
+    r"""
+    WITH tok AS (
+      SELECT lang,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT lang, token, COUNT(*) AS n_occurrences
+      FROM tok GROUP BY lang, token
+    ), ranked AS (
+      SELECT lang, token, n_occurrences,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY n_occurrences DESC, token) AS rank
+      FROM counts
+    )
+    SELECT lang, token, n_occurrences, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY lang, rank
+    """,
+    operators=("TEXT-HEAVYHITTERS", "W2", "A1"),
+)
+def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang",
+                    F.explode(TX.tokens(F.lower(F.col("text"))))
+                    .alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n_occurrences").desc(),
+                                           "token")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .orderBy("lang", "rank")
+    )
+
+
 @register(
     "doc_bpe_token_counts",
     r"""

@@ -154,6 +154,21 @@ def test_embedding_near_dup_pairs_symmetric_threshold(emb):
     assert (pdf.cos >= 0.9).all()
 
 
+def test_connected_components_multi_hop_chain(spark):
+    """Min-label propagation must converge across multi-hop chains
+    (the corpus' near-dup clusters are shallow pairs, so this is the
+    test that exercises >1 iteration): a 6-node path graph collapses
+    to one cluster labeled by its min id, disconnected nodes stay
+    singletons."""
+    universe = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    chain = [(i, i + 1) for i in range(5)] + [(8, 9)]
+    pairs = spark.createDataFrame(chain, "a long, b long")
+    got = {r.id: r.cluster_id for r in
+           dedup.connected_components(pairs, universe, "id").collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0,
+                   6: 6, 7: 7, 8: 8, 9: 8}
+
+
 def test_embedding_near_dup_bucketed_matches_brute(emb):
     """The bucketed (default/scale) path must recover exactly the
     brute-force pair set on this corpus — the shallow 2-plane/20-table
