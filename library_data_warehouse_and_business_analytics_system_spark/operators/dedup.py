@@ -144,6 +144,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     )
 
 
+def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
+                               threshold: float = 0.8,
+                               shingle_n: int = 5) -> DataFrame:
+    """Exact all-pairs Jaccard ≥ τ via PREFIX FILTERING (the
+    AllPairs/ppjoin family, Bayardo et al. WWW'07 / Xiao et al.
+    WWW'08): sort every document's shingle set in one global canonical
+    order (document frequency ascending, then hash), index only the
+    first ``|d| − ⌈τ·|d|⌉ + 1`` shingles per document — any pair with
+    J ≥ τ provably shares an indexed prefix shingle — then verify
+    candidates with the exact intersection. Same output as the naive
+    inverted-index join (``ngram_jaccard_pairs``), but the candidate
+    space excludes pairs that only share frequent shingles, which is
+    what blows up the naive join on templated corpora. All shuffle
+    keys are longs; the only per-doc state is the sorted hash array."""
+    sh = df.select(F.col(id_col).alias("id"),
+                   F.array_distinct(
+                       shingle_hashes(F.col(text_col), shingle_n))
+                   .alias("sh"))
+    tok = sh.select("id", F.explode("sh").alias("h"))
+    freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    # canonical rare-first order per doc, then cut the prefix
+    ordered = (
+        tok.join(freq, "h")
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "h"))).alias("arr"))
+        .select(
+            "id",
+            F.transform("arr", lambda s: s.h).alias("sorted_sh"),
+            F.size("arr").alias("n"))
+        .select(
+            "id", "sorted_sh", "n",
+            F.slice("sorted_sh", 1,
+                    (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
+                    .cast("int")).alias("prefix"))
+    )
+    inv = ordered.select("id", F.explode("prefix").alias("h"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    cands = (
+        a.join(b, "h")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    sets = ordered.select("id", "sorted_sh", "n")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cands.join(sets.select(F.col("id").alias("a"),
+                               F.col("sorted_sh").alias("sh_a"),
+                               F.col("n").alias("na")), "a")
+        .join(sets.select(F.col("id").alias("b"),
+                          F.col("sorted_sh").alias("sh_b"),
+                          F.col("n").alias("nb")), "b")
+        .select("a", "b",
+                (inter / F.nullif(union, F.lit(0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 

@@ -74,22 +74,34 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     cosine ≈ 0.36 → θ ≈ 69°) selectivity has to be bought with
     candidates, hence the shallower 6-plane/8-table default. Callers
     with real embedding clusters should raise n_planes."""
-    cand_frames = []
-    for t in range(n_tables):
-        cb = random_hyperplane_buckets(corpus, vec_col, dim, n_planes,
-                                       seed + 1000 * t)
-        qb = random_hyperplane_buckets(queries, vec_col, dim, n_planes,
-                                       seed + 1000 * t)
-        cand_frames.append(
-            F.broadcast(qb.select(F.col(id_col).alias("query_id"),
-                                  F.col(vec_col).alias("qv"), "bucket"))
-            .join(cb.select(F.col(id_col).alias("neighbor_id"),
-                            F.col(vec_col).alias("cv"), "bucket"), "bucket")
-            .drop("bucket")
-        )
-    cands = cand_frames[0]
-    for f in cand_frames[1:]:
-        cands = cands.unionByName(f)
+    # All n_tables bucket assignments are computed in ONE projection and
+    # exploded to (table, bucket) rows, so candidate generation is a
+    # single equi-join on (table, bucket) instead of n_tables separate
+    # join+union branches (one shuffle-free broadcast join; far smaller
+    # plan). Same candidate set by construction.
+    def hashed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
+            bucket = F.lit(0).cast("long")
+            for i, p in enumerate(planes):
+                plane = F.array(*[F.lit(x) for x in p])
+                bit = F.when(dot(F.col(vec_col), plane) >= 0,
+                             F.shiftleft(F.lit(1).cast("long"), i)) \
+                    .otherwise(F.lit(0))
+                bucket = bucket.bitwiseXOR(bit)
+            tables.append(F.struct(F.lit(t).alias("table"),
+                                   bucket.alias("bucket")))
+        return df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec),
+            F.explode(F.array(*tables)).alias("tb"),
+        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+
+    cands = (
+        F.broadcast(hashed(queries, "query_id", "qv"))
+        .join(hashed(corpus, "neighbor_id", "cv"), ["table", "bucket"])
+        .drop("table", "bucket")
+    )
     scored = (
         cands.filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -468,9 +468,14 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("DEDUP-NGRAM-JACCARD", "J1", "A1"),
 )
 def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard≥0.5 pairs via prefix filtering (rare-first
+    canonical order, AllPairs-style) — identical output to the naive
+    inverted-index join, pytest-asserted, but the candidate space
+    stays bounded on templated corpora where frequent shingles make
+    the naive join quadratic."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
-                                     threshold=0.5).orderBy("a", "b")
+    return dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id",
+                                            threshold=0.5).orderBy("a", "b")
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,18 @@ def test_embedding_near_dup_pairs_symmetric_threshold(emb):
     assert (pdf.cos >= 0.9).all()
 
 
+def test_prefix_filtered_jaccard_equals_naive(docs):
+    """The prefix-filtered exact join must produce EXACTLY the naive
+    inverted-index join's pairs (prefix filtering is a lossless
+    candidate bound, not an approximation)."""
+    naive = {(r.a, r.b, r.jaccard) for r in
+             dedup.ngram_jaccard_pairs(docs, "text", "doc_id", 0.5).collect()}
+    pref = {(r.a, r.b, r.jaccard) for r in
+            dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id",
+                                             0.5).collect()}
+    assert pref == naive
+
+
 def test_connected_components_multi_hop_chain(spark):
     """Min-label propagation must converge across multi-hop chains
     (the corpus' near-dup clusters are shallow pairs, so this is the
