@@ -17,8 +17,12 @@ from . import streaming_ops  # noqa: E402,F401
 # streaming windows ×4, J2/P4 each ×2) go last, so a truncation only
 # drops redundant signal.
 _EARLY = ["pricing_summary", "media_decode_stats", "media_frame_counts"]
-_LATE = ["brand_revenue_share", "nation_customer_counts",
-         "grouping_sets_orders", "cube_order_stats", "events_sliding_1h30m"]
+_LATE = ["quarterly_pivot",             # A2 also via events_funnel + LQY tests
+         "suppliers_of_large_shipments",  # J4 also via nation_set_ops
+         "brand_revenue_share",         # W3 via market_share, P5 via param_filter
+         "nation_customer_counts",      # J2 via date_spine, P4 via acctbal
+         "grouping_sets_orders", "cube_order_stats",  # A9 via rollup
+         "events_sliding_1h30m"]        # windows family ×4
 
 
 def _reorder() -> None:

@@ -652,6 +652,52 @@ def top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-source token budget: keep documents (in a deterministic order)
+# until each source's running token count exceeds the budget — the
+# standard way a training mix caps any one source's contribution.
+# Scale shape: one shuffle on source, a running-sum window over the
+# already-tokenized counts; the window is sequential per source, so a
+# skewed source bounds the stage — acceptable because the output of
+# interest is exactly per-source.
+
+
+@register(
+    "source_token_budget",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+      FROM documents
+    ), running AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM toks
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens,
+           cum_tokens <= 2000 AS kept
+    FROM running
+    ORDER BY doc_id
+    """,
+    operators=("SAMPLE-TOKEN-BUDGET", "W1", "A1"),
+)
+def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       TX.token_count(F.col("text")).alias("n_tokens"))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        toks.withColumn("cum_tokens",
+                        F.sum("n_tokens").over(w).cast("bigint"))
+        .withColumn("kept", F.col("cum_tokens") <= 2000)
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "doc_bpe_token_counts",
     r"""

@@ -151,3 +151,56 @@ def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("view_value_before"))
         .orderBy("event_id")
     )
+
+
+@register(
+    "events_funnel",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(ts) FILTER (event_type = 'view') AS first_view,
+             MIN(ts) FILTER (event_type = 'click') AS first_click,
+             MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT user_id,
+           CASE WHEN first_view IS NULL THEN 'none'
+                WHEN first_click > first_view THEN
+                  CASE WHEN first_purchase > first_click THEN 'purchase'
+                       ELSE 'click' END
+                ELSE 'view' END AS funnel_stage
+    FROM per_user
+    ORDER BY user_id
+    """,
+    operators=("A2", "EVENTS-FUNNEL"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase) per user via ONE
+    conditional-min aggregate over the event stream — no self-joins,
+    no windows: the 100 TB shape is a single shuffle on user_id with
+    map-side partial mins. Stage semantics: a later stage counts only
+    if its first occurrence is strictly after the previous stage's
+    first occurrence (NULL comparisons fall through, identical
+    three-valued logic in both engines)."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+
+    def first_ts(kind: str):
+        return F.min(F.when(F.col("event_type") == kind, F.col("ts")))
+
+    per_user = events.groupBy("user_id").agg(
+        first_ts("view").alias("first_view"),
+        first_ts("click").alias("first_click"),
+        first_ts("purchase").alias("first_purchase"))
+    return (
+        per_user.select(
+            "user_id",
+            F.when(F.col("first_view").isNull(), "none")
+            .when(F.col("first_click") > F.col("first_view"),
+                  F.when(F.col("first_purchase") > F.col("first_click"),
+                         "purchase").otherwise("click"))
+            .otherwise("view").alias("funnel_stage"))
+        .orderBy("user_id")
+    )

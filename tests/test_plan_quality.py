@@ -68,6 +68,8 @@ def test_scans_prune_columns(plans):
         "revenue_by_nation": ("l_extendedprice", "l_shipdate"),
         "suppliers_of_large_shipments": ("l_suppkey", "l_tax"),
         "dedup_exact": ("text", "lang"),
+        "doc_hash_split": ("text", "lang"),
+        "top_tokens_per_lang": ("text", "n_chars"),
     }
     for name, (need, prune) in cases.items():
         scans = [ln for ln in plans[name].splitlines() if "ReadSchema" in ln]
@@ -80,7 +82,8 @@ def test_aggregates_have_partial_phase(plans):
     """Hash aggregates must plan map-side partial aggregation (two
     HashAggregate levels) — the thing that keeps groupBy shuffles
     proportional to groups, not rows."""
-    for name in ("pricing_summary", "revenue_by_nation", "dedup_exact"):
+    for name in ("pricing_summary", "revenue_by_nation", "dedup_exact",
+                 "top_tokens_per_lang"):
         p = plans[name]
         assert p.count("HashAggregate") >= 2, name
 
