@@ -25,10 +25,18 @@ from library_data_warehouse_and_business_analytics_system_spark.session import g
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Wall-clock budget: the JSON line must be printed even under an
+    # external timeout, so once the budget is spent the remaining
+    # NON-headline work is skipped (headliners always run — they are
+    # the cross-round comparable).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    t_begin = time.perf_counter()
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
     specs = list(QUERIES.values())
+    # Headliners first so a budget cut only ever drops breadth entries.
+    specs.sort(key=lambda s: not s.bench)
 
     # Warm the JVM + parquet footers via the headline subset (the same
     # warm-up round 1 used, keeping the headline total comparable);
@@ -40,7 +48,11 @@ def main() -> None:
             spec.fn(spark, sf_dir).limit(1).collect()
 
     timings: dict[str, float] = {}
+    skipped: list[str] = []
     for spec in specs:
+        if not spec.bench and time.perf_counter() - t_begin > budget:
+            skipped.append(spec.name)
+            continue
         start = time.perf_counter()
         spec.fn(spark, sf_dir).collect()
         timings[spec.name] = round(time.perf_counter() - start, 4)
@@ -52,6 +64,8 @@ def main() -> None:
     # Guarded: a failure here must not cost the registry bench line.
     extra: dict[str, float] = {}
     try:
+        if time.perf_counter() - t_begin > budget * 0.75:
+            raise TimeoutError("bench budget spent before library section")
         from library_data_warehouse_and_business_analytics_system_spark.generators.library_data import (  # noqa: E501
             AS_OF, generate,
         )
@@ -81,6 +95,7 @@ def main() -> None:
                                   if not k.endswith("_error")}},
         "all_queries_total": round(sum(timings.values()), 4),
         "n_queries": len(timings),
+        "skipped": skipped,
         "sf": float(sf),
     }))
 

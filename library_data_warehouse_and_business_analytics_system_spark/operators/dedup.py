@@ -370,10 +370,15 @@ def embedding_near_dup_pairs_bucketed(
     # 16 bytes per candidate instead of 2×dim doubles (measured 8×
     # faster at 2k vectors; at corpus scale it is the difference
     # between shuffling ids and shuffling the embedding table).
+    # Materialize the (id, table, bucket) assignment once: the frame is
+    # tiny (n_tables rows per vector, three scalar columns), but its
+    # projection carries n_tables × n_planes × dim literal multiplies —
+    # without the checkpoint the self-join would compile and execute
+    # that expression tree twice.
     hashed = df.select(
         F.col(id_col),
         F.explode(F.array(*tables)).alias("tb"),
-    ).select(id_col, "tb.table", "tb.bucket")
+    ).select(id_col, "tb.table", "tb.bucket").localCheckpoint()
     a = hashed.alias("a")
     b = hashed.alias("b")
     cand_ids = (

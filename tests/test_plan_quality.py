@@ -83,7 +83,7 @@ def test_aggregates_have_partial_phase(plans):
     HashAggregate levels) — the thing that keeps groupBy shuffles
     proportional to groups, not rows."""
     for name in ("pricing_summary", "revenue_by_nation", "dedup_exact",
-                 "top_tokens_per_lang"):
+                 "top_tokens_per_lang", "events_funnel"):
         p = plans[name]
         assert p.count("HashAggregate") >= 2, name
 
