@@ -456,3 +456,75 @@ def order_quantity_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scale-operator gates: the skew/sketch operators (operators/skew.py,
+# HLL approx-distinct) differentially proven at the driver gate — the
+# oracle computes the plain/exact answer, so a hash-green row proves
+# the scale path loses nothing.
+
+
+@register(
+    "salted_event_type_counts",
+    """
+    SELECT event_type,
+           COUNT(*) AS count_events,
+           CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    operators=("SKEW-SALTED-AGG", "A1"),
+)
+def salted_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (partial agg on (key, salt), final
+    refold on key — operators/skew.salted_agg) vs the plain GROUP BY
+    oracle: the salted plan must be bit-identical, proving the explicit
+    skew-spreading path is lossless. Decimal sums keep the refold
+    order-independent."""
+    from ..operators.skew import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev.select("event_type", "value"), ["event_type"],
+        {"count_events": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast("decimal(20,6)"))},
+        n_salts=8)
+    return (
+        out.select("event_type",
+                   F.col("count_events").cast("long").alias("count_events"),
+                   F.col("sum_value").cast("double").alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "approx_distinct_check",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_exact,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    operators=("A3-APPROX", "SKETCH-HLL"),
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approx_count_distinct (rsd=0.02) bounded against the exact
+    COUNT(DISTINCT): the gate row asserts the sketch lands within 5%
+    per group (HLL is deterministic for fixed data, so this is a hard
+    gate, not a flaky one). The sketch tier is what a 100 TB distinct
+    count uses — fixed-size state instead of a distinct shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("n_approx"))
+    return (
+        per.select(
+            "o_orderstatus", "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact"))
+             <= 0.05 * F.col("n_exact")).alias("within_5pct"))
+        .orderBy("o_orderstatus")
+    )
