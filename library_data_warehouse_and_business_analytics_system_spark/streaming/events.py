@@ -122,6 +122,22 @@ def session_window_stats(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def dedup_events_within_watermark(events: DataFrame,
+                                  watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once ingest dedup on event_id.
+
+    Streaming: ``dropDuplicatesWithinWatermark`` — dedup state is
+    keyed by event_id and EVICTED once the watermark passes, so state
+    is bounded by the duplicate-arrival window instead of growing with
+    the stream (plain ``dropDuplicates`` on a stream never evicts).
+    The at-least-once source + this operator = exactly-once rows, the
+    standard Kafka-ingest shape. Batch twin: plain dropDuplicates."""
+    if events.isStreaming:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(["event_id"]))
+    return events.dropDuplicates(["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # foreachBatch incremental upsert — the Structured Streaming analogue of
 # the reference's MERGE-based subsequent loading.

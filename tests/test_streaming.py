@@ -74,6 +74,40 @@ def test_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path, agg_fn):
                                   check_dtype=False)
 
 
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """An at-least-once feed (a whole micro-batch redelivered) must
+    come out exactly-once: the watermarked stream dedup's output ==
+    batch distinct over the duplicated input."""
+    import os
+    import time
+
+    src = str(tmp_path / "dup_src")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props")
+    first = events.orderBy("ts", "event_id").limit(200)
+    base = time.time()
+    seen: set[str] = set()
+    # batch 1: first 200 events; batch 2: the SAME 200 redelivered;
+    # batch 3: the rest of the table.
+    for k, chunk in enumerate(
+            [first, first,
+             events.join(first.select("event_id"), "event_id", "left_anti")],
+            start=1):
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        fresh = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(os.path.join(src, f), (base + k * 10, base + k * 10))
+
+    stream = SE.events_file_stream(spark, src)
+    got = _drain(spark, SE.dedup_events_within_watermark(
+        stream, watermark="365 days"), "mem_dedup", tmp_path, mode="append")
+    expected = SE.dedup_events_within_watermark(spark.read.parquet(src))
+    assert got.count() == events.count()
+    pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected),
+                                  check_dtype=False)
+
+
 def test_foreach_batch_upsert(spark, stream_dir, tmp_path):
     """Micro-batch MERGE accumulation == one-shot batch aggregate."""
     target = str(tmp_path / "user_totals")
