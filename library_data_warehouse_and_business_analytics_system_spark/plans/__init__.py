@@ -17,7 +17,9 @@ from . import streaming_ops  # noqa: E402,F401
 # streaming windows ×4, J2/P4 each ×2) go last, so a truncation only
 # drops redundant signal.
 _EARLY = ["pricing_summary", "media_decode_stats", "media_frame_counts"]
-_LATE = ["quarterly_pivot",             # A2 also via events_funnel + LQY tests
+_LATE = ["order_size_distribution",     # A3 via approx_distinct_check, A5 via reports
+         "acctbal_banding",             # P4 via math_function_surface
+         "quarterly_pivot",             # A2 also via events_funnel + LQY tests
          "suppliers_of_large_shipments",  # J4 also via nation_set_ops
          "brand_revenue_share",         # W3 via market_share, P5 via param_filter
          "nation_customer_counts",      # J2 via date_spine, P4 via acctbal

@@ -528,3 +528,51 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 0.05 * F.col("n_exact")).alias("within_5pct"))
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 regexp surface — the reference's REGEXP_SUBSTR / REGEXP_COUNT /
+# REGEXP_REPLACE usages (LQY_query2.txt:16-19,59-62; 02_InsertMembers.sql:6,34)
+# re-expressed with Spark's regexp_* functions and oracle-checked. RE2-safe
+# pattern subset only (char classes, quantifiers, anchors) so the Java and
+# DuckDB regex engines agree.
+
+
+@register(
+    "regexp_function_surface",
+    r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, '[0-9]+', 0) AS name_digits,
+           CAST(len(regexp_extract_all(c_mktsegment, '[AEIOU]+')) AS INTEGER)
+             AS vowel_runs,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           CASE WHEN regexp_matches(c_mktsegment, '^(AUTO|MACH).*')
+                THEN 1 ELSE 0 END AS has_keyword,
+           regexp_extract(c_name, '([A-Za-z]+)#([0-9]+)', 2) AS name_part2
+    FROM customer
+    WHERE c_custkey % 10 = 0
+    ORDER BY c_custkey
+    """,
+    operators=("F-REGEXP", "P1"),
+)
+def regexp_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract (first match / capture group), match counting,
+    global replace, and boolean match — the Oracle REGEXP_SUBSTR /
+    REGEXP_COUNT / REGEXP_REPLACE / REGEXP_LIKE quartet
+    (LQY_query2.txt:16-19, 02_InsertMembers.sql:6,34) on Spark."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"[0-9]+", 0).alias("name_digits"),
+            F.size(F.regexp_extract_all("c_mktsegment", F.lit(r"[AEIOU]+"),
+                                        0)).cast("int").alias("vowel_runs"),
+            F.regexp_replace("c_name", r"[0-9]", "#").alias("name_masked"),
+            F.when(F.col("c_mktsegment").rlike(r"^(AUTO|MACH).*"), 1)
+            .otherwise(0).alias("has_keyword"),
+            F.regexp_extract("c_name", r"([A-Za-z]+)#([0-9]+)", 2)
+            .alias("name_part2"),
+        )
+        .orderBy("c_custkey")
+    )
