@@ -138,3 +138,19 @@ def test_insert_not_exists_is_idempotent(spark):
     # re-applying adds nothing (07_SubsequentLoading.sql idempotency)
     again = insert_not_exists(out, source, ["k"]).toPandas()
     assert len(again) == 2
+
+
+def test_merge_upsert_with_null_keys(spark):
+    """A legitimately-NULL merge key must not be misread as
+    'unmatched' noise: NULL keys never match each other (SQL MERGE
+    semantics), so a NULL-key target row survives untouched and a
+    NULL-key source row inserts — regression for the presence-marker
+    fix (match was previously inferred from keys[0] null-ness)."""
+    target = spark.createDataFrame(
+        [(None, 1.0), ("K1", 2.0)], "k string, v double")
+    source = spark.createDataFrame(
+        [(None, 9.0), ("K1", 5.0)], "k string, v double")
+    out = merge_upsert(target, source, ["k"]).toPandas()
+    by_v = sorted(out.v.tolist())
+    assert by_v == [1.0, 5.0, 9.0]      # NULL-target kept, K1 updated,
+    assert len(out) == 3                # NULL-source inserted
