@@ -181,6 +181,46 @@ def test_connected_components_multi_hop_chain(spark):
                    6: 6, 7: 7, 8: 8, 9: 8}
 
 
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized differential: Spark min-label propagation vs a
+    pure-Python union-find on seeded random graphs (varying density,
+    including isolated nodes and multi-edges)."""
+    import random
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        n = 60
+        edges = [(rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randrange(10, 80))]
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # canonical min-id per component
+        expected = {}
+        for i in range(n):
+            root = find(i)
+            expected.setdefault(root, min(
+                j for j in range(n) if find(j) == root))
+        want = {i: expected[find(i)] for i in range(n)}
+
+        universe = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        pairs = spark.createDataFrame(edges or [(0, 0)], "a long, b long")
+        got = {r.id: r.cluster_id for r in
+               dedup.connected_components(pairs, universe, "id").collect()}
+        assert got == want, f"seed {seed}"
+
+
 def test_embedding_near_dup_bucketed_matches_brute(emb):
     """The bucketed (default/scale) path must recover exactly the
     brute-force pair set on this corpus — the shallow 2-plane/20-table
