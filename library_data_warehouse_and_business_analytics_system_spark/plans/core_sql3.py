@@ -576,3 +576,37 @@ def regexp_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "approx_quantile_check",
+    """
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           quantile_cont(l_extendedprice, 0.5) AS p50_exact,
+           TRUE AS within_1pct
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    operators=("A-PERCENTILE-APPROX", "SKETCH-QUANTILE"),
+)
+def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate median bounded against the exact
+    percentile: per group, percentile_approx (accuracy 10000 → ~1e-4
+    rank error) must land within 1% of the exact interpolated median.
+    The sketch tier is the 100 TB path — fixed-size mergeable state
+    per group instead of a full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("p50_exact"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50_approx"))
+    return (
+        per.select(
+            "l_returnflag", "n_rows",
+            F.col("p50_exact").cast("double").alias("p50_exact"),
+            (F.abs(F.col("p50_approx") - F.col("p50_exact"))
+             <= 0.01 * F.col("p50_exact")).alias("within_1pct"))
+        .orderBy("l_returnflag")
+    )
