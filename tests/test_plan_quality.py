@@ -17,10 +17,10 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 #: cartesian (or broadcast nested loop) stage is the intended shape.
 CARTESIAN_OK = {
     "cosine_topk",          # query × corpus scoring
-    "lsh_ann_topk", "ivf_ann_topk",
-    # embedding_near_dups deliberately NOT listed: its default path is
-    # LSH-bucketed (equi-join on (table, bucket)) — a cartesian there
-    # is a regression.
+    "ivf_ann_topk",         # embeds the brute tier as its recall oracle
+    # lsh_ann_topk and embedding_near_dups deliberately NOT listed:
+    # their default paths are bucket equi-joins — a cartesian there is
+    # a regression.
     "region_status_universe",  # cross-join universe + zero-fill (J5)
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "events_sliding_1h30m",
@@ -86,6 +86,19 @@ def test_aggregates_have_partial_phase(plans):
                  "top_tokens_per_lang", "events_funnel"):
         p = plans[name]
         assert p.count("HashAggregate") >= 2, name
+
+
+def test_registry_gate_ordering():
+    """The driver's correctness gate truncated at 50 rows in round 1
+    (the last-registered queries silently got no row). plans/__init__
+    pins the order: media queries early, family-redundant queries last
+    — keep that invariant when registering new queries."""
+    names = list(QUERIES)
+    assert names.index("media_decode_stats") <= 2
+    assert names.index("media_frame_counts") <= 2
+    redundant_tail = {"grouping_sets_orders", "cube_order_stats",
+                      "events_sliding_1h30m"}
+    assert redundant_tail <= set(names[-9:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
