@@ -2,10 +2,15 @@
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 
-The headline subset (QuerySpec.bench) keeps its own stable total —
-``value`` stays comparable across rounds — while ``queries`` carries
-per-query wall times for the full surface so per-query regressions
-are visible round over round.
+Robustness contract (round-4 hardening):
+- A failing query NEVER kills the run: each call (warm-up and timed)
+  is guarded; failures land in an ``errors`` map and everything else
+  still gets timed and reported.  (Round 3's bench produced no JSON
+  at all because one query raised during warm-up.)
+- The stdout JSON line is kept SMALL — headline timings only — so a
+  tail-limited capture can't clip it (round 2's full 61-entry dict
+  overflowed the capture window).  The complete per-query dict is
+  written to ``BENCH_FULL.json`` next to this file.
 """
 
 from __future__ import annotations
@@ -14,6 +19,7 @@ import json
 import os
 import sys
 import time
+import traceback
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
@@ -38,6 +44,8 @@ def main() -> None:
     # Headliners first so a budget cut only ever drops breadth entries.
     specs.sort(key=lambda s: not s.bench)
 
+    errors: dict[str, str] = {}
+
     # Warm the JVM + parquet footers via the headline subset (the same
     # warm-up round 1 used, keeping the headline total comparable);
     # the rest of the registry is then timed single-run on the warm
@@ -45,7 +53,10 @@ def main() -> None:
     # wall time for no extra signal.
     for spec in specs:
         if spec.bench:
-            spec.fn(spark, sf_dir).limit(1).collect()
+            try:
+                spec.fn(spark, sf_dir).limit(1).collect()
+            except Exception:
+                errors[spec.name] = traceback.format_exc(limit=2)[-400:]
 
     timings: dict[str, float] = {}
     skipped: list[str] = []
@@ -54,14 +65,23 @@ def main() -> None:
             skipped.append(spec.name)
             continue
         start = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        try:
+            spec.fn(spark, sf_dir).collect()
+        except Exception:
+            errors.setdefault(spec.name,
+                              traceback.format_exc(limit=2)[-400:])
+            continue
         timings[spec.name] = round(time.perf_counter() - start, 4)
 
     headline = round(sum(t for n, t in timings.items() if QUERIES[n].bench), 4)
 
     # Library-domain reports (LQY1-3) at the reference's designed
     # volumes (scale=1.0: 7.5k members / 200k borrows — BASELINE.md).
-    # Guarded: a failure here must not cost the registry bench line.
+    # Timer is SPLIT: `library_generate` is driver-side Python fixture
+    # synthesis (not Spark), `library_etl` is the actual initial-load
+    # plan build + materialization — the cross-round comparable for
+    # EP2 (05_InitialLoading.sql end-to-end).  Guarded: a failure here
+    # must not cost the registry bench line.
     extra: dict[str, float] = {}
     try:
         if time.perf_counter() - t_begin > budget * 0.75:
@@ -73,31 +93,59 @@ def main() -> None:
             initial_load, query1, query2, query3,
         )
         start = time.perf_counter()
-        oltp = generate(seed=42, scale=1.0).to_spark(spark)
+        raw = generate(seed=42, scale=1.0)
+        extra["library_generate"] = round(time.perf_counter() - start, 4)
+        start = time.perf_counter()
+        oltp = raw.to_spark(spark)
         dw = initial_load(spark, oltp, as_of=AS_OF)
         dw = {k: v.cache() for k, v in dw.items()}
         for df in dw.values():
             df.count()          # materialize the warehouse once
-        extra["library_initial_load"] = round(time.perf_counter() - start, 4)
+        extra["library_etl"] = round(time.perf_counter() - start, 4)
+        # Back-compat total (rounds 1-2 reported the combined number).
+        extra["library_initial_load"] = round(
+            extra["library_generate"] + extra["library_etl"], 4)
         for name, q in [("lqy_query1", query1), ("lqy_query2", query2),
                         ("lqy_query3", query3)]:
             start = time.perf_counter()
             q(dw, 2019, 2024).collect()
             extra[name] = round(time.perf_counter() - start, 4)
     except Exception as exc:  # pragma: no cover - defensive
-        extra["library_bench_error"] = str(exc)[:200]
+        errors["library_section"] = str(exc)[:200]
 
+    all_timings = {**timings, **extra}
+    full = {
+        "metric": "headline_queries_total",
+        "value": headline,
+        "unit": "sec",
+        "queries": all_timings,
+        "all_queries_total": round(sum(timings.values()), 4),
+        "n_queries": len(timings),
+        "skipped": skipped,
+        "errors": errors,
+        "sf": float(sf),
+    }
+    try:
+        out = Path(__file__).resolve().parent / "BENCH_FULL.json"
+        out.write_text(json.dumps(full, indent=1))
+    except OSError:
+        pass
+
+    # Slim stdout line: headline queries + library section only, so a
+    # tail-limited capture always sees the complete JSON object.
+    slim_queries = {n: t for n, t in all_timings.items()
+                    if n in extra or (n in QUERIES and QUERIES[n].bench)}
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": headline,
         "unit": "sec",
-        "queries": {**timings, **{k: v for k, v in extra.items()
-                                  if not k.endswith("_error")}},
-        "all_queries_total": round(sum(timings.values()), 4),
+        "queries": slim_queries,
+        "all_queries_total": full["all_queries_total"],
         "n_queries": len(timings),
-        "skipped": skipped,
+        "n_skipped": len(skipped),
+        "n_errors": len(errors),
         "sf": float(sf),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -409,11 +409,13 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    # timestamp→double keeps sub-second precision (unix_timestamp would
-    # truncate to seconds and disagree with the oracle's interval math).
+    # Microsecond diff keeps sub-second precision and works for both
+    # TIMESTAMP and TIMESTAMP_NTZ inputs (parquet without isAdjustedToUTC
+    # reads as NTZ, which cannot be cast to DOUBLE).
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("double") - prev_ts.cast("double") > 1800.0),
+        | (F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
+           > F.lit(1_800_000_000)),
         1,
     ).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
