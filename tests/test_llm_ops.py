@@ -133,6 +133,47 @@ def test_lsh_ann_on_clustered_vectors(spark):
     assert len(a & e) / len(e) >= 0.9
 
 
+def test_lsh_auto_selects_brute_below_crossover(emb):
+    """Below the measured brute/LSH crossover the auto path must be
+    EXACTLY the brute-force scan (bit-identical output): at 500-2000
+    vectors any bucketed plan is pure overhead (11.4 s vs 1.1 s
+    measured at sf0.1), so the crossover is the perf fix, not a
+    shortcut."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    auto = similarity.lsh_topk_auto(emb, queries, "embedding", "vec_id",
+                                    dim=64, k=10)
+    brute = similarity.brute_force_topk(emb, queries, "embedding",
+                                        "vec_id", k=10)
+    assert sorted(map(tuple, auto.collect())) == \
+        sorted(map(tuple, brute.collect()))
+
+
+def test_lsh_path_is_equijoin(emb):
+    """The forced LSH path (brute_below=0) must plan pure equi-joins —
+    bucket join + id join-back — never a cartesian / nested-loop stage,
+    and must not carry vectors through the bucket explosion."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    df = similarity.lsh_topk_auto(emb, queries, "embedding", "vec_id",
+                                  dim=64, k=10, brute_below=0,
+                                  n_planes=2, n_tables=24)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_candidate_cap_bounds_rerank(emb):
+    """max_candidates must bind BEFORE the exact re-rank: with a cap of
+    3 the operator can return at most 3 neighbors per query even though
+    k=10 — proof the per-query exact-cosine work is O(max_candidates),
+    the bound the 100 TB path relies on when buckets skew."""
+    queries = emb.filter(F.col("vec_id") < 8)
+    df = similarity.lsh_topk(emb, queries, "embedding", "vec_id",
+                             dim=64, k=10, n_planes=2, n_tables=24,
+                             max_candidates=3)
+    counts = df.groupBy("query_id").count().collect()
+    assert counts and all(r["count"] <= 3 for r in counts)
+
+
 def test_ivf_ann_recall_vs_brute_force(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, queries, "embedding", "vec_id", 10)

@@ -18,9 +18,12 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 CARTESIAN_OK = {
     "cosine_topk",          # query × corpus scoring
     "ivf_ann_topk",         # embeds the brute tier as its recall oracle
-    # lsh_ann_topk and embedding_near_dups deliberately NOT listed:
-    # their default paths are bucket equi-joins — a cartesian there is
-    # a regression.
+    "lsh_ann_topk",         # lsh_topk_auto: below the measured crossover
+                            # the brute scan IS the right plan; the LSH
+                            # equi-join path is plan-checked separately
+                            # in test_llm_ops.test_lsh_path_is_equijoin
+    # embedding_near_dups deliberately NOT listed: its default path is
+    # a bucket equi-join — a cartesian there is a regression.
     "region_status_universe",  # cross-join universe + zero-fill (J5)
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "events_sliding_1h30m",
