@@ -157,7 +157,18 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     inverted-index join (``ngram_jaccard_pairs``), but the candidate
     space excludes pairs that only share frequent shingles, which is
     what blows up the naive join on templated corpora. All shuffle
-    keys are longs; the only per-doc state is the sorted hash array."""
+    keys are longs; the only per-doc state is the sorted hash array.
+
+    On top of the prefix filter, candidates pass the ppjoin LENGTH and
+    POSITIONAL filters (Xiao et al. WWW'08 §3) before the exact-verify
+    join moves any shingle arrays: J ≥ τ forces τ·|a| ≤ |b| ≤ |a|/τ,
+    and a match on prefix token at (1-based) positions (pa, pb) bounds
+    the overlap by 1 + min(|a|−pa, |b|−pb), which must reach
+    α = ⌈τ/(1+τ)·(|a|+|b|)⌉. Both are lossless (a true pair's
+    FIRST shared prefix token always satisfies them), so the output is
+    unchanged — only the verify set shrinks. Boundary arithmetic
+    subtracts 1e-9 before the ceil/compare so a float rounding error
+    can only ADMIT a candidate, never drop a true pair."""
     sh = df.select(F.col(id_col).alias("id"),
                    F.array_distinct(
                        shingle_hashes(F.col(text_col), shingle_n))
@@ -179,12 +190,25 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
                     (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1)
                     .cast("int")).alias("prefix"))
     )
-    inv = ordered.select("id", F.explode("prefix").alias("h"))
+    inv = ordered.select(
+        "id", F.col("n"),
+        F.posexplode("prefix").alias("pos0", "h"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("p"), "h")
     a = inv.alias("a")
     b = inv.alias("b")
+    overlap_ub = F.lit(1) + F.least(F.col("a.n") - F.col("a.p"),
+                                    F.col("b.n") - F.col("b.p"))
+    alpha = F.ceil(F.lit(threshold / (1.0 + threshold))
+                   * (F.col("a.n") + F.col("b.n")) - F.lit(1e-9))
     cands = (
         a.join(b, "h")
         .filter(F.col("a.id") < F.col("b.id"))
+        # length filter: τ·|a| ≤ |b| and τ·|b| ≤ |a|
+        .filter((F.col("b.n") >= F.lit(threshold) * F.col("a.n") - F.lit(1e-9))
+                & (F.col("a.n") >= F.lit(threshold) * F.col("b.n")
+                   - F.lit(1e-9)))
+        # positional filter: this match must still allow overlap ≥ α
+        .filter(overlap_ub >= alpha)
         .select(F.col("a.id").alias("a"), F.col("b.id").alias("b"))
         .dropDuplicates(["a", "b"])
     )
@@ -327,6 +351,58 @@ def embedding_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
+def embedding_lsh_candidates(
+        df: DataFrame, vec_col: str, id_col: str, dim: int = 64,
+        n_planes: int = 2, n_tables: int = 20,
+        seed: int = 42) -> DataFrame:
+    """LSH candidate pairs (a < b) for the bucketed near-dup path:
+    ids sharing a random-hyperplane bucket in ANY of ``n_tables``
+    tables. Exposed separately so the candidate-set size — the thing
+    that decides whether the plan survives a 100× scale-up — can be
+    asserted directly in tests.
+
+    Candidate generation and dedup run on (id, id) pairs ONLY — the
+    vectors are joined back by the caller, so the dedup shuffle moves
+    16 bytes per candidate instead of 2×dim doubles (measured 8×
+    faster at 2k vectors; at corpus scale it is the difference
+    between shuffling ids and shuffling the embedding table).
+    The (id, table, bucket) assignment is materialized once: the frame
+    is tiny (n_tables rows per vector, three scalar columns), but its
+    projection carries n_tables × n_planes × dim literal multiplies —
+    without the checkpoint the self-join would compile and execute
+    that expression tree twice."""
+    from ..functions.vectors import dot
+    from .similarity import _seeded_planes
+
+    def plane_col(p: list[float]):
+        return F.array(*[F.lit(x) for x in p])
+
+    tables = []
+    for t in range(n_tables):
+        planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
+        bucket = F.lit(0)
+        for i, p in enumerate(planes):
+            bit = F.when(dot(F.col(vec_col), plane_col(p)) >= 0,
+                         F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+            bucket = bucket.bitwiseXOR(bit)
+        tables.append(F.struct(F.lit(t).alias("table"),
+                               bucket.alias("bucket")))
+
+    hashed = df.select(
+        F.col(id_col),
+        F.explode(F.array(*tables)).alias("tb"),
+    ).select(id_col, "tb.table", "tb.bucket").localCheckpoint()
+    a = hashed.alias("a")
+    b = hashed.alias("b")
+    return (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("a"),
+                F.col(f"b.{id_col}").alias("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def embedding_near_dup_pairs_bucketed(
         df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
         dim: int = 64, n_planes: int = 2, n_tables: int = 20,
@@ -348,46 +424,11 @@ def embedding_near_dup_pairs_bucketed(
     The shuffle key is (table, bucket) — 12 bytes — and the verify
     join moves vectors only for co-bucketed pairs. All expressions are
     JVM-side HOF arithmetic (no UDFs)."""
-    from ..functions.vectors import cosine, dot
-    from .similarity import _seeded_planes
+    from ..functions.vectors import cosine
 
-    def plane_col(p: list[float]):
-        return F.array(*[F.lit(x) for x in p])
-
-    tables = []
-    for t in range(n_tables):
-        planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
-        bucket = F.lit(0)
-        for i, p in enumerate(planes):
-            bit = F.when(dot(F.col(vec_col), plane_col(p)) >= 0,
-                         F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
-            bucket = bucket.bitwiseXOR(bit)
-        tables.append(F.struct(F.lit(t).alias("table"),
-                               bucket.alias("bucket")))
-
-    # Candidate generation and dedup run on (id, id) pairs ONLY — the
-    # vectors are joined back afterwards, so the dedup shuffle moves
-    # 16 bytes per candidate instead of 2×dim doubles (measured 8×
-    # faster at 2k vectors; at corpus scale it is the difference
-    # between shuffling ids and shuffling the embedding table).
-    # Materialize the (id, table, bucket) assignment once: the frame is
-    # tiny (n_tables rows per vector, three scalar columns), but its
-    # projection carries n_tables × n_planes × dim literal multiplies —
-    # without the checkpoint the self-join would compile and execute
-    # that expression tree twice.
-    hashed = df.select(
-        F.col(id_col),
-        F.explode(F.array(*tables)).alias("tb"),
-    ).select(id_col, "tb.table", "tb.bucket").localCheckpoint()
-    a = hashed.alias("a")
-    b = hashed.alias("b")
-    cand_ids = (
-        a.join(b, ["table", "bucket"])
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("a"),
-                F.col(f"b.{id_col}").alias("b"))
-        .dropDuplicates(["a", "b"])
-    )
+    cand_ids = embedding_lsh_candidates(df, vec_col, id_col, dim=dim,
+                                        n_planes=n_planes,
+                                        n_tables=n_tables, seed=seed)
     va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
     return (

@@ -1,12 +1,14 @@
-"""Batch MERGE (upsert) emulation over plain DataFrames.
+"""Batch MERGE (upsert) over plain DataFrames, Delta-native when available.
 
 The reference's incremental loads are Oracle MERGE statements
 (07_SubsequentLoading.sql:331-355,407-431; 08_InsertFines.sql:46-61).
-On Delta Lake this is ``DeltaTable.merge``; this container has no
-Delta, so we provide the same semantics as a pure DataFrame transform:
-the caller overwrites the target with the result. The plan is a single
-full-outer-shuffle join on the merge keys — the same physical shape
-Delta's merge executes.
+On Delta Lake this is ``DeltaTable.merge`` — ``merge_upsert_delta``
+provides that path behind a try-import (delta-spark is not installed
+in this container, so the import gate selects the emulation here; the
+unit test pins that selection). The emulation gives the same semantics
+as a pure DataFrame transform: the caller overwrites the target with
+the result. The plan is a single full-outer-shuffle join on the merge
+keys — the same physical shape Delta's merge executes.
 """
 
 from __future__ import annotations
@@ -15,6 +17,13 @@ from collections.abc import Mapping
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+try:  # pragma: no cover - container has no delta-spark
+    from delta.tables import DeltaTable
+    HAS_DELTA = True
+except ImportError:
+    DeltaTable = None
+    HAS_DELTA = False
 
 
 def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
@@ -48,6 +57,36 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
         else:
             out_cols.append(F.col(f"t.{c}").alias(c))
     return joined.select(*out_cols)
+
+
+def merge_upsert_delta(spark, target_path: str, source: DataFrame,
+                       keys: list[str],
+                       update_cols: list[str] | None = None,
+                       condition: str | None = None) -> None:
+    """Delta-native MERGE (07_SubsequentLoading.sql:331-355): WHEN
+    MATCHED THEN UPDATE / WHEN NOT MATCHED THEN INSERT, executed
+    in-place against the Delta table at ``target_path`` — no
+    read-modify-overwrite cycle, ACID, and file-level skipping on the
+    merge keys. Requires delta-spark; in environments without it
+    (this container) callers use ``merge_upsert`` + overwrite, which
+    is semantically identical (pytest test_scd2_merge differentials).
+
+    ``condition`` is a SQL string over ``t``/``s`` aliases guarding
+    the update branch, mirroring ``merge_upsert``'s Column guard."""
+    if not HAS_DELTA:
+        raise RuntimeError(
+            "delta-spark is not installed; use merge_upsert() and "
+            "overwrite the target instead")
+    tgt = DeltaTable.forPath(spark, target_path)
+    update_cols = update_cols or [
+        c for c in tgt.toDF().columns if c not in keys]
+    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    builder = (tgt.alias("t").merge(source.alias("s"), on)
+               .whenMatchedUpdate(
+                   condition=condition,
+                   set={c: f"s.{c}" for c in update_cols})
+               .whenNotMatchedInsertAll())
+    builder.execute()
 
 
 def insert_not_exists(target: DataFrame, source: DataFrame,

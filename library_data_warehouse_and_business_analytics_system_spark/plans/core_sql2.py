@@ -140,6 +140,39 @@ def surrogate_keys_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fact_surrogate_keys_audit",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_keys,
+           CAST(100001 AS BIGINT) AS min_key,
+           CAST(100000 + COUNT(*) AS BIGINT) AS max_key
+    FROM lineitem
+    """,
+    operators=("S8",),
+)
+def fact_surrogate_keys_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FACT-scale surrogate path (`operators/surrogate.py:38-74`,
+    reproducing `05_InitialLoading.sql:68-71` sequence semantics at
+    fact grain): partition-local row_number + cumulative partition
+    offsets — no global single-partition window, the shape the 100×
+    design depends on. The gate is layout-independent: the oracle
+    states the invariants (distinct keys == rows, min == 100001,
+    max == 100000 + n — together: unique AND contiguous AND correctly
+    based), and the Spark side measures them on the actually-assigned
+    keys over lineitem, the largest fixture table."""
+    from ..operators.surrogate import with_fact_surrogate_key
+
+    li = load_table(spark, sf_dir, "lineitem")
+    keyed = with_fact_surrogate_key(li, "lineitem_sk")
+    return keyed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("lineitem_sk").alias("n_distinct_keys"),
+        F.min("lineitem_sk").alias("min_key"),
+        F.max("lineitem_sk").alias("max_key"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.8 strings — the reference's string surface: UPPER/TRIM/LPAD/
 # SUBSTR/REPLACE/concat/split+element_at (address parsing E3).

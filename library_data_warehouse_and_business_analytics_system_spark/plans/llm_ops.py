@@ -514,6 +514,45 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a", "b")
 
 
+@register(
+    "embedding_near_dups_strict",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS a, b.vec_id AS b,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / nullif(sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')}),
+                        0) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT a, b, cos FROM pairs
+    WHERE cos >= 0.9
+    ORDER BY a, b
+    """,
+    operators=("DEDUP-EMBEDDING",),
+)
+def embedding_near_dups_strict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-representative near-dup configuration: τ=0.9 with
+    deep 12-plane / 4-table hashing — the selective regime an actual
+    100 TB dedup pass runs in (per-table collision for τ=0.9 pairs is
+    (1−θ/π)^12 with θ≈26°, and UNRELATED vectors co-bucket with
+    probability ≈ 2^-12 per table, so candidates stay ≈ linear in n
+    instead of the n²/16 the shallow low-τ config produces; the
+    candidate bound is pytest-asserted in
+    tests/test_llm_ops.py::test_strict_lsh_candidate_set_subquadratic,
+    recall on genuinely clustered vectors in
+    test_strict_lsh_recall_on_clustered_vectors). The oracle is the
+    all-pairs ground truth at the same τ, so a green row proves the
+    bucketed plan emits exactly the true pair set (empty on this
+    near-orthogonal corpus — max pair cosine ≈ 0.6 — which is itself
+    the precision assertion: no spurious pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_near_dup_pairs_bucketed(
+        emb, "embedding", "vec_id", threshold=0.9, dim=64,
+        n_planes=12, n_tables=4,
+    ).orderBy("a", "b")
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster assignment: pairs → connected components → one
 # canonical representative per cluster. The Spark side is the

@@ -187,6 +187,47 @@ def test_ivf_ann_recall_vs_brute_force(emb):
     assert recall >= 0.25, f"IVF recall@10 too low: {recall:.2f}"
 
 
+def test_strict_lsh_candidate_set_subquadratic(emb):
+    """The 12-plane/4-table strict config must generate a candidate
+    set ≈ linear in n, NOT a constant fraction of n² (the round-2
+    verdict's 100×-scale liability in the shallow 2-plane config).
+    Unrelated vectors co-bucket with probability ≈ 2^-12 per table, so
+    expected candidates ≈ 4·C(n,2)/4096 ≈ n²/2048 — assert an order of
+    magnitude of headroom below the n²/16 the shallow config yields."""
+    n = emb.count()
+    cands = dedup.embedding_lsh_candidates(
+        emb, "embedding", "vec_id", dim=64, n_planes=12, n_tables=4)
+    n_cands = cands.count()
+    all_pairs = n * (n - 1) / 2
+    assert n_cands < all_pairs / 100, (
+        f"strict LSH candidates not subquadratic: {n_cands} of "
+        f"{all_pairs:.0f} pairs")
+
+
+def test_strict_lsh_recall_on_clustered_vectors(spark):
+    """On vectors that DO contain τ≥0.9 pairs (tight clusters), the
+    strict 12-plane/4-table path must recover the full all-pairs
+    ground truth — proof the empty gate result on the near-orthogonal
+    corpus reflects the data, not dropped recall."""
+    import random
+    rng = random.Random(11)
+    rows = []
+    for c in range(40):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(5):
+            rows.append((c * 5 + j,
+                         [x + rng.gauss(0, 0.03) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = dedup.embedding_near_dup_pairs(df, "embedding", "vec_id", 0.9)
+    bucketed = dedup.embedding_near_dup_pairs_bucketed(
+        df, "embedding", "vec_id", threshold=0.9, dim=64,
+        n_planes=12, n_tables=4)
+    e = {(r.a, r.b) for r in exact.collect()}
+    b = {(r.a, r.b) for r in bucketed.collect()}
+    assert e, "fixture must contain true τ≥0.9 pairs"
+    assert b == e, f"strict LSH lost {len(e - b)} of {len(e)} true pairs"
+
+
 def test_embedding_near_dup_pairs_symmetric_threshold(emb):
     sample = emb.filter(F.col("vec_id") < 100)
     pairs = dedup.embedding_near_dup_pairs(sample, "embedding", "vec_id", 0.9)

@@ -99,9 +99,14 @@ def test_registry_gate_ordering():
     names = list(QUERIES)
     assert names.index("media_decode_stats") <= 2
     assert names.index("media_frame_counts") <= 2
+    # fresh-signal queries must sit inside the 50-row window
+    for must_gate in ("events_funnel", "events_sessionize",
+                      "embedding_near_dups_strict",
+                      "fact_surrogate_keys_audit"):
+        assert names.index(must_gate) < 50, must_gate
     redundant_tail = {"grouping_sets_orders", "cube_order_stats",
                       "events_sliding_1h30m"}
-    assert redundant_tail <= set(names[-9:])
+    assert redundant_tail <= set(names[-13:])
 
 
 def test_broadcast_joins_for_dimensions(plans):

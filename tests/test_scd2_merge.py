@@ -154,3 +154,16 @@ def test_merge_upsert_with_null_keys(spark):
     by_v = sorted(out.v.tolist())
     assert by_v == [1.0, 5.0, 9.0]      # NULL-target kept, K1 updated,
     assert len(out) == 3                # NULL-source inserted
+
+
+def test_delta_merge_path_gated_by_import(spark, tmp_path):
+    """The Delta-native MERGE path must be selected ONLY when
+    delta-spark is importable: in this container it is not, so
+    HAS_DELTA is False and merge_upsert_delta refuses with a clear
+    pointer at the emulation (which the differentials above verify)."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators import merge as m
+
+    assert m.HAS_DELTA is False
+    src = spark.createDataFrame([("K1", 1.0)], "k string, v double")
+    with pytest.raises(RuntimeError, match="delta-spark is not installed"):
+        m.merge_upsert_delta(spark, str(tmp_path), src, ["k"])
