@@ -438,6 +438,25 @@ def embedding_near_dup_pairs_bucketed(
     )
 
 
+def embedding_near_dup_pairs_auto(
+        df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+        dim: int = 64, n_planes: int = 2, n_tables: int = 20,
+        seed: int = 42, brute_below: int = 100_000) -> DataFrame:
+    """Near-dup pairs with the brute/bucketed crossover applied (same
+    rationale as ``similarity.lsh_topk_auto``): below ``brute_below``
+    corpus rows the exact all-pairs join is strictly cheaper than
+    bucketed candidate generation — at low τ the shallow buckets admit
+    nearly every pair anyway, so the LSH pass just prepends two joins
+    and a dedup to the same exact-cosine work. Above the crossover the
+    bucketed equi-join path is mandatory (all-pairs is O(n²) rows).
+    Both tiers produce the identical exact pair set."""
+    if df.count() <= brute_below:
+        return embedding_near_dup_pairs(df, vec_col, id_col, threshold)
+    return embedding_near_dup_pairs_bucketed(
+        df, vec_col, id_col, threshold, dim=dim, n_planes=n_planes,
+        n_tables=n_tables, seed=seed)
+
+
 def connected_components(pairs: DataFrame, universe: DataFrame,
                          id_col: str, max_iterations: int = 25) -> DataFrame:
     """Duplicate-cluster assignment: every id in ``universe`` gets the

@@ -508,8 +508,16 @@ def ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators=("DEDUP-EMBEDDING", "J5"),
 )
 def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Low-τ breadth query with the brute/bucketed crossover applied:
+    at τ=0.4 the shallow 2-plane buckets admit nearly every pair, so
+    below ~10^5 vectors the bucketed pass only prepends joins + dedup
+    to the same exact-cosine work (31.5 s bucketed vs ~3 s brute at
+    sf0.1) — `embedding_near_dup_pairs_auto` selects the exact
+    all-pairs join there and the bucketed equi-join above. The
+    bucketed path's plan shape and recall stay pinned by
+    test_embedding_bucketed_* and the strict gate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_near_dup_pairs_bucketed(
+    return dedup.embedding_near_dup_pairs_auto(
         emb, "embedding", "vec_id", threshold=0.4, dim=64,
     ).orderBy("a", "b")
 

@@ -228,6 +228,33 @@ def test_strict_lsh_recall_on_clustered_vectors(spark):
     assert b == e, f"strict LSH lost {len(e - b)} of {len(e)} true pairs"
 
 
+def test_embedding_auto_crossover_equals_brute(emb):
+    """Below the crossover the auto near-dup path must be bit-identical
+    to the exact all-pairs join (it IS that join), and forcing the
+    bucketed tier (brute_below=0) must give the same pair set — the
+    two tiers are interchangeable on output, differing only in plan."""
+    sample = emb.filter(F.col("vec_id") < 200)
+    auto = dedup.embedding_near_dup_pairs_auto(
+        sample, "embedding", "vec_id", 0.4)
+    brute = dedup.embedding_near_dup_pairs(sample, "embedding", "vec_id", 0.4)
+    forced = dedup.embedding_near_dup_pairs_auto(
+        sample, "embedding", "vec_id", 0.4, brute_below=0)
+    b = {(r.a, r.b) for r in brute.collect()}
+    assert {(r.a, r.b) for r in auto.collect()} == b
+    assert {(r.a, r.b) for r in forced.collect()} == b
+
+
+def test_embedding_bucketed_is_equijoin(emb):
+    """The bucketed tier must plan bucket equi-joins — never a
+    cartesian / broadcast nested loop (the contract CARTESIAN_OK now
+    exempts the registered auto query, so pin the scale path here)."""
+    df = dedup.embedding_near_dup_pairs_bucketed(
+        emb, "embedding", "vec_id", 0.4, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embedding_near_dup_pairs_symmetric_threshold(emb):
     sample = emb.filter(F.col("vec_id") < 100)
     pairs = dedup.embedding_near_dup_pairs(sample, "embedding", "vec_id", 0.9)

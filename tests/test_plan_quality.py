@@ -22,8 +22,12 @@ CARTESIAN_OK = {
                             # the brute scan IS the right plan; the LSH
                             # equi-join path is plan-checked separately
                             # in test_llm_ops.test_lsh_path_is_equijoin
-    # embedding_near_dups deliberately NOT listed: its default path is
-    # a bucket equi-join — a cartesian there is a regression.
+    "embedding_near_dups",  # auto crossover: all-pairs IS the right plan
+                            # below ~1e5 vectors; the bucketed equi-join
+                            # path is plan-checked by
+                            # test_llm_ops.test_embedding_bucketed_is_equijoin
+    # embedding_near_dups_strict deliberately NOT listed: it always
+    # runs the bucketed path — a cartesian there is a regression.
     "region_status_universe",  # cross-join universe + zero-fill (J5)
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "events_sliding_1h30m",
