@@ -35,6 +35,17 @@ def cosine(a: Column, b: Column) -> Column:
         F.sqrt(l2_norm_sq(a)) * F.sqrt(l2_norm_sq(b)), F.lit(0.0))
 
 
+def cosine_from_norms(dot_ab: Column, norm_sq_a: Column,
+                      norm_sq_b: Column) -> Column:
+    """Cosine when each side's norm² was precomputed per ROW upstream
+    of the pair join — bit-identical to ``cosine()`` (sqrt of the same
+    double, same multiply order) but the pair-scoring expression makes
+    ONE array pass (the dot) instead of three. At n² pair counts this
+    is the difference between 1 and 3 full HOF evaluations per pair."""
+    return dot_ab / F.nullif(
+        F.sqrt(norm_sq_a) * F.sqrt(norm_sq_b), F.lit(0.0))
+
+
 def scale(a: Column, s: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double") * s)
 

@@ -301,6 +301,7 @@ def generate(seed: int = 42, scale: float = 0.02) -> LibraryData:  # noqa: C901
             unpaid_pool.append(fines[-1])
     # link ~60% of fines to payments, ≤2 per payment (08_InsertFines.sql)
     rng.shuffle(unpaid_pool)
+    member_of_borrow = {b[0]: b[1] for b in borrows}
     i = 0
     while i < int(len(unpaid_pool) * 0.6):
         take = unpaid_pool[i:i + rng.randrange(1, 3)]
@@ -308,7 +309,7 @@ def generate(seed: int = 42, scale: float = 0.02) -> LibraryData:  # noqa: C901
         pay_id = _fmt("P", pay_n, 6)
         pay_amt = round(sum(f[4] for f in take), 2)
         pay_date = max(f[5] for f in take)
-        m_id = next(b[1] for b in borrows if b[0] == take[0][1])
+        m_id = member_of_borrow[take[0][1]]
         payments.append((pay_id, m_id, pay_date, pay_amt,
                          rng.choice(["Tng", "Cash", "Duitnow"]), "Fines",
                          _fmt("R", pay_n, 8)))

@@ -15,7 +15,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
 
 
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
@@ -24,15 +24,21 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
 
     Broadcast the (small) query side against the corpus — one scan of
     the corpus regardless of query count; per-query top-k via
-    window ranking."""
+    window ranking. Norm² is computed once per row on each side before
+    the product (float-identical to the per-pair expression, one array
+    pass per scored pair instead of three)."""
     q = F.broadcast(queries.select(F.col(id_col).alias("query_id"),
-                                   F.col(vec_col).alias("qv")))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+                                   F.col(vec_col).alias("qv"),
+                                   l2_norm_sq(F.col(vec_col)).alias("nq")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      l2_norm_sq(F.col(vec_col)).alias("nc"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos"))
+                cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                                  F.col("nq"), F.col("nc")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -116,15 +122,18 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
                  .filter(F.col("_crank") <= max_candidates)
                  .drop("_crank"))
     qv = queries.select(F.col(id_col).alias("query_id"),
-                        F.col(vec_col).alias("qv"))
+                        F.col(vec_col).alias("qv"),
+                        l2_norm_sq(F.col(vec_col)).alias("nq"))
     cv = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("cv"))
+                       F.col(vec_col).alias("cv"),
+                       l2_norm_sq(F.col(vec_col)).alias("nc"))
     scored = (
         pairs.drop("n_collisions")
         .join(cv, "neighbor_id")
         .join(F.broadcast(qv), "query_id")
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos"))
+                cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                                  F.col("nq"), F.col("nc")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -180,9 +189,11 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
 
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
+        l2_norm_sq(F.col(vec_col)).alias("nc"),
         F.element_at(cell_of(F.col(vec_col), 1), 1).cell.alias("cell"))
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm_sq(F.col(vec_col)).alias("nq"),
         F.explode(F.transform(cell_of(F.col(vec_col), n_probe),
                               lambda s: s.cell)).alias("cell"))
     scored = (
@@ -190,7 +201,8 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id",
-                cosine(F.col("qv"), F.col("cv")).alias("cos"))
+                cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                                  F.col("nq"), F.col("nc")).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
