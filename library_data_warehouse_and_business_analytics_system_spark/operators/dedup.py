@@ -93,6 +93,12 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
                             bands: int = 16, shingle_n: int = 5) -> DataFrame:
     """Candidates from LSH, verified with EXACT shingle Jaccard — the
     standard verify-after-bucket pipeline. Output: (a, b, jaccard)."""
+    # Both frames feed two plan branches each (a/b sides of the band
+    # join and the verify join) — deliberately NOT checkpointed:
+    # Catalyst's ReusedExchange already shares the identical shuffle
+    # subplans across branches, and an eager localCheckpoint here
+    # materializes with the parquet scan's 1-2 partitions, serializing
+    # the verify join (measured: clusters query 6 s → 190 s).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
     sh = df.select(F.col(id_col),
@@ -176,6 +182,12 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     tok = sh.select("id", F.explode("sh").alias("h"))
     freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # canonical rare-first order per doc, then cut the prefix
+    # The ordered frame feeds four branches of the final plan (a/b
+    # sides of the inverted-index join and the verify join) but is NOT
+    # checkpointed: ReusedExchange shares the sort-pipeline shuffle
+    # across the branches, and eager materialization would pin the
+    # scan's low partition count onto the joins (see the MinHash note
+    # above — the same change regressed the clusters query 30×).
     ordered = (
         tok.join(freq, "h")
         .groupBy("id")
