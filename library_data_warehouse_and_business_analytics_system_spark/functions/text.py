@@ -89,17 +89,37 @@ def quality_score(text: Column) -> Column:
     return (len_ok + mtl_ok + sw_ok) / F.lit(3.0)
 
 
+def shingles_from_tokens(tok: Column, n: int = 5) -> Column:
+    """Word n-gram shingle strings (space-joined) over a PRE-COMPUTED
+    token array column.
+
+    ``tok`` must be a column REFERENCE (materialized by an upstream
+    projection), not an inline ``tokens(text)`` expression: interpreted
+    higher-order-function lambdas re-evaluate any subtree embedded in
+    the lambda body once per element, so an inlined regex split runs
+    ~|shingles| times per row (measured 6× slower at 5k docs)."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+
+
 def shingles(text: Column, n: int = 5) -> Column:
-    """Word n-gram shingle strings (space-joined)."""
-    t = tokens(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(t, i, n), " "))
+    """Word n-gram shingle strings (space-joined). Prefer
+    ``shingles_from_tokens`` over a materialized token column in hot
+    paths — see its docstring."""
+    return shingles_from_tokens(tokens(text), n)
+
+
+def shingle_hashes_from_tokens(tok: Column, n: int = 5) -> Column:
+    """Distinct 64-bit shingle hashes (xxhash64) over a pre-computed
+    token array column (same evaluation-order caveat as
+    ``shingles_from_tokens``)."""
+    return F.array_distinct(
+        F.transform(shingles_from_tokens(tok, n), lambda s: F.xxhash64(s)))
 
 
 def shingle_hashes(text: Column, n: int = 5) -> Column:
     """Distinct 64-bit shingle hashes (xxhash64)."""
-    return F.array_distinct(
-        F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
+    return shingle_hashes_from_tokens(tokens(text), n)
 
 
 def doc_fingerprint(text: Column, k: int = 8) -> Column:

@@ -15,7 +15,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import shingle_hashes
+from ..functions.text import shingle_hashes_from_tokens, tokens
+
+
+def _shingle_sets(df: DataFrame, text_col: str, id_col: str,
+                  shingle_n: int, out_id: str | None = None) -> DataFrame:
+    """(id, sh) per document with tokenization MATERIALIZED behind a
+    projection boundary before shingling: interpreted higher-order
+    lambdas re-evaluate any subtree embedded in the lambda body once
+    per element, so an inlined regex split runs ~|shingles| times per
+    row (measured 6× slower at 5k docs — see
+    functions/text.shingles_from_tokens). CollapseProject keeps the
+    boundary because the token column is referenced more than once."""
+    out = out_id or id_col
+    return (
+        df.select(F.col(id_col).alias(out),
+                  tokens(F.col(text_col)).alias("_toks"))
+        .select(out,
+                shingle_hashes_from_tokens(F.col("_toks"), shingle_n)
+                .alias("sh"))
+    )
+
 
 # ---------------------------------------------------------------------------
 # exact
@@ -47,10 +67,8 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     Catalyst inline the tokenization into every one of the k copies:
     measured 20× slower at 5k docs, and the re-evaluation grows with
     document size, so it's also the wrong 100 TB shape."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingle_hashes(F.col(text_col),
-                                                  shingle_n))).alias("_h"))
+    sh = _shingle_sets(df, text_col, id_col, shingle_n) \
+        .select(F.col(id_col), F.explode("sh").alias("_h"))
     agg = sh.groupBy(id_col).agg(*[
         F.min(F.xxhash64("_h", F.lit(i))).alias(f"_m{i}")
         for i in range(num_hashes)
@@ -101,8 +119,7 @@ def minhash_lsh_dedup_pairs(df: DataFrame, text_col: str, id_col: str,
     # the verify join (measured: clusters query 6 s → 190 s).
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
     cands = lsh_candidate_pairs(sigs, id_col, bands)
-    sh = df.select(F.col(id_col),
-                   shingle_hashes(F.col(text_col), shingle_n).alias("sh"))
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
     pairs = (
         cands.join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
@@ -125,8 +142,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     """All-pairs exact Jaccard via inverted index on shingle hashes:
     explode → self-join on shingle → count intersections → filter.
     Shuffles (shingle_hash, doc_id) longs only."""
-    sh = df.select(F.col(id_col),
-                   shingle_hashes(F.col(text_col), shingle_n).alias("sh"))
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
     sizes = sh.select(id_col, F.size("sh").alias("n_sh"))
     inv = sh.select(id_col, F.explode("sh").alias("h"))
     a = inv.alias("a")
@@ -175,10 +191,7 @@ def ngram_jaccard_pairs_prefix(df: DataFrame, text_col: str, id_col: str,
     unchanged — only the verify set shrinks. Boundary arithmetic
     subtracts 1e-9 before the ceil/compare so a float rounding error
     can only ADMIT a candidate, never drop a true pair."""
-    sh = df.select(F.col(id_col).alias("id"),
-                   F.array_distinct(
-                       shingle_hashes(F.col(text_col), shingle_n))
-                   .alias("sh"))
+    sh = _shingle_sets(df, text_col, id_col, shingle_n, out_id="id")
     tok = sh.select("id", F.explode("sh").alias("h"))
     freq = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     # canonical rare-first order per doc, then cut the prefix
