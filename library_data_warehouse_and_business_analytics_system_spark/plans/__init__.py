@@ -22,7 +22,8 @@ _EARLY = ["pricing_summary", "media_decode_stats", "media_frame_counts",
           "events_funnel",               # the one never-gated query
           "events_sessionize",           # r03 err (TIMESTAMP_NTZ), refixed
           "embedding_near_dups_strict",  # new round 4
-          "fact_surrogate_keys_audit"]   # new round 4
+          "fact_surrogate_keys_audit",   # new round 4
+          "events_asof_purchase_view"]   # new round 4 (as-of join)
 _LATE = ["order_size_distribution",     # A3 via approx_distinct_check, A5 via reports
          "acctbal_banding",             # P4 via math_function_surface
          "quarterly_pivot",             # A2 also via events_funnel + LQY tests
@@ -35,7 +36,8 @@ _LATE = ["order_size_distribution",     # A3 via approx_distinct_check, A5 via r
          "regexp_function_surface",     # strings via string_function_surface
          "date_function_surface",       # dates via date_spine_daily_orders
          "order_quantity_arrays",       # A7 via nation_list_per_region
-         "daily_order_window_frames"]   # frames via yoy/market_share/topN
+         "daily_order_window_frames",   # frames via yoy/market_share/topN
+         "order_price_percentiles"]     # percentiles via approx_quantile_check
 
 
 def _reorder() -> None:

@@ -204,3 +204,54 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("view").alias("funnel_stage"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_asof_purchase_view",
+    """
+    WITH v AS (
+      SELECT user_id, ts, MAX(event_id) AS view_event_id
+      FROM events WHERE event_type = 'view'
+      GROUP BY user_id, ts
+    ), p AS (
+      SELECT event_id AS purchase_event_id, user_id, ts
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_event_id,
+           p.user_id,
+           v.view_event_id,
+           CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS gap_us
+    FROM p ASOF LEFT JOIN v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY purchase_event_id
+    """,
+    operators=("ASOF-JOIN", "W1", "J2"),
+)
+def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup: every purchase joined to the user's most
+    recent prior-or-same-instant view (`operators/asof.py`,
+    sort-merge/carry-forward formulation — one shuffle on user_id,
+    linear in rows, versus the exploding non-equi range join). The
+    oracle is DuckDB's NATIVE ASOF JOIN on tie-deduped views, so a
+    green row certifies the operator against a reference as-of
+    implementation, including unmatched-left NULL semantics."""
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join_backward
+
+    events = load_table(spark, sf_dir, "events")
+    views = (events.filter(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.max("event_id").alias("view_event_id")))
+    purchases = (events.filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_event_id"),
+                         "user_id", "ts"))
+    joined = asof_join_backward(purchases, views, on="user_id",
+                                ts_col="ts", payload_cols=["view_event_id"])
+    return (
+        joined.select(
+            "purchase_event_id", "user_id", "view_event_id",
+            F.timestamp_diff("MICROSECOND", F.col("ts_matched"),
+                             F.col("ts")).cast("long").alias("gap_us"))
+        .orderBy("purchase_event_id")
+    )

@@ -106,11 +106,12 @@ def test_registry_gate_ordering():
     # fresh-signal queries must sit inside the 50-row window
     for must_gate in ("events_funnel", "events_sessionize",
                       "embedding_near_dups_strict",
-                      "fact_surrogate_keys_audit"):
+                      "fact_surrogate_keys_audit",
+                      "events_asof_purchase_view"):
         assert names.index(must_gate) < 50, must_gate
     redundant_tail = {"grouping_sets_orders", "cube_order_stats",
                       "events_sliding_1h30m"}
-    assert redundant_tail <= set(names[-13:])
+    assert redundant_tail <= set(names[-14:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
