@@ -76,10 +76,19 @@ class LibraryData:
     tables: dict[str, list[tuple]] = field(default_factory=dict)
 
     def to_spark(self, spark: SparkSession) -> dict[str, DataFrame]:
-        return {
-            name: spark.createDataFrame(rows, S.OLTP_SCHEMAS[name])
-            for name, rows in self.tables.items()
-        }
+        # Route through pandas so createDataFrame takes the Arrow path
+        # instead of per-row pickling (3× faster at scale=1.0, ~560k
+        # rows; content verified identical). dtype=object keeps None /
+        # date values untouched — the explicit schema does the typing.
+        import pandas as pd
+
+        out = {}
+        for name, rows in self.tables.items():
+            sch = S.OLTP_SCHEMAS[name]
+            pdf = pd.DataFrame(rows, columns=[f.name for f in sch.fields],
+                               dtype=object)
+            out[name] = spark.createDataFrame(pdf, sch)
+        return out
 
 
 def generate(seed: int = 42, scale: float = 0.02) -> LibraryData:  # noqa: C901
