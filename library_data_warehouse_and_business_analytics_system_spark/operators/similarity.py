@@ -165,36 +165,82 @@ def lsh_topk_auto(corpus: DataFrame, queries: DataFrame, vec_col: str,
     return lsh_topk(corpus, queries, vec_col, id_col, dim, k=k, **lsh_kwargs)
 
 
+def kmeans_fit(corpus: DataFrame, vec_col: str, dim: int, k: int = 8,
+               max_iter: int = 5, seed: int = 42) -> list[list[float]]:
+    """Distributed spherical k-means for the IVF coarse quantizer:
+    seeded random init, then Lloyd iterations — assign each vector to
+    its max-dot centroid, recompute centroids as per-cell means.
+
+    Scale shape: the update step is posexplode(vector) →
+    groupBy(cell, dim) with map-side partial aggregation — shuffle
+    volume O(partitions · k · dim), never the corpus; only the k×dim
+    centroid matrix ever reaches the driver (parameter-server style,
+    re-broadcast as literals each round).
+
+    Determinism: per-dimension sums run in DECIMAL, so the result is
+    exact and independent of partition/merge order — float summation
+    would make centroid values (and therefore assignments) vary run to
+    run. Empty cells keep their previous centroid."""
+    cents = _seeded_planes(dim, k, seed)
+    for _ in range(max_iter):
+        assigned = corpus.select(
+            F.col(vec_col).alias("v"),
+            _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
+        per_dim = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("cell", "i",
+                    (F.col("s") / F.col("n")).cast("double").alias("m"))
+        )
+        rows = per_dim.collect()
+        new_cents = [list(c) for c in cents]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cell.setdefault(r["cell"], {})[r["i"]] = r["m"]
+        for cell, dims in by_cell.items():
+            for i, m in dims.items():
+                new_cents[cell][i] = m
+        cents = new_cents
+    return cents
+
+
+def _nearest_cells(vec, cents: list[list[float]], probe: int):
+    """Top-``probe`` centroids by dot product as an array of structs
+    (score desc, cell asc tie-break)."""
+    scored = F.array(*[
+        F.struct(dot(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
+                 F.lit(i).alias("cell"))
+        for i, c in enumerate(cents)
+    ])
+    return F.slice(F.array_sort(
+        scored, lambda a, b: F.when(a.s > b.s, -1).when(a.s < b.s, 1)
+        .otherwise(0)), 1, probe)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
              dim: int, k: int = 10, n_cells: int = 16, n_probe: int = 3,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """IVF-style ANN: assign every corpus vector to its nearest of
-    ``n_cells`` seeded random centroids (coarse quantizer); a query
-    probes its ``n_probe`` nearest cells and re-ranks exactly.
+    ``n_cells`` centroids (coarse quantizer); a query probes its
+    ``n_probe`` nearest cells and re-ranks exactly.
 
-    (Proper IVF trains centroids with k-means; seeded random centroids
-    keep the operator deterministic and dependency-free — the plan
-    shape, the part that matters at scale, is identical.)"""
-    cents = _seeded_planes(dim, n_cells, seed)
-
-    def cell_of(vec, probe: int):
-        scored = F.array(*[
-            F.struct(dot(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
-                     F.lit(i).alias("cell"))
-            for i, c in enumerate(cents)
-        ])
-        return F.slice(F.array_sort(
-            scored, lambda a, b: F.when(a.s > b.s, -1).when(a.s < b.s, 1)
-            .otherwise(0)), 1, probe)
-
+    ``centroids``: pass a ``kmeans_fit`` result for proper trained
+    IVF; defaults to seeded random centroids, which keep the operator
+    dependency-free — the plan shape, the part that matters at scale,
+    is identical either way."""
+    cents = centroids if centroids is not None \
+        else _seeded_planes(dim, n_cells, seed)
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         l2_norm_sq(F.col(vec_col)).alias("nc"),
-        F.element_at(cell_of(F.col(vec_col), 1), 1).cell.alias("cell"))
+        _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
     q_assigned = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         l2_norm_sq(F.col(vec_col)).alias("nq"),
-        F.explode(F.transform(cell_of(F.col(vec_col), n_probe),
+        F.explode(F.transform(_nearest_cells(F.col(vec_col), cents, n_probe),
                               lambda s: s.cell)).alias("cell"))
     scored = (
         F.broadcast(q_assigned).join(c_assigned, "cell")

@@ -174,6 +174,47 @@ def test_lsh_candidate_cap_bounds_rerank(emb):
     assert counts and all(r["count"] <= 3 for r in counts)
 
 
+def test_kmeans_fit_is_deterministic(emb):
+    """Centroid sums run in DECIMAL, so two fits over the same data
+    must be bit-identical regardless of partition/merge order — the
+    property that keeps trained-IVF assignments reproducible."""
+    sample = emb.filter(F.col("vec_id") < 200)
+    c1 = similarity.kmeans_fit(sample, "embedding", dim=64, k=4, max_iter=3)
+    c2 = similarity.kmeans_fit(
+        sample.repartition(7), "embedding", dim=64, k=4, max_iter=3)
+    assert c1 == c2
+
+
+def test_trained_ivf_beats_random_on_clustered_vectors(spark):
+    """On clustered data (IVF's target regime) Lloyd-trained centroids
+    must reach at least the random-centroid recall — and in practice
+    far more, since cells align with the true clusters."""
+    import random
+    rng = random.Random(23)
+    rows = []
+    for c in range(8):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for j in range(25):
+            rows.append((c * 25 + j,
+                         [x + rng.gauss(0, 0.1) for x in center]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.brute_force_topk(df, queries, "embedding", "vec_id", 5)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    def recall(centroids):
+        approx = similarity.ivf_topk(df, queries, "embedding", "vec_id",
+                                     dim=64, k=5, n_cells=8, n_probe=1,
+                                     centroids=centroids)
+        a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+        return len(a & e) / len(e)
+
+    trained = similarity.kmeans_fit(df, "embedding", dim=64, k=8, max_iter=4)
+    r_trained, r_random = recall(trained), recall(None)
+    assert r_trained >= r_random, (r_trained, r_random)
+    assert r_trained >= 0.9, f"trained IVF recall too low: {r_trained:.2f}"
+
+
 def test_ivf_ann_recall_vs_brute_force(emb):
     queries = emb.filter(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(emb, queries, "embedding", "vec_id", 10)
