@@ -610,3 +610,51 @@ def approx_quantile_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              <= 0.01 * F.col("p50_exact")).alias("within_1pct"))
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling — the pre-training pass a large-scale pipeline runs
+# before trusting a table: per-column null and distinct counts in ONE
+# scan (single hash aggregate + stack unpivot; never one scan per
+# column). Complements the CHECK-rule enforcement in
+# operators/validate.py (pytest-gated, SURVEY §2 S2).
+
+_PROFILE_COLS = ("o_custkey", "o_orderdate", "o_orderkey",
+                 "o_orderpriority", "o_orderstatus", "o_totalprice")
+
+
+@register(
+    "orders_data_profile",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS null_count,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ) + "\nORDER BY col_name",
+    operators=("PROFILE", "A3", "P4"),
+)
+def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of orders in one scan: the aggregate computes
+    2×|cols| expressions (null count via count(*)−count(col), exact
+    distinct via count(distinct col)) and a stack() unpivots them to
+    one row per column. The oracle spells the same profile as a
+    UNION ALL — 6 scans there, 1 here; at 100 TB that difference is
+    the whole point of the operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"_n_{c}"),
+            F.countDistinct(c).alias(f"_d_{c}"),
+        ]
+    stacked = ", ".join(f"'{c}', _n_{c}, _d_{c}" for c in _PROFILE_COLS)
+    return (
+        orders.agg(*aggs)
+        .select(F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stacked}) "
+            "AS (col_name, null_count, n_distinct)"))
+        .select("col_name", F.col("null_count").cast("long"),
+                F.col("n_distinct").cast("long"))
+        .orderBy("col_name")
+    )

@@ -107,11 +107,13 @@ def test_registry_gate_ordering():
     for must_gate in ("events_funnel", "events_sessionize",
                       "embedding_near_dups_strict",
                       "fact_surrogate_keys_audit",
-                      "events_asof_purchase_view"):
+                      "events_asof_purchase_view",
+                      "orders_data_profile",
+                      "events_interval_join"):
         assert names.index(must_gate) < 50, must_gate
     redundant_tail = {"grouping_sets_orders", "cube_order_stats",
                       "events_sliding_1h30m"}
-    assert redundant_tail <= set(names[-14:])
+    assert redundant_tail <= set(names[-15:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
