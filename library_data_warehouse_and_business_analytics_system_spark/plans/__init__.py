@@ -38,7 +38,8 @@ _LATE = ["order_size_distribution",     # A3 via approx_distinct_check, A5 via r
          "order_quantity_arrays",       # A7 via nation_list_per_region
          "daily_order_window_frames",   # frames via yoy/market_share/topN
          "order_price_percentiles",     # percentiles via approx_quantile_check
-         "math_function_surface"]       # P4/math via acctbal + profile nulls
+         "math_function_surface",       # P4/math via acctbal + profile nulls
+         "nation_list_per_region"]      # A7 via order_quantity_arrays, green ×3
 
 
 def _reorder() -> None:

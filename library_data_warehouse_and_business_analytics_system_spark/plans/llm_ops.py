@@ -772,3 +772,52 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_kept_corpus",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))
+              / nullif(len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g)), 0) >= 0.5
+    )
+    SELECT d.source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS kept_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT b FROM pairs)
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+    operators=("DEDUP-CANONICAL", "J3", "A1"),
+)
+def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's FINAL step, end to end: exact Jaccard≥0.5
+    pairs (prefix-filtered AllPairs) → `keep_canonical` drops every
+    doc appearing as the higher id of a dup pair (anti-join — the
+    lowest-id representative survives) → per-source survivor stats.
+    The oracle recomputes the all-pairs truth and the same anti-join
+    in SQL, so a green row certifies the whole corpus-minus-dups
+    path, not just the pair list."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id",
+                                             threshold=0.5)
+    kept = dedup.keep_canonical(docs, pairs, "doc_id")
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum("n_chars").cast("bigint").alias("kept_chars"))
+        .orderBy("source")
+    )

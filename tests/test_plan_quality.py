@@ -109,11 +109,12 @@ def test_registry_gate_ordering():
                       "fact_surrogate_keys_audit",
                       "events_asof_purchase_view",
                       "orders_data_profile",
+                      "dedup_kept_corpus",
                       "events_interval_join"):
         assert names.index(must_gate) < 50, must_gate
     redundant_tail = {"grouping_sets_orders", "cube_order_stats",
                       "events_sliding_1h30m"}
-    assert redundant_tail <= set(names[-15:])
+    assert redundant_tail <= set(names[-16:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
