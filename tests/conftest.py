@@ -38,7 +38,12 @@ def duck(sf_dir):
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(path):
+        if os.path.isdir(path):
+            # Spark-written dataset directory (e.g. the scale-up
+            # fixtures) — DuckDB needs the part-file glob.
+            con.execute(f"CREATE VIEW {t} AS SELECT * "
+                        f"FROM read_parquet('{path}/*.parquet')")
+        elif os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     yield con
     con.close()
