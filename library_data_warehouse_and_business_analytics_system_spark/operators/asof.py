@@ -40,6 +40,16 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str | list[str],
     Works for TIMESTAMP and TIMESTAMP_NTZ ``ts_col`` alike (ordering
     and timestamp_diff are type-agnostic)."""
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"_ts", "_side", "_match_ts", f"{ts_col}_matched"}
+    clashes = sorted(
+        (set(payload_cols) & set(left.columns))
+        | (reserved & set(left.columns)) | (reserved & set(payload_cols)))
+    if clashes:
+        raise ValueError(
+            f"asof_join_backward: column name collision on {clashes}; "
+            f"payload_cols must be disjoint from left's columns, and "
+            f"neither side may use the reserved names {sorted(reserved)} "
+            f"— rename before joining")
     left_cols = [c for c in left.columns if c not in keys]
     l_tag = left.select(
         *keys, F.col(ts_col).alias("_ts"), F.lit(1).alias("_side"),

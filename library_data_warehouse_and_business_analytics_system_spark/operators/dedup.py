@@ -491,7 +491,8 @@ def embedding_near_dup_pairs_bucketed(
 def embedding_near_dup_pairs_auto(
         df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
         dim: int = 64, n_planes: int = 2, n_tables: int = 20,
-        seed: int = 42, brute_below: int = 100_000) -> DataFrame:
+        seed: int = 42, brute_below: int = 10_000,
+        rowcount: int | None = None) -> DataFrame:
     """Near-dup pairs with the brute/bucketed crossover applied (same
     rationale as ``similarity.lsh_topk_auto``): below ``brute_below``
     corpus rows the exact all-pairs join is strictly cheaper than
@@ -499,8 +500,16 @@ def embedding_near_dup_pairs_auto(
     nearly every pair anyway, so the LSH pass just prepends two joins
     and a dedup to the same exact-cosine work. Above the crossover the
     bucketed equi-join path is mandatory (all-pairs is O(n²) rows).
-    Both tiers produce the identical exact pair set."""
-    if df.count() <= brute_below:
+    Both tiers produce the identical exact pair set.
+
+    ``brute_below`` is deliberately conservative: the measurement
+    behind the crossover was taken at 2k vectors, and the brute tier's
+    cost is quadratic (10k rows ≈ 5·10⁷ pairs, ~5 MB broadcast) — a
+    100k default would extrapolate 50× to a ~51 MB broadcast and
+    5·10⁹ pairs. Pass ``rowcount`` when the caller already knows the
+    size (skips the ``count()`` action, which is a full job whenever
+    ``df`` is anything but a bare file scan)."""
+    if (rowcount if rowcount is not None else df.count()) <= brute_below:
         return embedding_near_dup_pairs(df, vec_col, id_col, threshold)
     return embedding_near_dup_pairs_bucketed(
         df, vec_col, id_col, threshold, dim=dim, n_planes=n_planes,
@@ -532,6 +541,7 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     ).localCheckpoint()
     labels = universe.select(F.col(id_col).alias("id"),
                              F.col(id_col).alias("label")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels.withColumnRenamed("id", "src"), "src")
@@ -549,7 +559,17 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Returning part-propagated labels would silently assign wrong
+        # cluster ids (and keep_canonical would then drop the wrong
+        # docs) — fail loudly instead. Hit only on a component whose
+        # diameter exceeds max_iterations (e.g. a >25-hop chain).
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; the graph has a component "
+            f"with diameter > {max_iterations} — raise max_iterations")
     return labels.select(F.col("id").alias(id_col),
                          F.col("label").alias("cluster_id"))
 

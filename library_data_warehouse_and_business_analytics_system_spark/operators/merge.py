@@ -72,7 +72,18 @@ def merge_upsert_delta(spark, target_path: str, source: DataFrame,
     is semantically identical (pytest test_scd2_merge differentials).
 
     ``condition`` is a SQL string over ``t``/``s`` aliases guarding
-    the update branch, mirroring ``merge_upsert``'s Column guard."""
+    the update branch, mirroring ``merge_upsert``'s Column guard.
+
+    NULL-key semantics: the merge condition uses plain equality, so a
+    NULL source key never matches and inserts a new row — identical to
+    ``merge_upsert`` (pinned by test_merge_upsert_with_null_keys) and
+    to Oracle MERGE. (A ``<=>`` null-safe join here would silently
+    flip NULL-key rows from insert to update.)
+
+    NOTE: this container has no delta-spark, so this branch has never
+    executed here — its semantics are asserted only indirectly via the
+    emulation differentials and the import-level smoke test
+    (test_scd2_merge.py::test_delta_merge_path_gated_by_import)."""
     if not HAS_DELTA:
         raise RuntimeError(
             "delta-spark is not installed; use merge_upsert() and "
@@ -80,7 +91,7 @@ def merge_upsert_delta(spark, target_path: str, source: DataFrame,
     tgt = DeltaTable.forPath(spark, target_path)
     update_cols = update_cols or [
         c for c in tgt.toDF().columns if c not in keys]
-    on = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    on = " AND ".join(f"t.{k} = s.{k}" for k in keys)
     builder = (tgt.alias("t").merge(source.alias("s"), on)
                .whenMatchedUpdate(
                    condition=condition,

@@ -153,13 +153,15 @@ LSH_BRUTE_CROSSOVER = 100_000
 def lsh_topk_auto(corpus: DataFrame, queries: DataFrame, vec_col: str,
                   id_col: str, dim: int, k: int = 10,
                   brute_below: int = LSH_BRUTE_CROSSOVER,
+                  rowcount: int | None = None,
                   **lsh_kwargs) -> DataFrame:
     """ANN top-k with the measured crossover applied: below
     ``brute_below`` corpus rows the exact broadcast scan is strictly
     faster than any bucketed plan, so use it; above, the id-only LSH
-    path with a bounded candidate set (see ``lsh_topk``). The one
-    driver-side ``count()`` is a parquet-footer rowcount, not a scan."""
-    if corpus.count() <= brute_below:
+    path with a bounded candidate set (see ``lsh_topk``). Pass
+    ``rowcount`` when known to skip the ``count()`` action (a footer
+    read for a bare parquet scan, a full job for anything else)."""
+    if (rowcount if rowcount is not None else corpus.count()) <= brute_below:
         return brute_force_topk(corpus, queries, vec_col, id_col, k=k)
     lsh_kwargs.setdefault("max_candidates", max(50 * k, 500))
     return lsh_topk(corpus, queries, vec_col, id_col, dim, k=k, **lsh_kwargs)

@@ -404,6 +404,54 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lsh_ann_topk_forced",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='e.embedding')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}), 0)
+               AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-LSH",),
+)
+def lsh_ann_topk_forced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH candidate-generation path itself, gated against the
+    exact top-k oracle (no crossover: the `lsh_ann_topk` auto variant
+    always selects brute force at gate scale, so without this row a
+    green `lsh_ann_topk` would not certify the bucketed path). The
+    shallow 2-plane / 24-table config makes banding lossless on this
+    corpus by the same pigeonhole-style argument as
+    `embedding_near_dups_strict`: per-table collision for a rank-10
+    pair (θ ≈ 69°) is ≈ 0.38, so the miss probability across 24
+    independent tables is (1−0.38)²⁴ ≈ 10⁻⁵ per pair — and with seeded
+    planes the outcome is deterministic, verified exact at sf0.001 and
+    sf0.01 by the differential suite. ``max_candidates=None`` keeps
+    every colliding pair through exact re-rank (the top-M collision
+    bound would truncate at corpus sizes above ~500)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return similarity.lsh_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=10,
+        n_planes=2, n_tables=24, max_candidates=None,
+    ).orderBy("query_id", "rank")
+
+
+@register(
     "ivf_ann_topk",
     """
     SELECT vec_id AS query_id, TRUE AS recall_ok

@@ -12,10 +12,28 @@ equivalent with the same sizing contract.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _list_parquet_files(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(file_count, total_bytes) for ``*.parquet`` under ``path``,
+    resolved through the Hadoop FileSystem API so any scheme the
+    cluster can read (hdfs://, s3a://, file:/) is sized correctly —
+    an ``os.walk`` here would silently see 0 files on object stores
+    and make the compactor rewrite everything into one file."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total = 0
+    n_files = 0
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            n_files += 1
+            total += status.getLen()
+    return n_files, total
 
 
 def plan_compaction(spark: SparkSession, path: str,
@@ -23,13 +41,7 @@ def plan_compaction(spark: SparkSession, path: str,
     """Inspect a parquet directory and report fragmentation: file
     count, total bytes, and the output-file count a compaction would
     produce. Driver-side listing only — no data read."""
-    total = 0
-    n_files = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if f.endswith(".parquet"):
-                n_files += 1
-                total += os.path.getsize(os.path.join(root, f))
+    n_files, total = _list_parquet_files(spark, path)
     n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
     return {"n_files": n_files, "total_bytes": total,
             "target_files": int(n_out),

@@ -331,6 +331,23 @@ def test_connected_components_multi_hop_chain(spark):
                    6: 6, 7: 7, 8: 8, 9: 8}
 
 
+def test_connected_components_raises_on_non_convergence(spark):
+    """A component whose diameter exceeds max_iterations must raise,
+    never return part-propagated (wrong) cluster ids: min-label
+    propagation moves the min one hop per round, so a 10-node path
+    cannot converge in 4 rounds."""
+    universe = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "a long, b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, universe, "id", max_iterations=4)
+    # and with enough rounds the same graph collapses to cluster 0
+    got = {r.cluster_id for r in
+           dedup.connected_components(pairs, universe, "id",
+                                      max_iterations=12).collect()}
+    assert got == {0}
+
+
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Randomized differential: Spark min-label propagation vs a
     pure-Python union-find on seeded random graphs (varying density,
