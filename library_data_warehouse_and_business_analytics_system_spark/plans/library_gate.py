@@ -1,0 +1,294 @@
+"""Driver-gate registration for the three LQY flagship reports.
+
+The reports (plans/library/reports.py, mirroring the reference's
+LQY_query1.txt:39-111, LQY_query2.txt:57-215, LQY_query3.txt:62-135)
+run on the library star schema, not on the driver's TPC-ish testdata —
+so their gate rows read the committed fixture warehouse at
+``fixtures/library_dw/`` (built once by
+scripts/build_fixture_warehouse.py from the seeded generator + EP2
+initial_load) and their DuckDB oracles read the very same parquet via
+``read_parquet`` with absolute paths. Both engines therefore see
+byte-identical input, and the compare is the driver's usual bit-exact
+hash.
+
+The oracle SQL strings are independent translations of the reference
+SQL (not of our Spark code); tests/test_library_etl.py imports them so
+the pytest differential and the driver gate can never diverge.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .library import query1, query2, query3
+from .registry import register
+
+FIXTURE_DIR = (pathlib.Path(__file__).resolve().parents[2]
+               / "fixtures" / "library_dw")
+
+_DW_TABLES = ("dim_date", "dim_book", "dim_members", "dim_suppliers",
+              "fact_sales", "fact_purchase", "fact_borrowing")
+
+
+def load_warehouse(spark: SparkSession) -> dict[str, DataFrame]:
+    return {t: spark.read.parquet(str(FIXTURE_DIR / f"{t}.parquet"))
+            for t in _DW_TABLES}
+
+
+def _fixture_ctes(*tables: str) -> str:
+    return ",\n".join(
+        f"{t} AS (SELECT * FROM "
+        f"read_parquet('{FIXTURE_DIR}/{t}.parquet/*.parquet'))"
+        for t in tables)
+
+
+# ---------------------------------------------------------------------------
+# Independent DuckDB translations of the reference reports. {yf}/{yt}
+# etc. are filled by str.format — pytest reuses these with its own
+# parameter sets (tests/test_library_etl.py).
+
+Q1_SQL = """
+WITH sales_q AS (
+  SELECT d.cal_year AS year, d.cal_quarter AS qtr, b.genre,
+         SUM(CAST(fs.line_total AS DECIMAL(18,4))) AS amount,
+         SUM(fs.quantity) AS qty
+  FROM fact_sales fs
+  JOIN dim_date d ON d.dateKey = fs.dateKey
+  JOIN dim_book b ON b.bookKey = fs.bookKey
+  JOIN dim_members m ON m.memberKey = fs.memberKey
+  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt}
+    AND ('{g}' = 'ALL' OR UPPER(m.memberGender) = '{g}')
+  GROUP BY 1, 2, 3
+), genre_year AS (
+  SELECT year, genre,
+         SUM(CASE WHEN qtr='Q1' THEN amount ELSE 0 END) AS q1_amt,
+         SUM(CASE WHEN qtr='Q2' THEN amount ELSE 0 END) AS q2_amt,
+         SUM(CASE WHEN qtr='Q3' THEN amount ELSE 0 END) AS q3_amt,
+         SUM(CASE WHEN qtr='Q4' THEN amount ELSE 0 END) AS q4_amt,
+         SUM(qty) AS tot_qty, SUM(amount) AS tot_amt
+  FROM sales_q GROUP BY year, genre
+), genre_metrics AS (
+  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
+    CASE WHEN q1_amt=0 THEN NULL
+         ELSE ROUND((q2_amt-q1_amt)/NULLIF(q1_amt,0)*100,1) END AS pct_q1_q2,
+    CASE WHEN q2_amt=0 THEN NULL
+         ELSE ROUND((q3_amt-q2_amt)/NULLIF(q2_amt,0)*100,1) END AS pct_q2_q3,
+    CASE WHEN q3_amt=0 THEN NULL
+         ELSE ROUND((q4_amt-q3_amt)/NULLIF(q3_amt,0)*100,1) END AS pct_q3_q4,
+    tot_qty,
+    LAG(tot_qty) OVER (PARTITION BY genre ORDER BY year) AS prev_qty,
+    tot_amt,
+    LAG(tot_amt) OVER (PARTITION BY genre ORDER BY year) AS prev_amt
+  FROM genre_year
+), ranked AS (
+  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
+         pct_q1_q2, pct_q2_q3, pct_q3_q4, tot_qty,
+         CASE WHEN prev_qty IS NULL OR prev_qty=0 THEN 0
+              ELSE ROUND((tot_qty-prev_qty)/prev_qty*100,1) END AS qty_diff_pct,
+         tot_amt,
+         CASE WHEN prev_amt IS NULL OR prev_amt=0 THEN 0
+              ELSE ROUND((tot_amt-prev_amt)/prev_amt*100,1) END AS amt_diff_pct,
+         ROW_NUMBER() OVER (PARTITION BY year
+                            ORDER BY COALESCE(tot_amt,0) DESC) AS rn
+  FROM genre_metrics
+  WHERE year BETWEEN {yf} AND {yt}
+)
+SELECT year, genre,
+       CAST(COALESCE(q1_amt,0) AS DOUBLE) AS q1_amt,
+       CAST(COALESCE(q2_amt,0) AS DOUBLE) AS q2_amt,
+       CAST(COALESCE(q3_amt,0) AS DOUBLE) AS q3_amt,
+       CAST(COALESCE(q4_amt,0) AS DOUBLE) AS q4_amt,
+       CAST(pct_q1_q2 AS DOUBLE) AS pct_q1_q2,
+       CAST(pct_q2_q3 AS DOUBLE) AS pct_q2_q3,
+       CAST(pct_q3_q4 AS DOUBLE) AS pct_q3_q4,
+       CAST(COALESCE(tot_qty,0) AS BIGINT) AS tot_qty,
+       CAST(qty_diff_pct AS DOUBLE) AS qty_diff_pct,
+       CAST(COALESCE(tot_amt,0) AS DOUBLE) AS tot_amt,
+       CAST(amt_diff_pct AS DOUBLE) AS amt_diff_pct
+FROM ranked WHERE rn <= {lim}
+ORDER BY year, tot_amt DESC, genre
+"""
+
+Q2_SQL = """
+WITH p_lines AS (
+  SELECT d.cal_year AS year, d.cal_quarter AS quarter,
+         CAST(SUBSTRING(d.cal_quarter, 2, 1) AS INT) AS qnum,
+         b.genre, fp.purchaseOrderId AS po_id,
+         fp.quantity AS line_qty,
+         CAST(fp.totalAmount AS DECIMAL(18,4)) AS line_amt
+  FROM fact_purchase fp
+  JOIN dim_date d ON d.dateKey = fp.dateKey
+  JOIN dim_book b ON b.bookKey = fp.bookKey
+  JOIN dim_suppliers s ON s.supplierKey = fp.supplierKey
+  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt}
+), po_tot AS (
+  SELECT year, quarter, qnum, po_id,
+         SUM(line_amt) AS po_amt, SUM(line_qty) AS po_qty
+  FROM p_lines GROUP BY year, quarter, qnum, po_id
+), share AS (
+  SELECT year, quarter, qnum, po_id, genre, SUM(line_amt) AS g_amt
+  FROM p_lines GROUP BY year, quarter, qnum, po_id, genre
+), primary_genre AS (
+  SELECT year, quarter, qnum, po_id, genre FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY year, quarter, qnum, po_id
+      ORDER BY g_amt DESC, genre ASC) AS rn
+    FROM share) WHERE rn = 1
+), genre_partitioned AS (
+  SELECT p.year, p.quarter, p.qnum, p.genre,
+         COUNT(DISTINCT p.po_id) AS po_cnt,
+         SUM(t.po_amt) AS spend, SUM(t.po_qty) AS qty_pur
+  FROM primary_genre p
+  JOIN po_tot t USING (year, quarter, qnum, po_id)
+  GROUP BY p.year, p.quarter, p.qnum, p.genre
+), qtrs AS (
+  SELECT DISTINCT year, quarter, qnum FROM p_lines
+  WHERE year BETWEEN {yf} AND {yt}
+), genres AS (
+  SELECT DISTINCT genre FROM dim_book WHERE genre IS NOT NULL
+), filled AS (
+  SELECT q.year, q.quarter, q.qnum, g.genre,
+         COALESCE(p.spend, CAST(0 AS DECIMAL(18,4))) AS spend,
+         COALESCE(p.qty_pur, 0) AS qty_pur,
+         COALESCE(p.po_cnt, 0) AS po_cnt
+  FROM qtrs q CROSS JOIN genres g
+  LEFT JOIN genre_partitioned p
+    ON p.year = q.year AND p.quarter = q.quarter
+   AND p.qnum = q.qnum AND p.genre = g.genre
+), kept AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY year, quarter
+      ORDER BY spend DESC, genre ASC) AS rn
+    FROM filled) WHERE rn <= {topn}
+), trend AS (
+  -- aov emulates Spark's EXACT decimal division + HALF_UP round in
+  -- integer arithmetic: DuckDB promotes decimal division to DOUBLE,
+  -- so ROUND(spend / po_cnt, 2) lands on the wrong side of a .005
+  -- boundary exactly where the IEEE quotient dips below the true
+  -- decimal one (e.g. 156160.27/2 -> 78080.13499999.. -> .13 while
+  -- exact HALF_UP gives .14). spend has scale 4, so
+  -- cents = (spend*10^4*100 + po_cnt*5000) // (po_cnt*10^4).
+  SELECT *, po_cnt AS po_cnt_qtr,
+         CASE WHEN COALESCE(po_cnt, 0) = 0 THEN NULL
+              ELSE CAST((CAST(spend * 10000 AS HUGEINT) * 100
+                         + CAST(po_cnt AS HUGEINT) * 5000)
+                        // (CAST(po_cnt AS HUGEINT) * 10000) AS DOUBLE)
+                   / 100 END AS aov,
+         LAG(spend) OVER (PARTITION BY genre ORDER BY year, qnum) AS prev_spend
+  FROM kept
+)
+SELECT year, quarter, genre,
+       CAST(COALESCE(spend, 0) AS DOUBLE) AS spend,
+       COALESCE(CAST(
+         CASE WHEN year = {yf} AND qnum = 1 THEN 0.0
+              WHEN prev_spend IS NULL OR prev_spend = 0 THEN 0.0
+              ELSE ROUND((spend - prev_spend)
+                         / NULLIF(prev_spend, 0) * 100, 2)
+         END AS DOUBLE), 0.0) AS pct_qoq,
+       CAST(COALESCE(po_cnt_qtr, 0) AS BIGINT) AS po_cnt_qtr,
+       COALESCE(CAST(aov AS DOUBLE), 0.0) AS aov,
+       CAST(COALESCE(qty_pur, 0) AS BIGINT) AS qty_pur
+FROM trend
+WHERE year BETWEEN {yf} AND {yt}
+  AND NOT (spend = 0 AND qty_pur = 0 AND po_cnt_qtr = 0)
+ORDER BY year, qnum, spend DESC
+"""
+
+Q3_SQL = """
+WITH joined AS (
+  SELECT d.cal_year AS year, d.cal_quarter AS quarter,
+         CAST(SUBSTRING(d.cal_quarter, 2, 1) AS INT) AS qnum,
+         UPPER(COALESCE(NULLIF(TRIM(m.state), ''), 'UNKNOWN')) AS state,
+         CAST(fs.line_total AS DECIMAL(18,4)) AS line_total,
+         CAST(fs.quantity AS DECIMAL(18,4))
+           * (CAST(0.8 AS DECIMAL(8,4))
+              * CAST(COALESCE(b.price, 0) AS DECIMAL(18,4))) AS cost
+  FROM fact_sales fs
+  JOIN dim_date d ON d.dateKey = fs.dateKey
+  JOIN dim_book b ON b.bookKey = fs.bookKey
+  JOIN dim_members m ON m.memberKey = fs.memberKey
+  WHERE d.cal_year BETWEEN {yf} AND {yt}
+), agg AS (
+  SELECT year, quarter, qnum, state,
+         SUM(line_total) AS total_revenue, SUM(cost) AS total_cost,
+         SUM(line_total) - SUM(cost) AS total_gm
+  FROM joined GROUP BY year, quarter, qnum, state
+), f AS (
+  SELECT *, CASE WHEN total_revenue = 0 THEN NULL
+                 ELSE ROUND(total_gm / NULLIF(total_revenue,0) * 100, 2)
+            END AS total_gm_pct
+  FROM agg
+), q AS (
+  SELECT *, ROUND(total_gm_pct - LAG(total_gm_pct) OVER
+                  (PARTITION BY state ORDER BY year, qnum), 2) AS gm_pct_qoq
+  FROM f
+)
+SELECT year, quarter, state,
+       CAST(total_revenue AS DOUBLE) AS total_revenue,
+       CAST(total_cost AS DOUBLE) AS total_cost,
+       CAST(total_gm AS DOUBLE) AS total_gm,
+       CAST(total_gm_pct AS DOUBLE) AS total_gm_pct,
+       CAST(COALESCE(gm_pct_qoq, 0) AS DOUBLE) AS gm_pct_qoq,
+       CASE WHEN COALESCE(total_gm_pct, 0) >= {cov} THEN 'Meets Target'
+            WHEN COALESCE(total_gm_pct, 0) >= {cov} - 3 THEN 'Near Target'
+            ELSE 'Below Target' END AS signal
+FROM q ORDER BY year, qnum, state
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gate parameter sets: wide enough year ranges that every report branch
+# (pivot quarters, QoQ lag across years, universe fill, top-N clip) has
+# live data at fixture scale.
+
+
+@register(
+    "lqy_query1",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + Q1_SQL.strip().removeprefix("WITH ").format(
+        yf=2018, yt=2022, g="ALL", lim=5),
+    operators=("EP1", "A2", "W1", "W2"),
+    bench=False,
+)
+def lqy_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query1.txt:39-111 — quarterly top-genre sales report
+    (pivot + QoQ pcts + YoY LAG + per-year top-N) on the committed
+    fixture warehouse. ``sf_dir`` is ignored: the report's input is
+    the star schema, not the driver testdata."""
+    return query1(load_warehouse(spark), 2018, 2022, limit=5,
+                  gender="ALL")
+
+
+@register(
+    "lqy_query2",
+    "WITH " + _fixture_ctes("fact_purchase", "dim_date", "dim_book",
+                            "dim_suppliers") + ",\n"
+    + Q2_SQL.strip().removeprefix("WITH ").format(yf=2017, yt=2020, topn=5),
+    operators=("EP1", "A5", "O4", "J5"),
+    bench=False,
+)
+def lqy_query2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query2.txt:57-215 — quarterly purchase spend by primary
+    genre (per-PO primary-genre attribution, quarter×genre universe
+    fill, top-N, QoQ trend) on the committed fixture warehouse."""
+    return query2(load_warehouse(spark), 2017, 2020, topn=5)
+
+
+@register(
+    "lqy_query3",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + Q3_SQL.strip().removeprefix("WITH ").format(yf=2016, yt=2020, cov=15),
+    operators=("EP1", "A1", "W1"),
+    bench=False,
+)
+def lqy_query3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query3.txt:62-135 — quarterly gross margin by member state
+    (cost model, GM%, QoQ delta, target signal) on the committed
+    fixture warehouse."""
+    return query3(load_warehouse(spark), 2016, 2020, states_csv="%",
+                  target_gm_pct=15.0)

@@ -20,6 +20,9 @@ from library_data_warehouse_and_business_analytics_system_spark.operators.valida
 from library_data_warehouse_and_business_analytics_system_spark.plans.library import (
     initial_load, query1, query2, query3,
 )
+from library_data_warehouse_and_business_analytics_system_spark.plans.library_gate import (
+    FIXTURE_DIR, Q1_SQL, Q2_SQL, Q3_SQL,
+)
 
 from .helpers import assert_frames_match
 
@@ -197,70 +200,10 @@ def test_fact_purchase_measures(dw, oltp):
 
 
 # ---------------------------------------------------------------------------
-# LQY reports vs independent DuckDB translation on the same warehouse
+# LQY reports vs independent DuckDB translation on the same warehouse.
+# The SQL templates live in plans/library_gate.py, shared with the
+# driver-gate registrations, so pytest and the gate can never diverge.
 
-
-Q1_SQL = """
-WITH sales_q AS (
-  SELECT d.cal_year AS year, d.cal_quarter AS qtr, b.genre,
-         SUM(CAST(fs.line_total AS DECIMAL(18,4))) AS amount,
-         SUM(fs.quantity) AS qty
-  FROM fact_sales fs
-  JOIN dim_date d ON d.dateKey = fs.dateKey
-  JOIN dim_book b ON b.bookKey = fs.bookKey
-  JOIN dim_members m ON m.memberKey = fs.memberKey
-  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt}
-    AND ('{g}' = 'ALL' OR UPPER(m.memberGender) = '{g}')
-  GROUP BY 1, 2, 3
-), genre_year AS (
-  SELECT year, genre,
-         SUM(CASE WHEN qtr='Q1' THEN amount ELSE 0 END) AS q1_amt,
-         SUM(CASE WHEN qtr='Q2' THEN amount ELSE 0 END) AS q2_amt,
-         SUM(CASE WHEN qtr='Q3' THEN amount ELSE 0 END) AS q3_amt,
-         SUM(CASE WHEN qtr='Q4' THEN amount ELSE 0 END) AS q4_amt,
-         SUM(qty) AS tot_qty, SUM(amount) AS tot_amt
-  FROM sales_q GROUP BY year, genre
-), genre_metrics AS (
-  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
-    CASE WHEN q1_amt=0 THEN NULL
-         ELSE ROUND((q2_amt-q1_amt)/NULLIF(q1_amt,0)*100,1) END AS pct_q1_q2,
-    CASE WHEN q2_amt=0 THEN NULL
-         ELSE ROUND((q3_amt-q2_amt)/NULLIF(q2_amt,0)*100,1) END AS pct_q2_q3,
-    CASE WHEN q3_amt=0 THEN NULL
-         ELSE ROUND((q4_amt-q3_amt)/NULLIF(q3_amt,0)*100,1) END AS pct_q3_q4,
-    tot_qty,
-    LAG(tot_qty) OVER (PARTITION BY genre ORDER BY year) AS prev_qty,
-    tot_amt,
-    LAG(tot_amt) OVER (PARTITION BY genre ORDER BY year) AS prev_amt
-  FROM genre_year
-), ranked AS (
-  SELECT year, genre, q1_amt, q2_amt, q3_amt, q4_amt,
-         pct_q1_q2, pct_q2_q3, pct_q3_q4, tot_qty,
-         CASE WHEN prev_qty IS NULL OR prev_qty=0 THEN 0
-              ELSE ROUND((tot_qty-prev_qty)/prev_qty*100,1) END AS qty_diff_pct,
-         tot_amt,
-         CASE WHEN prev_amt IS NULL OR prev_amt=0 THEN 0
-              ELSE ROUND((tot_amt-prev_amt)/prev_amt*100,1) END AS amt_diff_pct,
-         ROW_NUMBER() OVER (PARTITION BY year
-                            ORDER BY COALESCE(tot_amt,0) DESC) AS rn
-  FROM genre_metrics
-  WHERE year BETWEEN {yf} AND {yt}
-)
-SELECT year, genre,
-       CAST(COALESCE(q1_amt,0) AS DOUBLE) AS q1_amt,
-       CAST(COALESCE(q2_amt,0) AS DOUBLE) AS q2_amt,
-       CAST(COALESCE(q3_amt,0) AS DOUBLE) AS q3_amt,
-       CAST(COALESCE(q4_amt,0) AS DOUBLE) AS q4_amt,
-       CAST(pct_q1_q2 AS DOUBLE) AS pct_q1_q2,
-       CAST(pct_q2_q3 AS DOUBLE) AS pct_q2_q3,
-       CAST(pct_q3_q4 AS DOUBLE) AS pct_q3_q4,
-       CAST(COALESCE(tot_qty,0) AS BIGINT) AS tot_qty,
-       CAST(qty_diff_pct AS DOUBLE) AS qty_diff_pct,
-       CAST(COALESCE(tot_amt,0) AS DOUBLE) AS tot_amt,
-       CAST(amt_diff_pct AS DOUBLE) AS amt_diff_pct
-FROM ranked WHERE rn <= {lim}
-ORDER BY year, tot_amt DESC, genre
-"""
 
 
 def test_query1_matches_reference_sql(dw, duck_dw):
@@ -277,46 +220,6 @@ def test_query1_gender_filter(dw, duck_dw):
     assert_frames_match(got, exp, "query1_f", float_rtol=1e-9)
 
 
-Q3_SQL = """
-WITH joined AS (
-  SELECT d.cal_year AS year, d.cal_quarter AS quarter,
-         CAST(SUBSTRING(d.cal_quarter, 2, 1) AS INT) AS qnum,
-         UPPER(COALESCE(NULLIF(TRIM(m.state), ''), 'UNKNOWN')) AS state,
-         CAST(fs.line_total AS DECIMAL(18,4)) AS line_total,
-         CAST(fs.quantity AS DECIMAL(18,4))
-           * (CAST(0.8 AS DECIMAL(8,4))
-              * CAST(COALESCE(b.price, 0) AS DECIMAL(18,4))) AS cost
-  FROM fact_sales fs
-  JOIN dim_date d ON d.dateKey = fs.dateKey
-  JOIN dim_book b ON b.bookKey = fs.bookKey
-  JOIN dim_members m ON m.memberKey = fs.memberKey
-  WHERE d.cal_year BETWEEN {yf} AND {yt}
-), agg AS (
-  SELECT year, quarter, qnum, state,
-         SUM(line_total) AS total_revenue, SUM(cost) AS total_cost,
-         SUM(line_total) - SUM(cost) AS total_gm
-  FROM joined GROUP BY year, quarter, qnum, state
-), f AS (
-  SELECT *, CASE WHEN total_revenue = 0 THEN NULL
-                 ELSE ROUND(total_gm / NULLIF(total_revenue,0) * 100, 2)
-            END AS total_gm_pct
-  FROM agg
-), q AS (
-  SELECT *, ROUND(total_gm_pct - LAG(total_gm_pct) OVER
-                  (PARTITION BY state ORDER BY year, qnum), 2) AS gm_pct_qoq
-  FROM f
-)
-SELECT year, quarter, state,
-       CAST(total_revenue AS DOUBLE) AS total_revenue,
-       CAST(total_cost AS DOUBLE) AS total_cost,
-       CAST(total_gm AS DOUBLE) AS total_gm,
-       CAST(total_gm_pct AS DOUBLE) AS total_gm_pct,
-       CAST(COALESCE(gm_pct_qoq, 0) AS DOUBLE) AS gm_pct_qoq,
-       CASE WHEN COALESCE(total_gm_pct, 0) >= {cov} THEN 'Meets Target'
-            WHEN COALESCE(total_gm_pct, 0) >= {cov} - 3 THEN 'Near Target'
-            ELSE 'Below Target' END AS signal
-FROM q ORDER BY year, qnum, state
-"""
 
 
 def test_query3_matches_reference_sql(dw, duck_dw):
@@ -324,6 +227,13 @@ def test_query3_matches_reference_sql(dw, duck_dw):
     exp = duck_dw.execute(Q3_SQL.format(yf=2016, yt=2020, cov=15)).df()
     assert len(got) > 0
     assert_frames_match(got, exp, "query3", float_rtol=1e-9)
+
+
+def test_query2_matches_reference_sql(dw, duck_dw):
+    got = query2(dw, 2017, 2020, topn=5).toPandas()
+    exp = duck_dw.execute(Q2_SQL.format(yf=2017, yt=2020, topn=5)).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "query2", float_rtol=1e-9)
 
 
 def test_query2_runs_and_is_sane(dw):
@@ -335,3 +245,17 @@ def test_query2_runs_and_is_sane(dw):
     # AOV = spend / po_cnt where po_cnt > 0
     nz = got[got.po_cnt_qtr > 0]
     assert (abs(nz.aov - (nz.spend / nz.po_cnt_qtr).round(2)) < 0.02).all()
+
+
+# ---------------------------------------------------------------------------
+# Committed fixture warehouse (fixtures/library_dw) — the LQY driver
+# gate reads it from disk, so it must stay in lockstep with the live
+# generator + ETL. If this fails after an intentional ETL change,
+# rerun scripts/build_fixture_warehouse.py and commit the result.
+
+
+def test_committed_fixture_matches_live_etl(spark, dw):
+    for name, live in dw.items():
+        stored = spark.read.parquet(str(FIXTURE_DIR / f"{name}.parquet"))
+        assert_frames_match(stored.toPandas(), live.toPandas(),
+                            f"fixture:{name}")

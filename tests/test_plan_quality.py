@@ -29,6 +29,9 @@ CARTESIAN_OK = {
     # embedding_near_dups_strict deliberately NOT listed: it always
     # runs the bucketed path — a cartesian there is a regression.
     "region_status_universe",  # cross-join universe + zero-fill (J5)
+    "lqy_query2",           # quarters × genres universe fill
+                            # (LQY_query2.txt:133-151) — broadcast side
+                            # is the distinct genre list
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "events_sliding_1h30m",
     "nation_set_ops",
@@ -103,18 +106,31 @@ def test_registry_gate_ordering():
     names = list(QUERIES)
     assert names.index("media_decode_stats") <= 2
     assert names.index("media_frame_counts") <= 2
-    # fresh-signal queries must sit inside the 50-row window
-    for must_gate in ("events_funnel", "events_sessionize",
+    # fresh-signal queries must sit inside the 50-row window: this
+    # round's new registrations, the 9 whose only green row was the
+    # round-1 (pre-schema-drift) gate, and the 7 whose freshest row
+    # is r2/r3.
+    for must_gate in ("lqy_query1", "lqy_query2", "lqy_query3",
+                      "lsh_ann_topk_forced",
+                      "cube_order_stats", "grouping_sets_orders",
+                      "brand_revenue_share", "acctbal_banding",
+                      "quarterly_pivot", "order_size_distribution",
+                      "suppliers_of_large_shipments",
+                      "nation_customer_counts", "events_sliding_1h30m",
+                      "regexp_function_surface", "date_function_surface",
+                      "order_quantity_arrays", "daily_order_window_frames",
+                      "order_price_percentiles", "math_function_surface",
+                      "nation_list_per_region",
+                      # r4-new queries that should keep their streak
+                      "events_funnel", "events_sessionize",
                       "embedding_near_dups_strict",
                       "fact_surrogate_keys_audit",
-                      "events_asof_purchase_view",
-                      "orders_data_profile",
-                      "dedup_kept_corpus",
-                      "events_interval_join"):
+                      "events_asof_purchase_view"):
         assert names.index(must_gate) < 50, must_gate
-    redundant_tail = {"grouping_sets_orders", "cube_order_stats",
-                      "events_sliding_1h30m"}
-    assert redundant_tail <= set(names[-16:])
+    # multiply-green round-4 queries rotate to the tail
+    redundant_tail = {"pricing_summary", "revenue_by_nation",
+                      "cosine_topk", "nation_set_ops"}
+    assert redundant_tail <= set(names[-20:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
