@@ -5,13 +5,15 @@ struct alongside — the layout a 100 TB training-data lake uses
 (payloads in parquet binary columns or object-store refs; all pruning
 and shuffling happens on the small typed columns, never the bytes).
 
-This container has no codec libraries (PIL/cv2/torchaudio), so the
-byte-level decode is STUBBED: ``mode="fake"`` derives deterministic
+Two decode tiers: ``mode="fake"`` derives deterministic
 pseudo-metadata/features from the payload's md5 (reproducible in SQL,
-so the plumbing is oracle-checkable end-to-end); ``mode="real"``
-raises ``NotImplementedError`` unless a decoder import succeeds. The
-Spark-side plumbing — schemas, Arrow batch iteration, UDF signatures,
-partition preservation — is real and is what these operators test.
+so the Spark-side plumbing — schemas, Arrow batch iteration, UDF
+signatures, partition preservation — is oracle-checkable end-to-end
+on the driver's documents table); ``mode="real"`` actually decodes
+pixels — through PIL when importable, else the pure-stdlib PNG
+decoder in functions/png_codec.py (this container has no
+PIL/cv2/torchaudio). Audio/video byte decode remains stubbed behind
+the fake tier.
 
 All per-row Python work runs in ``mapInPandas`` (Arrow-batched, one
 Python worker per partition); nothing here shuffles, so throughput
@@ -57,13 +59,32 @@ DECODED_SCHEMA = StructType([
 ])
 
 
-def _real_image_decoder() -> Callable | None:
+def _real_image_decoder() -> Callable:
+    """payload → (width, height, n_channels, mean_pixel).
+
+    Prefers PIL (any format, C-speed) when importable; otherwise the
+    pure-stdlib PNG decoder (functions/png_codec.py) so ``mode="real"``
+    works in codec-free containers too. Both produce the same
+    statistic: mean over all decoded channel samples in [0, 1]
+    (palette images expanded to RGB first)."""
     try:
-        from PIL import Image  # noqa: F401
+        import io
+
+        import numpy as _np
+        from PIL import Image
+
+        def decode(payload: bytes) -> tuple[int, int, int, float]:
+            img = Image.open(io.BytesIO(bytes(payload)))
+            if img.mode == "P":
+                img = img.convert("RGB")
+            arr = _np.asarray(img)
+            n_ch = 1 if arr.ndim == 2 else arr.shape[2]
+            return img.width, img.height, n_ch, float(arr.mean() / 255.0)
+
+        return decode
     except ImportError:
-        return None
-    raise NotImplementedError(
-        "real image decode: PIL available but decode not wired up yet")
+        from ..functions.png_codec import decode_png
+        return decode_png
 
 
 def fake_decode(payload: bytes) -> tuple[int, int, int, float]:
@@ -86,15 +107,15 @@ def decode_images(df: DataFrame, payload_col: str = "data",
     partition and must stream, never materialize the partition.
     """
     if mode == "real":
-        decoder = _real_image_decoder()
-        if decoder is None:
-            raise NotImplementedError(
-                "real image decode requires PIL/cv2 (not in this container); "
-                "use mode='fake' for the deterministic stub")
+        decode = _real_image_decoder()
+    elif mode == "fake":
+        decode = fake_decode
+    else:
+        raise ValueError(f"decode_images: unknown mode {mode!r}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            decoded = [fake_decode(bytes(p)) for p in pdf[payload_col]]
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(decoded,
                                columns=["width", "height", "n_channels",
                                         "mean_pixel"])

@@ -68,9 +68,16 @@ def test_decode_streams_arrow_batches(spark, media):
         spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
 
 
-def test_real_mode_is_gated(media):
-    with pytest.raises(NotImplementedError):
-        MM.decode_images(media, mode="real").collect()
+def test_real_mode_rejects_non_png_payloads(media):
+    """Raw-text payloads are not decodable images: the real tier must
+    fail loudly (inside the Python worker), never emit fake stats."""
+    with pytest.raises(Exception, match="not a PNG"):
+        MM.decode_images(media.limit(3), mode="real").collect()
+
+
+def test_unknown_mode_rejected(media):
+    with pytest.raises(ValueError, match="unknown mode"):
+        MM.decode_images(media, mode="bogus")
 
 
 def test_extract_features_deterministic_and_normalized(spark, media):
@@ -120,3 +127,138 @@ def test_fake_decode_unit():
     assert hh == 16 + int(h[4:8], 16) % 497
     assert c == 1 + int(h[8], 16) % 3
     assert mp == int(h[9:13], 16) / 65535.0
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode (functions/png_codec.py): differential against an
+# independent encoder written here from the PNG spec — forward
+# filtering in the test, inverse filtering in the decoder, so a bug in
+# either side breaks the round-trip.
+
+
+import struct
+import zlib
+
+from library_data_warehouse_and_business_analytics_system_spark.functions import png_codec
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload)))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+
+def _encode_png(arr: np.ndarray, color_type: int, filters=None,
+                palette: bytes | None = None) -> bytes:
+    """Independent PNG writer: HxW (gray/palette) or HxWxC uint8 array,
+    one filter type per scanline (default all 0)."""
+    h = arr.shape[0]
+    w = arr.shape[1]
+    flat = arr.reshape(h, -1).astype(np.uint8)
+    nch = flat.shape[1] // w
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(flat.shape[1], dtype=np.int16)
+    for r in range(h):
+        line = flat[r].astype(np.int16)
+        f = filters[r]
+        out = np.empty_like(line)
+        for i in range(len(line)):
+            a = int(line[i - nch]) if i >= nch else 0
+            b = int(prev[i])
+            c = int(prev[i - nch]) if i >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                pred = _paeth(a, b, c)
+            out[i] = (int(line[i]) - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(out.astype(np.uint8))
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    png = png_codec.PNG_MAGIC + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        png += _chunk(b"PLTE", palette)
+    png += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    png += _chunk(b"IEND", b"")
+    return png
+
+
+@pytest.mark.parametrize("filters", [[0, 0, 0, 0], [1, 2, 3, 4]])
+def test_png_decode_rgb_all_filters(filters):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    w, h, nch, mean = png_codec.decode_png(
+        _encode_png(arr, color_type=2, filters=filters))
+    assert (w, h, nch) == (5, 4, 3)
+    assert mean == pytest.approx(arr.mean() / 255.0, abs=1e-12)
+
+
+def test_png_decode_grayscale_and_rgba():
+    rng = np.random.default_rng(11)
+    gray = rng.integers(0, 256, size=(3, 7), dtype=np.uint8)
+    w, h, nch, mean = png_codec.decode_png(
+        _encode_png(gray, color_type=0, filters=[2, 4, 1]))
+    assert (w, h, nch) == (7, 3, 1)
+    assert mean == pytest.approx(gray.mean() / 255.0, abs=1e-12)
+    rgba = rng.integers(0, 256, size=(2, 3, 4), dtype=np.uint8)
+    w, h, nch, mean = png_codec.decode_png(_encode_png(rgba, color_type=6))
+    assert (w, h, nch) == (3, 2, 4)
+    assert mean == pytest.approx(rgba.mean() / 255.0, abs=1e-12)
+
+
+def test_png_decode_palette_expands_to_rgb():
+    palette = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255])  # R, G, B
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    w, h, nch, mean = png_codec.decode_png(
+        _encode_png(idx, color_type=3, palette=palette))
+    assert (w, h, nch) == (2, 2, 3)
+    # 4 pixels, each one pure channel: mean = 255*4/(12*255)
+    assert mean == pytest.approx(4 / 12, abs=1e-12)
+
+
+def test_png_decode_rejects_unsupported():
+    arr = np.zeros((2, 2), dtype=np.uint8)
+    png16 = bytearray(_encode_png(arr, color_type=0))
+    png16[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError, match="bit depth"):
+        png_codec.decode_png(bytes(png16))
+    with pytest.raises(ValueError, match="signature"):
+        png_codec.decode_png(b"GIF89a...")
+
+
+def test_real_decode_end_to_end(spark):
+    """PNG payloads through the full mapInPandas real tier: dims,
+    channels and mean must match the numpy ground truth."""
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {}
+    for i in range(6):
+        shape = (4 + i, 3 + i, [1, 3, 4][i % 3])
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        ct = {1: 0, 3: 2, 4: 6}[shape[2]]
+        if ct == 0:
+            arr = arr[:, :, 0]
+        filt = [(r + i) % 5 for r in range(shape[0])]
+        rows.append((i, bytearray(_encode_png(arr, color_type=ct,
+                                              filters=filt))))
+        truth[i] = (shape[1], shape[0], shape[2],
+                    pytest.approx(arr.mean() / 255.0, abs=1e-12))
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: (r.width, r.height, r.n_channels, r.mean_pixel)
+           for r in MM.decode_images(df, mode="real").collect()}
+    assert len(got) == 6
+    for i, (w, h, nch, mean) in truth.items():
+        assert got[i][:3] == (w, h, nch), i
+        assert got[i][3] == mean, i
