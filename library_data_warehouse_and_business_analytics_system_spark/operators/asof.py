@@ -37,6 +37,13 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str | list[str],
     are nulled out (merge_asof's ``tolerance``), evaluated AFTER the
     carry-forward so it stays one window pass.
 
+    Skew: the (key) window serializes each key's timeline in one task
+    — fine when keys are plentiful (user ids), a bottleneck if one key
+    holds a visible fraction of rows. For that regime use
+    ``asof_join_backward_bucketed`` (identical semantics, per-task
+    work capped at one time bucket); ``operators.skew.heavy_hitters``
+    tells you which regime you're in.
+
     Works for TIMESTAMP and TIMESTAMP_NTZ ``ts_col`` alike (ordering
     and timestamp_diff are type-agnostic)."""
     keys = [on] if isinstance(on, str) else list(on)
@@ -94,3 +101,98 @@ def asof_join_backward(left: DataFrame, right: DataFrame, on: str | list[str],
             .withColumnRenamed("_ts", ts_col)
             .withColumnRenamed("_match_ts", f"{ts_col}_matched")
             .drop("_side"))
+
+
+def asof_join_backward_bucketed(
+        left: DataFrame, right: DataFrame, on: str | list[str],
+        ts_col: str, payload_cols: list[str],
+        bucket: str = "1 hour",
+        tolerance_us: int | None = None) -> DataFrame:
+    """Skew-hardened as-of join: identical semantics to
+    ``asof_join_backward``, but the carry-forward window partitions by
+    (key, time-bucket) instead of (key), so one hot key no longer
+    serializes its whole timeline through a single task.
+
+    Why the plain shape can die at scale: the (key) window sorts and
+    scans each key's rows in ONE task. If a key holds 1% of a 100 TB
+    event stream, that task carries ~1 TB. Bucketing splits the
+    timeline into ``bucket``-sized slices (processed in parallel) and
+    stitches them with a second, bucket-grain pass:
+
+    1. per (key, bucket): the base union/last(ignorenulls) window —
+       rows whose nearest-previous right row is inside their own
+       bucket are final after this pass;
+    2. per (key, bucket): the LAST right payload of the bucket
+       (max_by on ts — an aggregate, not a window);
+    3. a (key)-grain window over the DISTINCT bucket spine carries
+       those bucket-last payloads strictly forward (rowsBetween
+       unbounded, -1): per-key work is now O(#buckets), not O(#rows);
+    4. left rows unmatched within their bucket take the carry-in via
+       an equi-join on (key, bucket).
+
+    Pick ``bucket`` so a hot key's densest bucket fits a task
+    comfortably (e.g. "15 minutes" for web events); detect hot keys
+    beforehand with ``operators.skew.heavy_hitters`` if unsure.
+    ``bucket`` accepts any INTERVAL literal string.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    bkt = F.window(F.col(ts_col), bucket).start.alias("_bkt")
+    l_b = left.withColumn("_bkt", bkt)
+    r_b = right.withColumn("_bkt", bkt)
+
+    # Pass 1: intra-bucket as-of (the base operator, keyed by
+    # (key, bucket)). Reuses all of its tagging/tolerance machinery —
+    # tolerance is deferred to the end so carry-ins are also clipped.
+    intra = asof_join_backward(l_b, r_b, keys + ["_bkt"], ts_col,
+                               payload_cols)
+
+    # Pass 2: last right payload per (key, bucket).
+    last_in_bucket = (
+        r_b.groupBy(*keys, "_bkt")
+        .agg(F.max(ts_col).alias("_last_ts"),
+             *[F.max_by(c, F.col(ts_col)).alias(f"_lb_{c}")
+               for c in payload_cols])
+    )
+
+    # Pass 3: bucket spine = every (key, bucket) either side touches;
+    # strict-predecessor carry-forward at bucket grain. Window size
+    # per key = number of buckets, independent of row skew.
+    spine = (l_b.select(*keys, "_bkt").distinct()
+             .unionByName(last_in_bucket.select(*keys, "_bkt"))
+             .distinct())
+    wb = (Window.partitionBy(*keys).orderBy("_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    carry = (
+        spine.join(last_in_bucket, keys + ["_bkt"], "left")
+        .select(*keys, "_bkt",
+                F.last("_last_ts", ignorenulls=True).over(wb)
+                .alias("_ci_ts"),
+                *[F.last(f"_lb_{c}", ignorenulls=True).over(wb)
+                  .alias(f"_ci_{c}") for c in payload_cols])
+    )
+
+    # Pass 4: fill the gaps. A row matched intra-bucket keeps its
+    # payload (the intra match is always >= any earlier bucket's).
+    matched_col = f"{ts_col}_matched"
+    joined = intra.join(carry, keys + ["_bkt"], "left")
+    filled = joined.select(
+        *keys,
+        *[c for c in intra.columns
+          if c not in keys + ["_bkt", matched_col] + payload_cols],
+        *[F.coalesce(F.col(c), F.col(f"_ci_{c}")).alias(c)
+          for c in payload_cols],
+        F.coalesce(F.col(matched_col), F.col("_ci_ts")).alias(matched_col),
+    )
+    if tolerance_us is not None:
+        too_old = (F.timestamp_diff("MICROSECOND", F.col(matched_col),
+                                    F.col(ts_col)) > F.lit(tolerance_us))
+        filled = filled.select(
+            *[c for c in filled.columns
+              if c not in payload_cols + [matched_col]],
+            *[F.when(too_old, F.lit(None)).otherwise(F.col(c)).alias(c)
+              for c in payload_cols],
+            F.when(too_old, F.lit(None)).otherwise(F.col(matched_col))
+            .alias(matched_col),
+        )
+    return filled.select(*left.columns,
+                         *payload_cols, matched_col)

@@ -11,7 +11,7 @@ import datetime as dt
 from pyspark.sql import functions as F
 
 from library_data_warehouse_and_business_analytics_system_spark.operators.asof import (
-    asof_join_backward,
+    asof_join_backward, asof_join_backward_bucketed,
 )
 
 
@@ -77,3 +77,78 @@ def test_multi_key_and_ntz(spark):
                                         ["price"]).collect()}
     assert rows[(1, "a")] == 99.0
     assert rows[(1, "b")] is None
+
+
+# ---------------------------------------------------------------------------
+# Skew-hardened bucketed variant: must be semantically identical to the
+# plain operator on any input; its windows must partition by
+# (key, bucket) so a hot key's timeline never serializes in one task.
+
+
+def test_bucketed_matches_plain_randomized(spark):
+    """Randomized differential: bucketed vs plain as-of on seeded data
+    with a deliberately hot key (80% of rows), cross-bucket matches
+    (sparse right side), ties at bucket edges, and NULL-gap leads."""
+    import random
+    rng = random.Random(13)
+    _ts0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for i in range(400):
+        k = 1 if rng.random() < 0.8 else rng.randrange(2, 6)
+        s = rng.randrange(0, 3600)
+        lrows.append((k, _ts0 + dt.timedelta(seconds=s), f"L{i}"))
+    for i in range(60):
+        k = 1 if rng.random() < 0.8 else rng.randrange(2, 6)
+        s = rng.randrange(0, 3600)
+        rrows.append((k, _ts0 + dt.timedelta(seconds=s), f"R{i}"))
+    # right must be unique per (k, ts): dedup ties deterministically
+    seen = {}
+    for k, ts, v in rrows:
+        seen[(k, ts)] = v
+    rrows = [(k, ts, v) for (k, ts), v in seen.items()]
+    left = spark.createDataFrame(lrows, "k long, ts timestamp, lval string")
+    right = spark.createDataFrame(rrows, "k long, ts timestamp, rval string")
+    for tol in (None, 120_000_000):
+        plain = {(r.k, r.ts, r.lval): (r.rval, r.ts_matched)
+                 for r in asof_join_backward(
+                     left, right, "k", "ts", ["rval"],
+                     tolerance_us=tol).collect()}
+        bucketed = {(r.k, r.ts, r.lval): (r.rval, r.ts_matched)
+                    for r in asof_join_backward_bucketed(
+                        left, right, "k", "ts", ["rval"],
+                        bucket="5 minutes", tolerance_us=tol).collect()}
+        assert bucketed == plain, f"tolerance={tol}"
+
+
+def test_bucketed_small_case_cross_bucket_carry(spark):
+    left, right = _frames(spark)
+    out = {r.lval: (r.rval, r.ts_matched)
+           for r in asof_join_backward_bucketed(
+               left, right, "k", "ts", ["rval"],
+               bucket="7 seconds").collect()}
+    # L20 (bucket [14,21)) matches R15 intra-bucket; L10 matches R10
+    # exactly at its own instant; L5 has no predecessor at all.
+    assert out["L10"] == ("R10", _ts(10))
+    assert out["L20"] == ("R15", _ts(15))
+    assert out["L5"] == (None, None)
+    assert out["L30"] == (None, None)
+
+
+def test_bucketed_windows_partition_by_bucket(spark):
+    """Every window in the bucketed plan must include the bucket in its
+    partition spec except the bucket-spine stitch (whose row count is
+    #buckets, not #rows) — the property that caps per-key task size."""
+    left, right = _frames(spark)
+    plan = asof_join_backward_bucketed(left, right, "k", "ts", ["rval"],
+                                       bucket="7 seconds") \
+        ._jdf.queryExecution().executedPlan().toString()
+    # a Window node line ends "... AS x#n], [partitionSpec], [orderSpec]"
+    partition_specs = [
+        line.rsplit("], [", 2)[1]
+        for line in plan.splitlines() if "Window [" in line]
+    assert partition_specs, plan
+    row_grain = [p for p in partition_specs if "_bkt" in p]
+    spine_grain = [p for p in partition_specs if "_bkt" not in p]
+    assert row_grain, "expected (key, bucket)-partitioned windows"
+    # the only key-grain window is the bucket-spine carry pass
+    assert len(spine_grain) <= 1, plan
