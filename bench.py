@@ -58,20 +58,47 @@ def main() -> None:
             except Exception:
                 errors[spec.name] = traceback.format_exc(limit=2)[-400:]
 
+    # Variance protocol (round-5): single samples produced an
+    # unexplained 11x cross-round swing on embedding_near_dups
+    # (43.2s driver vs 3.8s committed, same code — VERDICT r4).
+    # Headliners and the pair/cluster family are timed 3x and the
+    # MEDIAN is reported, with (min, med, max) preserved in
+    # BENCH_FULL.json["stats"] so regressions are distinguishable
+    # from JIT/GC noise.  Breadth queries stay single-run.
+    PIN_MEDIAN = {
+        "embedding_near_dups", "embedding_near_dups_strict",
+        "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_dups",
+        "dedup_clusters", "dedup_kept_corpus",
+    }
+
     timings: dict[str, float] = {}
+    stats: dict[str, list[float]] = {}
     skipped: list[str] = []
     for spec in specs:
         if not spec.bench and time.perf_counter() - t_begin > budget:
             skipped.append(spec.name)
             continue
-        start = time.perf_counter()
-        try:
-            spec.fn(spark, sf_dir).collect()
-        except Exception:
-            errors.setdefault(spec.name,
-                              traceback.format_exc(limit=2)[-400:])
+        n_runs = 3 if (spec.bench or spec.name in PIN_MEDIAN) else 1
+        samples: list[float] = []
+        failed = False
+        for _ in range(n_runs):
+            start = time.perf_counter()
+            try:
+                spec.fn(spark, sf_dir).collect()
+            except Exception:
+                errors.setdefault(spec.name,
+                                  traceback.format_exc(limit=2)[-400:])
+                failed = True
+                break
+            samples.append(time.perf_counter() - start)
+        if failed or not samples:
             continue
-        timings[spec.name] = round(time.perf_counter() - start, 4)
+        samples.sort()
+        timings[spec.name] = round(samples[len(samples) // 2], 4)
+        if n_runs > 1:
+            stats[spec.name] = [round(samples[0], 4),
+                                round(samples[len(samples) // 2], 4),
+                                round(samples[-1], 4)]
 
     headline = round(sum(t for n, t in timings.items() if QUERIES[n].bench), 4)
 
@@ -119,6 +146,7 @@ def main() -> None:
         "value": headline,
         "unit": "sec",
         "queries": all_timings,
+        "stats": stats,
         "all_queries_total": round(sum(timings.values()), 4),
         "n_queries": len(timings),
         "skipped": skipped,
