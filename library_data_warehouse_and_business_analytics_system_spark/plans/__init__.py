@@ -28,6 +28,8 @@ from . import library_gate  # noqa: E402,F401
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
           "lqy_query1", "lqy_query2", "lqy_query3", "lsh_ann_topk_forced",
+          "doc_repetition_scores", "benchmark_contamination",
+          "events_json_props",
           # green only in round 1 (stale schema era):
           "cube_order_stats", "grouping_sets_orders", "brand_revenue_share",
           "acctbal_banding", "quarterly_pivot", "order_size_distribution",
@@ -59,7 +61,11 @@ _LATE = [  # all green r4 (and 3-4× green overall); families covered by
          "lang_id_confusion",           # lang via top_tokens_per_lang
          "events_tumbling_hourly",      # windows via events_sliding_1h30m
          "events_session_windows",      # sessions via events_sessionize
-         "nation_set_ops"]              # J4 via suppliers_of_large_shipments
+         "nation_set_ops",              # J4 via suppliers_of_large_shipments
+         # rotated out round 5 (4x green, families in-window):
+         "events_json_extract",         # JSON via events_json_props
+         "dedup_exact",                 # hash dedup via dedup_kept_corpus
+         "text_quality_scores"]         # text via doc_repetition_scores
 
 
 def _reorder() -> None:

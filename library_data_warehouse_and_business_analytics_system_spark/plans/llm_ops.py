@@ -869,3 +869,98 @@ def dedup_kept_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars").cast("bigint").alias("kept_chars"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition scoring (round-5 text-quality addition):
+# distinct-token ratio per document — the cheap "is this doc a loop of
+# the same phrase" filter every corpus pipeline runs before training.
+# Pure JVM HOFs (split / array_distinct / size); one scan, no shuffle
+# until the final ORDER BY (gate-only — a pipeline would keep it
+# unsorted).
+
+
+@register(
+    "doc_repetition_scores",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    )
+    SELECT doc_id, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                 / CAST(len(toks) AS DOUBLE) AS repetition_ratio,
+           CASE WHEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+                      / CAST(len(toks) AS DOUBLE) > 0.5
+                THEN 1 ELSE 0 END AS is_repetitive
+    FROM tok
+    ORDER BY doc_id
+    """,
+    operators=("TEXT-REPETITION", "P1"),
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source",
+                       TX.tokens(F.lower(F.col("text"))).alias("toks"))
+    n_tok = F.size("toks").cast("bigint")
+    n_dis = F.size(F.array_distinct("toks")).cast("bigint")
+    ratio = F.lit(1.0) - n_dis.cast("double") / n_tok.cast("double")
+    return (
+        toks.select("doc_id", "source",
+                    n_tok.alias("n_tokens"),
+                    n_dis.alias("n_distinct_tokens"),
+                    ratio.alias("repetition_ratio"),
+                    F.when(ratio > 0.5, 1).otherwise(0)
+                    .alias("is_repetitive"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (round-5): training docs sharing word
+# 5-grams with the held-out split of the SAME hash bucketing that
+# doc_hash_split certifies (buckets 0-7 train, 9 test).  The Spark
+# side joins on xxhash64(gram); the oracle joins the gram STRINGS —
+# equal results unless xxhash64 collides (~0 at any realistic gram
+# count; collisions would only over-flag, see operators/decontaminate).
+
+
+@register(
+    "benchmark_contamination",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(text), 1, 6) AS INTEGER) % 10 AS bucket,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, bucket,
+             array_to_string(toks[i:i+4], ' ') AS gram
+      FROM base,
+           UNNEST(range(1, greatest(len(toks) - 4, 1) + 1)) AS t(i)
+    )
+    SELECT tr.doc_id AS train_doc_id,
+           COUNT(DISTINCT tr.gram) AS n_shared_grams,
+           COUNT(DISTINCT te.doc_id) AS n_test_docs
+    FROM grams tr
+    JOIN grams te ON tr.gram = te.gram
+    WHERE tr.bucket < 8 AND te.bucket = 9
+    GROUP BY tr.doc_id
+    ORDER BY train_doc_id
+    """,
+    operators=("DECONTAMINATE", "SPLIT-HASH", "J1", "A3"),
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.decontaminate import ngram_contamination
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int"),
+        F.lit(10))
+    with_bucket = docs.select("doc_id", "text", bucket.alias("bucket"))
+    train = with_bucket.where(F.col("bucket") < 8)
+    test = with_bucket.where(F.col("bucket") == 9)
+    return ngram_contamination(train, test, n=5)

@@ -255,3 +255,54 @@ def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("ts")).cast("long").alias("gap_us"))
         .orderBy("purchase_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured props via TYPED struct parsing (round-5).  The
+# sibling `events_json_extract` (core_sql2) uses per-path
+# `get_json_object`, which re-parses the document once per extracted
+# field; this variant parses ONCE with `from_json` + explicit schema —
+# the shape to use when several fields are pulled from the same JSON
+# column at scale.  Both stay inside whole-stage codegen (never a
+# Python UDF); malformed documents yield NULL (PERMISSIVE), identical
+# to DuckDB's extract-then-cast.
+
+
+@register(
+    "events_json_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS DOUBLE)
+             / COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT))
+             AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    operators=("JSON-EXTRACT", "A1", "P1"),
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    per_type = (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.count("k").alias("n_with_k"),
+             F.sum("k").cast("bigint").alias("sum_k"),
+             F.min("k").cast("bigint").alias("min_k"),
+             F.max("k").cast("bigint").alias("max_k"),
+             (F.sum("k").cast("double") / F.count("k")).alias("avg_k"))
+    )
+    return per_type.orderBy("event_type")

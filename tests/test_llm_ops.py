@@ -401,3 +401,31 @@ def test_embedding_near_dup_bucketed_matches_brute(emb):
                 dedup.embedding_near_dup_pairs_bucketed(
                     emb, "embedding", "vec_id", 0.4, dim=64).collect()}
     assert bucketed == brute
+
+
+def test_ngram_contamination_synthetic(spark):
+    """Known-answer decontamination: doc 1 shares one 5-gram with eval
+    doc 10, doc 2 shares two distinct 5-grams across BOTH eval docs,
+    doc 3 is clean.  Short-doc semantics: a <5-token doc forms one
+    whole-text gram (doc 4 vs eval doc 12)."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.decontaminate import (  # noqa: E501
+        ngram_contamination,
+    )
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),       # gram1 @pos1
+         (2, "alpha beta gamma delta epsilon x q w e r t y u second gram here also shared now"),  # noqa: E501
+         (3, "totally different words with no overlap at all"),
+         (4, "tiny snippet")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon"),            # shares gram1
+         (11, "second gram here also shared now padpad"),   # shares 2 grams w/ doc2
+         (12, "tiny snippet")],                             # whole-doc gram
+        "doc_id long, text string")
+    got = {r.train_doc_id: (r.n_shared_grams, r.n_test_docs)
+           for r in ngram_contamination(train, test, n=5).collect()}
+    # doc1: one shared gram with doc10. doc2: gram1 with doc10 plus
+    # "second gram here also shared"/"gram here also shared now" with
+    # doc11 -> 3 distinct grams over 2 test docs. doc4: whole-doc gram
+    # with doc12. doc3: absent.
+    assert got == {1: (1, 1), 2: (3, 2), 4: (1, 1)}

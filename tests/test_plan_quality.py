@@ -112,6 +112,9 @@ def test_registry_gate_ordering():
     # is r2/r3.
     for must_gate in ("lqy_query1", "lqy_query2", "lqy_query3",
                       "lsh_ann_topk_forced",
+                      # round-5 new registrations:
+                      "doc_repetition_scores", "benchmark_contamination",
+                      "events_json_props",
                       "cube_order_stats", "grouping_sets_orders",
                       "brand_revenue_share", "acctbal_banding",
                       "quarterly_pivot", "order_size_distribution",
@@ -129,8 +132,10 @@ def test_registry_gate_ordering():
         assert names.index(must_gate) < 50, must_gate
     # multiply-green round-4 queries rotate to the tail
     redundant_tail = {"pricing_summary", "revenue_by_nation",
-                      "cosine_topk", "nation_set_ops"}
-    assert redundant_tail <= set(names[-20:])
+                      "cosine_topk", "nation_set_ops",
+                      "events_json_extract", "dedup_exact",
+                      "text_quality_scores"}
+    assert redundant_tail <= set(names[-23:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
