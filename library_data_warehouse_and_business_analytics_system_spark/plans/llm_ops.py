@@ -964,3 +964,57 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = with_bucket.where(F.col("bucket") < 8)
     test = with_bucket.where(F.col("bucket") == 9)
     return ngram_contamination(train, test, n=5)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (round-5): per-source keep rates —
+# the "data mixing" step that up/down-weights corpus sources before
+# training.  Membership is decided by a salted content hash mapped to
+# [0, 1000), NOT by rand(): the sample is reproducible across runs,
+# engines, and partitionings, and is independent of the train/val/test
+# hash (different salt).  One scan, map-side filter, tiny rollup.
+
+
+@register(
+    "stratified_doc_sample",
+    r"""
+    WITH hashed AS (
+      SELECT source, n_chars, text,
+             CAST('0x' || substr(md5('sample:' || text), 1, 6) AS INTEGER)
+               % 1000 AS h
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+')))
+                AS BIGINT) AS kept_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM hashed
+    WHERE h < CASE source WHEN 'src0' THEN 1000
+                          WHEN 'src1' THEN 500
+                          WHEN 'src2' THEN 250
+                          ELSE 100 END
+    GROUP BY source
+    ORDER BY source
+    """,
+    operators=("SAMPLE-STRATIFIED", "P2", "A1"),
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("text"))),
+                           1, 6), 16, 10).cast("int"),
+        F.lit(1000))
+    rate = (F.when(F.col("source") == "src0", 1000)
+            .when(F.col("source") == "src1", 500)
+            .when(F.col("source") == "src2", 250)
+            .otherwise(100))
+    kept = docs.where(h < rate)
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"),
+             F.sum(TX.token_count(F.col("text")).cast("bigint"))
+             .cast("bigint").alias("kept_tokens"),
+             F.sum("n_chars").cast("bigint").alias("kept_chars"))
+        .orderBy("source")
+    )
