@@ -1018,3 +1018,51 @@ def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_chars").cast("bigint").alias("kept_chars"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence chunking (round-5): split each document into
+# fixed-size token chunks (64 here; 2k/4k/8k in production) — the
+# packing step between corpus curation and tokenizer sharding.
+# Embarrassingly parallel: tokenize once, explode per chunk index,
+# slice from the shared array — NO shuffle until the gate-only ORDER
+# BY.  Each chunk carries an md5 content hash so shards can be
+# verified after any repartition/rewrite.
+
+
+@register(
+    "doc_chunk_packing",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             t[i*64+1 : i*64+64] AS chunk
+      FROM toks,
+           UNNEST(range(0, CAST(ceil(len(t)/64.0) AS INTEGER))) AS u(i)
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    operators=("CHUNK-PACK", "S9", "P1"),
+)
+def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    n_chunks = F.ceil(F.size("t") / F.lit(64.0)).cast("int")
+    exploded = toked.select(
+        "doc_id", "t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice(F.col("t"), F.col("chunk_idx") * 64 + 1, 64)
+    return (
+        exploded.select(
+            "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    )
