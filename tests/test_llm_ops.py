@@ -429,3 +429,33 @@ def test_ngram_contamination_synthetic(spark):
     # doc11 -> 3 distinct grams over 2 test docs. doc4: whole-doc gram
     # with doc12. doc3: absent.
     assert got == {1: (1, 1), 2: (3, 2), 4: (1, 1)}
+
+
+def test_chunk_packing_partitions_tokens(spark, tmp_path):
+    """Chunking must PARTITION each doc's token sequence: ceil(n/64)
+    chunks, every chunk but the last exactly 64 tokens, totals equal
+    the doc's token count (no token lost or duplicated)."""
+    import math
+
+    from library_data_warehouse_and_business_analytics_system_spark.plans import (
+        QUERIES,
+    )
+    rows = [(i, " ".join(f"w{i}_{j}" for j in range(n)))
+            for i, n in enumerate([1, 63, 64, 65, 128, 200, 301])]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(str(d))
+    out = (QUERIES["doc_chunk_packing"].fn(spark, str(tmp_path))
+           .collect())
+    per_doc: dict[int, list] = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert set(per_doc) == {i for i, _ in rows}
+    for i, text in rows:
+        chunks = per_doc[i]
+        n = len(text.split())
+        chunks.sort(key=lambda r: r.chunk_idx)
+        assert len(chunks) == math.ceil(n / 64)
+        assert [c.chunk_idx for c in chunks] == list(range(len(chunks)))
+        assert all(c.n_chunk_tokens == 64 for c in chunks[:-1])
+        assert sum(c.n_chunk_tokens for c in chunks) == n
+        assert len({c.chunk_hash for c in chunks}) == len(chunks)
