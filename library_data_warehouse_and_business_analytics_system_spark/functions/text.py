@@ -174,3 +174,41 @@ def predict_lang_from(t: Column, tokens_lower: Column) -> Column:
     ])
     best = F.array_max(F.filter(pairs, lambda p: p.score > 0))
     return F.coalesce(best.lang, F.lit("und"))
+
+
+#: PII patterns → replacement tags, applied in order: email before
+#: phone (a dotted local-part must not be half-eaten by the phone
+#: rule), SSN before phone (the looser phone rule matches the SSN
+#: shape).  Deliberately conservative/deterministic regexes — a corpus
+#: scrub wants reproducible output, not maximum recall; swap in a
+#: trained recognizer behind the same column contract when available.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact email / IPv4 / phone-like / SSN-like spans with typed
+    placeholder tags. Pure chained ``regexp_replace`` — JVM-side,
+    single pass per pattern, no UDF; at 100 TB this is a map-only
+    stage fused into whatever scan feeds it."""
+    out = text
+    for pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_hits(text: Column) -> Column:
+    """How many PII spans :func:`scrub_pii` would redact (sum over
+    pattern classes, counted on the progressively scrubbed text so the
+    classes never double-count one span)."""
+    total = F.lit(0)
+    scrubbed = text
+    for pattern, _tag in PII_PATTERNS:
+        total = total + F.size(F.regexp_extract_all(scrubbed,
+                                                    F.lit(pattern), 0))
+        scrubbed = F.regexp_replace(scrubbed, pattern, "")
+    return total

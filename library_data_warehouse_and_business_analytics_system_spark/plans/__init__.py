@@ -30,7 +30,7 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "lqy_query1", "lqy_query2", "lqy_query3", "lsh_ann_topk_forced",
           "doc_repetition_scores", "benchmark_contamination",
           "events_json_props", "stratified_doc_sample",
-          "doc_chunk_packing",
+          "doc_chunk_packing", "quality_topn_per_source",
           # green only in round 1 (stale schema era):
           "cube_order_stats", "grouping_sets_orders", "brand_revenue_share",
           "acctbal_banding", "quarterly_pivot", "order_size_distribution",
@@ -68,7 +68,8 @@ _LATE = [  # all green r4 (and 3-4× green overall); families covered by
          "dedup_exact",                 # hash dedup via dedup_kept_corpus
          "text_quality_scores",         # text via doc_repetition_scores
          "ngram_jaccard_dups",          # pair path inside dedup_kept_corpus
-         "embedding_near_dups"]         # bucketed path via _strict oracle
+         "embedding_near_dups",         # bucketed path via _strict oracle
+         "top_customers_per_nation"]    # W2 via top_tokens_per_lang + quality_topn
 
 
 def _reorder() -> None:

@@ -1066,3 +1066,62 @@ def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(chunk, " ")).alias("chunk_hash"))
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-based selection (round-5): per-source top-N documents by the
+# composite quality heuristic — the "keep the best K docs per domain"
+# curation step.  Two-level shape: the quality score is a map-side
+# projection (shared token arrays, no shuffle), the selection is one
+# window over (source) — at scale the window input is the already
+# scored corpus, so the shuffle carries (source, doc_id, quality)
+# triples, never text.
+
+
+@register(
+    "quality_topn_per_source",
+    f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             list_reduce(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                        t -> CAST(len(t) AS DOUBLE)),
+                         (a, x) -> a + x)
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_tok_len,
+             GREATEST({_SW_HITS_SQL}) AS max_sw_hits
+      FROM documents
+    ), quality AS (
+      SELECT doc_id, source,
+             (CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1.0
+                   WHEN n_tokens BETWEEN 10 AND 49 THEN 0.5 ELSE 0.0 END
+              + CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+              + CASE WHEN max_sw_hits > 0 THEN 1.0 ELSE 0.0 END) / 3.0
+               AS quality
+      FROM scored
+    ), ranked AS (
+      SELECT source, doc_id, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rank
+      FROM quality
+    )
+    SELECT source, doc_id, quality, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY source, rank
+    """,
+    operators=("QUALITY-SELECT", "TEXT-QUALITY", "W2"),
+)
+def quality_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("_t"),
+    ).withColumn("_tl", F.transform("_t", F.lower))
+    scored = toked.select(
+        "source", "doc_id",
+        TX.quality_score_from(F.col("_t"), F.col("_tl")).alias("quality"))
+    w = Window.partitionBy("source").orderBy(F.col("quality").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_id", "quality", "rank")
+        .orderBy("source", "rank")
+    )

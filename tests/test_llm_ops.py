@@ -459,3 +459,23 @@ def test_chunk_packing_partitions_tokens(spark, tmp_path):
         assert all(c.n_chunk_tokens == 64 for c in chunks[:-1])
         assert sum(c.n_chunk_tokens for c in chunks) == n
         assert len({c.chunk_hash for c in chunks}) == len(chunks)
+
+
+def test_scrub_pii_redacts_known_spans(spark):
+    """Email/IP/phone/SSN spans are replaced with typed tags; clean
+    text passes through byte-identical; hit counts match span counts."""
+    from library_data_warehouse_and_business_analytics_system_spark.functions import (
+        text as TX,
+    )
+    rows = [
+        (1, "contact john.doe+spam@example.co.uk or 10.0.0.1 today"),
+        (2, "call +1 (415) 555-0199 re: ssn 123-45-6789"),
+        (3, "perfectly clean sentence with numbers 42 and 7"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: (r.s, r.n) for r in df.select(
+        "id", TX.scrub_pii(F.col("text")).alias("s"),
+        TX.pii_hits(F.col("text")).alias("n")).collect()}
+    assert out[1] == ("contact <EMAIL> or <IP> today", 2)
+    assert out[2] == ("call <PHONE> re: ssn <SSN>", 2)
+    assert out[3] == ("perfectly clean sentence with numbers 42 and 7", 0)

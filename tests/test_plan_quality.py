@@ -115,7 +115,7 @@ def test_registry_gate_ordering():
                       # round-5 new registrations:
                       "doc_repetition_scores", "benchmark_contamination",
                       "events_json_props", "stratified_doc_sample",
-                      "doc_chunk_packing",
+                      "doc_chunk_packing", "quality_topn_per_source",
                       "cube_order_stats", "grouping_sets_orders",
                       "brand_revenue_share", "acctbal_banding",
                       "quarterly_pivot", "order_size_distribution",
@@ -136,8 +136,8 @@ def test_registry_gate_ordering():
                       "cosine_topk", "nation_set_ops",
                       "events_json_extract", "dedup_exact",
                       "text_quality_scores", "ngram_jaccard_dups",
-                      "embedding_near_dups"}
-    assert redundant_tail <= set(names[-25:])
+                      "embedding_near_dups", "top_customers_per_nation"}
+    assert redundant_tail <= set(names[-26:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
