@@ -479,3 +479,20 @@ def test_scrub_pii_redacts_known_spans(spark):
     assert out[1] == ("contact <EMAIL> or <IP> today", 2)
     assert out[2] == ("call <PHONE> re: ssn <SSN>", 2)
     assert out[3] == ("perfectly clean sentence with numbers 42 and 7", 0)
+
+
+def test_stratified_sample_stable_under_repartition(spark, sf_dir):
+    """The sample membership must be a pure function of content — the
+    same rows survive no matter how the input is partitioned or
+    ordered (the property rand()-based sampling does NOT have)."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans import (
+        QUERIES,
+    )
+    base = QUERIES["stratified_doc_sample"].fn(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        (docs.repartition(7).sortWithinPartitions("source")
+         .write.parquet(f"{d}/documents.parquet"))
+        again = QUERIES["stratified_doc_sample"].fn(spark, d).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, again))

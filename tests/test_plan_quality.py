@@ -145,3 +145,29 @@ def test_broadcast_joins_for_dimensions(plans):
     fact side for a 25-row dimension)."""
     for name in ("revenue_by_nation", "nation_customer_counts"):
         assert "BroadcastHashJoin" in plans[name], name
+
+
+def test_round5_pipeline_plan_contracts(plans):
+    """Targeted shapes for the round-5 pipeline queries.
+
+    - chunk packing is map-side: its ONLY exchange is the gate-only
+      global ORDER BY (rangepartitioning) — a second exchange would
+      mean the explode/slice started shuffling tokens;
+    - stratified sampling must prune the scan to exactly the columns
+      the filter/rollup read (no doc_id, no lang);
+    - contamination joins hashed grams with a broadcast of the (small)
+      held-out side — never a shuffled join of raw text, never a
+      cartesian.
+    """
+    chunk = plans["doc_chunk_packing"]
+    assert chunk.count("Exchange") == 1, "chunking must stay map-side"
+    assert "rangepartitioning" in chunk
+
+    sample = plans["stratified_doc_sample"]
+    scans = [ln for ln in sample.splitlines() if "ReadSchema" in ln]
+    assert scans and all("doc_id" not in ln and "lang" not in ln
+                         for ln in scans)
+
+    contam = plans["benchmark_contamination"]
+    assert "BroadcastHashJoin" in contam
+    assert "CartesianProduct" not in contam
