@@ -496,3 +496,40 @@ def test_stratified_sample_stable_under_repartition(spark, sf_dir):
          .write.parquet(f"{d}/documents.parquet"))
         again = QUERIES["stratified_doc_sample"].fn(spark, d).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, again))
+
+
+def test_group_covariance_spectrum_matches_numpy(emb):
+    """applyInPandas spectral diagnostics must reproduce a driver-side
+    numpy computation exactly (same covariance convention, same
+    entropy-based effective rank), including the n=1 degenerate group."""
+    import math
+
+    import numpy as np
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.embeddings import (  # noqa: E501
+        group_covariance_spectrum,
+    )
+    got = {r.label: r for r in
+           group_covariance_spectrum(emb, "embedding", "label").collect()}
+    rows = emb.select("label", "embedding").collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    assert set(got) == set(by_label)
+    for label, vecs in by_label.items():
+        X = np.array(vecs, dtype=np.float64)
+        r = got[label]
+        assert r.n == len(vecs)
+        if len(vecs) < 2:
+            assert (r.trace, r.top_eig, r.effective_rank) == (0.0, 0.0, 0.0)
+            continue
+        eig = np.clip(np.linalg.eigvalsh(np.cov(X, rowvar=False, bias=True)),
+                      0.0, None)
+        assert math.isclose(r.trace, eig.sum(), rel_tol=1e-9)
+        assert math.isclose(r.top_eig, eig.max(), rel_tol=1e-9)
+        p = eig[eig > 0] / eig.sum()
+        assert math.isclose(r.effective_rank,
+                            float(np.exp(-(p * np.log(p)).sum())),
+                            rel_tol=1e-9)
+        # sanity: effective rank is within [1, dim]
+        assert 1.0 <= r.effective_rank <= 64.0
