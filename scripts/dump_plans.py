@@ -56,12 +56,34 @@ NOTES = {
                                   "vectors only for survivors.",
     "fact_surrogate_keys_audit": "partition-local row_number + offsets — "
                                  "no SinglePartition Exchange anywhere.",
+    "benchmark_contamination": "distinct (doc, gram-hash) per side; "
+                               "broadcast hash join on the 8-byte hash "
+                               "(held-out side is small by construction); "
+                               "two-phase distinct-agg rollup.",
+    "doc_chunk_packing": "tokenize once → explode chunk indices → slice "
+                         "the shared array: map-side only, single "
+                         "rangepartitioning Exchange for the gate-only "
+                         "ORDER BY.",
+    "stratified_doc_sample": "salted-hash membership filter fused into the "
+                             "scan projection; rollup shuffles one row per "
+                             "source.",
+    "quality_topn_per_source": "quality scored map-side from shared token "
+                               "arrays; rank window shuffles (source, "
+                               "doc_id, quality) triples, never text.",
+    "doc_repetition_scores": "pure JVM HOFs (split/array_distinct/size); "
+                             "no shuffle before the gate ORDER BY.",
+    "events_json_props": "from_json parses the props column ONCE into a "
+                         "typed struct inside codegen; two-phase agg.",
 }
 
 #: Non-headline queries whose plans are audit-worthy (new scale
 #: surfaces); dumped after the headline set.
 EXTRA_PLANS = ["events_asof_purchase_view", "embedding_near_dups_strict",
-               "fact_surrogate_keys_audit"]
+               "fact_surrogate_keys_audit",
+               # round-5 pipeline additions
+               "benchmark_contamination", "doc_chunk_packing",
+               "stratified_doc_sample", "quality_topn_per_source",
+               "doc_repetition_scores", "events_json_props"]
 
 
 def main() -> None:
