@@ -12,8 +12,10 @@ signatures, partition preservation — is oracle-checkable end-to-end
 on the driver's documents table); ``mode="real"`` actually decodes
 pixels — through PIL when importable, else the pure-stdlib PNG
 decoder in functions/png_codec.py (this container has no
-PIL/cv2/torchaudio). Audio/video byte decode remains stubbed behind
-the fake tier.
+PIL/cv2/torchaudio). Audio ``mode="real"`` parses PCM WAV with the
+stdlib ``wave`` codec; compressed audio and video byte decode remain
+stubbed behind the fake tier (would slot in behind the same
+mapInPandas signatures via torchaudio/cv2 when available).
 
 All per-row Python work runs in ``mapInPandas`` (Arrow-batched, one
 Python worker per partition); nothing here shuffles, so throughput
@@ -214,3 +216,88 @@ def documents_as_media(df: DataFrame) -> DataFrame:
             (F.col("n_chars").cast("long") * 10).alias("duration_ms"),
         ).alias("meta"),
     )
+
+
+AUDIO_DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_channels", IntegerType()),
+    StructField("bit_depth", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("duration_ms", LongType()),
+    StructField("rms", DoubleType()),
+])
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, int, int, int, float]:
+    """PCM WAV (RIFF) → (sample_rate, n_channels, bit_depth, n_frames,
+    duration_ms, rms) via the stdlib ``wave`` module — no codec libs
+    needed. RMS is over all samples, normalized to [0, 1] by the bit
+    depth's full scale (8-bit WAV is unsigned, wider depths signed)."""
+    import array
+    import io
+    import math
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload))) as w:
+        rate = w.getframerate()
+        n_ch = w.getnchannels()
+        width = w.getsampwidth()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if width == 1:
+        samples = [b - 128 for b in raw]          # unsigned 8-bit
+        full = 128.0
+    elif width == 2:
+        samples = array.array("h", raw)           # signed 16-bit LE
+        full = 32768.0
+    elif width == 4:
+        samples = array.array("i", raw)           # signed 32-bit LE
+        full = 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width}")
+    if samples:
+        rms = math.sqrt(sum(s * s for s in samples) / len(samples)) / full
+    else:
+        rms = 0.0
+    return (rate, n_ch, 8 * width, n_frames,
+            int(n_frames * 1000 / rate) if rate else 0, rms)
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, int, int, int, int, float]:
+    """Deterministic pseudo-decode from the payload's md5 (the same
+    oracle-reproducible contract as :func:`fake_decode`)."""
+    h = hashlib.md5(payload).hexdigest()
+    rate = (8000, 16000, 22050, 44100)[int(h[0], 16) % 4]
+    n_ch = 1 + int(h[1], 16) % 2
+    depth = (8, 16, 32)[int(h[2], 16) % 3]
+    n_frames = 1000 + int(h[3:8], 16) % 100_000
+    rms = int(h[8:12], 16) / 65535.0
+    return rate, n_ch, depth, n_frames, int(n_frames * 1000 / rate), rms
+
+
+def decode_audio(df: DataFrame, payload_col: str = "data",
+                 id_col: str = "media_id", mode: str = "fake") -> DataFrame:
+    """Audio payload → typed stats via the same streaming mapInPandas
+    contract as :func:`decode_images`. ``mode="real"`` parses PCM WAV
+    with the stdlib codec (works in codec-free containers); compressed
+    formats would slot in behind the same signature via torchaudio /
+    soundfile when available."""
+    if mode == "real":
+        decode = _decode_wav
+    elif mode == "fake":
+        decode = fake_decode_audio
+    else:
+        raise ValueError(f"decode_audio: unknown mode {mode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(decoded,
+                               columns=["sample_rate", "n_channels",
+                                        "bit_depth", "n_frames",
+                                        "duration_ms", "rms"])
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, AUDIO_DECODED_SCHEMA)

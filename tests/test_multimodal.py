@@ -262,3 +262,70 @@ def test_real_decode_end_to_end(spark):
     for i, (w, h, nch, mean) in truth.items():
         assert got[i][:3] == (w, h, nch), i
         assert got[i][3] == mean, i
+
+
+def test_decode_audio_real_wav_roundtrip(spark):
+    """Real-tier WAV decode: generate PCM WAVs with the stdlib writer
+    (16-bit sine, 8-bit silence, stereo ramp), decode through the
+    mapInPandas operator, check every field against the known signal."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.multimodal import (  # noqa: E501
+        decode_audio,
+    )
+
+    def make_wav(rate, n_ch, width, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(n_ch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return buf.getvalue()
+
+    # 1: 16-bit mono full-scale-half sine, 8000 Hz, 800 frames
+    sine = b"".join(struct.pack("<h", int(16384 * math.sin(2 * math.pi *
+                                                           440 * i / 8000)))
+                    for i in range(800))
+    # 2: 8-bit mono silence (unsigned midpoint 128), 16000 Hz
+    silence = bytes([128] * 1600)
+    # 3: 16-bit stereo constant amplitude 1000
+    stereo = struct.pack("<h", 1000) * (2 * 441)
+    rows = [(1, make_wav(8000, 1, 2, sine)),
+            (2, make_wav(16000, 1, 1, silence)),
+            (3, make_wav(44100, 2, 2, stereo))]
+    df = spark.createDataFrame(rows, "media_id long, data binary")
+    got = {r.media_id: r for r in decode_audio(df, mode="real").collect()}
+
+    r1 = got[1]
+    assert (r1.sample_rate, r1.n_channels, r1.bit_depth, r1.n_frames,
+            r1.duration_ms) == (8000, 1, 16, 800, 100)
+    expected_rms = math.sqrt(sum(
+        int(16384 * math.sin(2 * math.pi * 440 * i / 8000)) ** 2
+        for i in range(800)) / 800) / 32768.0
+    assert math.isclose(r1.rms, expected_rms, rel_tol=1e-12)
+
+    r2 = got[2]
+    assert (r2.sample_rate, r2.bit_depth, r2.n_frames, r2.rms) == \
+        (16000, 8, 1600, 0.0)
+
+    r3 = got[3]
+    assert (r3.sample_rate, r3.n_channels, r3.n_frames) == (44100, 2, 441)
+    assert math.isclose(r3.rms, 1000 / 32768.0, rel_tol=1e-12)
+
+
+def test_decode_audio_fake_tier_deterministic(spark):
+    from library_data_warehouse_and_business_analytics_system_spark.operators.multimodal import (  # noqa: E501
+        decode_audio,
+    )
+    df = spark.createDataFrame([(1, b"abc"), (2, b"abc"), (3, b"xyz")],
+                               "media_id long, data binary")
+    rows = {r.media_id: (r.sample_rate, r.n_channels, r.bit_depth,
+                         r.n_frames, r.duration_ms, r.rms)
+            for r in decode_audio(df, mode="fake").collect()}
+    assert rows[1] == rows[2]          # same payload → same stats
+    assert rows[1] != rows[3]
+    assert rows[1][0] in (8000, 16000, 22050, 44100)
