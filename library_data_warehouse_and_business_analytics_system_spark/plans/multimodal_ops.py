@@ -63,3 +63,42 @@ def media_frame_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("frame_ts_ms").alias("last_frame_ts_ms"))
         .orderBy("media_id")
     )
+
+
+@register(
+    "media_audio_stats",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS x FROM documents)
+    SELECT doc_id AS media_id,
+           CAST(CASE CAST('0x' || substr(x, 1, 1) AS INTEGER) % 4
+                  WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                  WHEN 2 THEN 22050 ELSE 44100 END AS INTEGER)
+             AS sample_rate,
+           CAST(1 + CAST('0x' || substr(x, 2, 1) AS INTEGER) % 2 AS INTEGER)
+             AS n_channels,
+           CAST(CASE CAST('0x' || substr(x, 3, 1) AS INTEGER) % 3
+                  WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END AS INTEGER)
+             AS bit_depth,
+           CAST(1000 + CAST('0x' || substr(x, 4, 5) AS BIGINT) % 100000
+                AS BIGINT) AS n_frames,
+           CAST(((1000 + CAST('0x' || substr(x, 4, 5) AS BIGINT) % 100000)
+                 * 1000)
+                // (CASE CAST('0x' || substr(x, 1, 1) AS INTEGER) % 4
+                      WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                      WHEN 2 THEN 22050 ELSE 44100 END)
+                AS BIGINT) AS duration_ms,
+           CAST('0x' || substr(x, 9, 4) AS INTEGER) / 65535.0 AS rms
+    FROM h
+    ORDER BY media_id
+    """,
+    operators=("MEDIA-AUDIO", "UDF-MAPINPANDAS"),
+)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-tier audio decode over the same document-backed media
+    corpus — puts the decode_audio mapInPandas plumbing (schema, Arrow
+    batching, column contract) under the driver's oracle gate exactly
+    as media_decode_stats does for images; the real WAV tier is
+    known-signal tested in tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return MM.decode_audio(media).orderBy("media_id")

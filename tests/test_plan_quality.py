@@ -116,6 +116,7 @@ def test_registry_gate_ordering():
                       "doc_repetition_scores", "benchmark_contamination",
                       "events_json_props", "stratified_doc_sample",
                       "doc_chunk_packing", "quality_topn_per_source",
+                      "media_audio_stats",
                       "cube_order_stats", "grouping_sets_orders",
                       "brand_revenue_share", "acctbal_banding",
                       "quarterly_pivot", "order_size_distribution",
@@ -136,8 +137,9 @@ def test_registry_gate_ordering():
                       "cosine_topk", "nation_set_ops",
                       "events_json_extract", "dedup_exact",
                       "text_quality_scores", "ngram_jaccard_dups",
-                      "embedding_near_dups", "top_customers_per_nation"}
-    assert redundant_tail <= set(names[-26:])
+                      "embedding_near_dups", "top_customers_per_nation",
+                      "doc_bpe_token_counts"}
+    assert redundant_tail <= set(names[-27:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
