@@ -67,3 +67,30 @@ def land_to_parquet(df: DataFrame, path: str,
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str,
+                         expected: T.StructType | None = None) -> DataFrame:
+    """Parquet read across SCHEMA EVOLUTION: batches written before a
+    column existed read back with that column NULL, not with a failed
+    scan or a silently narrowed schema.
+
+    - ``mergeSchema=true`` unions the per-file footers (the flag is
+      off by default because footer merging costs one extra pass over
+      file metadata — pay it only on evolved tables, or land the
+      canonical schema once via :func:`land_to_parquet`);
+    - with ``expected`` given, the result is projected/cast to exactly
+      that schema: columns the files never had become typed NULLs,
+      extra legacy columns are dropped — so downstream plans see ONE
+      stable schema regardless of which file vintage a partition hits.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if expected is None:
+        return df
+    cols = []
+    for f in expected.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

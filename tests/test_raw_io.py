@@ -57,3 +57,34 @@ def test_land_to_parquet_preserves_values(spark, sf_dir, tmp_path):
     back = spark.read.parquet(str(tmp_path / "nation_pq"))
     assert sorted(map(tuple, back.collect())) \
         == sorted(map(tuple, nation.collect()))
+
+
+def test_read_parquet_evolved_schema(spark, tmp_path):
+    """Two file vintages: v1 lacks `score`, v2 adds it. The evolved
+    reader must surface all rows with v1's scores as typed NULLs, and
+    projecting to the expected schema must also drop a legacy column
+    that only v1 had."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.io import (
+        read_parquet_evolved,
+    )
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame([(1, "a", "legacy")],
+                          "id long, name string, old string") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 0.5)],
+                          "id long, name string, score double") \
+        .write.mode("append").parquet(p)
+
+    merged = read_parquet_evolved(spark, p)
+    assert {"id", "name", "old", "score"} <= set(merged.columns)
+    assert merged.count() == 2
+
+    expected = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    out = read_parquet_evolved(spark, p, expected)
+    assert out.columns == ["id", "name", "score"]
+    rows = {r.id: (r.name, r.score) for r in out.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 0.5)}
