@@ -212,3 +212,18 @@ def pii_hits(text: Column) -> Column:
                                                     F.lit(pattern), 0))
         scrubbed = F.regexp_replace(scrubbed, pattern, "")
     return total
+
+
+def md5_bucket(col: Column, n_buckets: int, salt: str = "") -> Column:
+    """Deterministic content bucket in [0, n_buckets): the first 6 hex
+    digits of md5(salt || col) as an int, mod n_buckets.
+
+    The shared primitive behind hash splitting, stratified sampling,
+    and split-aware decontamination — one definition so the split and
+    the sample can never drift apart, and so every engine that can
+    md5 (the DuckDB oracles do) reproduces membership bit-for-bit.
+    Different ``salt`` values give independent bucketings (the sample
+    hash must not correlate with the train/test split hash)."""
+    salted = F.concat(F.lit(salt), col) if salt else col
+    return F.pmod(F.conv(F.substring(F.md5(salted), 1, 6), 16, 10)
+                  .cast("int"), F.lit(n_buckets))

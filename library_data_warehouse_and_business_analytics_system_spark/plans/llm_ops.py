@@ -691,9 +691,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int"),
-        F.lit(10))
+    bucket = TX.md5_bucket(F.col("text"), 10)
     return (
         docs.select(
             "doc_id", bucket.alias("bucket"),
@@ -957,9 +955,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.decontaminate import ngram_contamination
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("int"),
-        F.lit(10))
+    bucket = TX.md5_bucket(F.col("text"), 10)
     with_bucket = docs.select("doc_id", "text", bucket.alias("bucket"))
     train = with_bucket.where(F.col("bucket") < 8)
     test = with_bucket.where(F.col("bucket") == 9)
@@ -1001,10 +997,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    h = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("sample:"), F.col("text"))),
-                           1, 6), 16, 10).cast("int"),
-        F.lit(1000))
+    h = TX.md5_bucket(F.col("text"), 1000, salt="sample:")
     rate = (F.when(F.col("source") == "src0", 1000)
             .when(F.col("source") == "src1", 500)
             .when(F.col("source") == "src2", 250)
