@@ -122,13 +122,27 @@ def main() -> None:
         start = time.perf_counter()
         raw = generate(seed=42, scale=1.0)
         extra["library_generate"] = round(time.perf_counter() - start, 4)
-        start = time.perf_counter()
-        oltp = raw.to_spark(spark)
-        dw = initial_load(spark, oltp, as_of=AS_OF)
-        dw = {k: v.cache() for k, v in dw.items()}
-        for df in dw.values():
-            df.count()          # materialize the warehouse once
-        extra["library_etl"] = round(time.perf_counter() - start, 4)
+        # ETL timed 3x like the pinned queries (it swung 8.8<->14.1s
+        # across round-5 runs as a single sample — the slowest item in
+        # the bench must not also be the noisiest); the LAST build's
+        # cached warehouse feeds the report timings below.
+        etl_samples = []
+        for i in range(3):
+            start = time.perf_counter()
+            oltp = raw.to_spark(spark)
+            dw = initial_load(spark, oltp, as_of=AS_OF)
+            dw = {k: v.cache() for k, v in dw.items()}
+            for df in dw.values():
+                df.count()      # materialize the warehouse
+            etl_samples.append(time.perf_counter() - start)
+            if i < 2:           # rebuild from scratch next iteration
+                for df in dw.values():
+                    df.unpersist()
+        etl_samples.sort()
+        extra["library_etl"] = round(etl_samples[1], 4)
+        stats["library_etl"] = [round(etl_samples[0], 4),
+                                round(etl_samples[1], 4),
+                                round(etl_samples[-1], 4)]
         # Back-compat total (rounds 1-2 reported the combined number).
         extra["library_initial_load"] = round(
             extra["library_generate"] + extra["library_etl"], 4)
