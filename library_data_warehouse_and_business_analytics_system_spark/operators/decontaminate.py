@@ -35,9 +35,13 @@ def _doc_grams(df: DataFrame, id_col: str, text_col: str, n: int,
                out_id: str) -> DataFrame:
     """Distinct (doc, gram_hash) pairs; the token array is materialized
     behind a projection boundary first (interpreted HOF lambdas re-run
-    inlined subtrees per element — see shingles_from_tokens)."""
-    toks = df.select(F.col(id_col).alias(out_id),
-                     TX.tokens(F.lower(F.col(text_col))).alias("_toks"))
+    inlined subtrees per element — see shingles_from_tokens). NULL
+    texts are dropped explicitly: without the filter they'd flow
+    through as a single NULL shingle whose xxhash64 is the seed hash,
+    silently "matching" every other NULL document."""
+    toks = (df.where(F.col(text_col).isNotNull())
+            .select(F.col(id_col).alias(out_id),
+                    TX.tokens(F.lower(F.col(text_col))).alias("_toks")))
     return (
         toks.select(out_id,
                     F.explode(TX.shingle_hashes_from_tokens(F.col("_toks"), n))

@@ -533,3 +533,37 @@ def test_group_covariance_spectrum_matches_numpy(emb):
                             rel_tol=1e-9)
         # sanity: effective rank is within [1, dim]
         assert 1.0 <= r.effective_rank <= 64.0
+
+
+def test_chunking_and_contamination_null_and_empty_text(spark, tmp_path):
+    """Pin the degenerate-input contract: a NULL text produces NO
+    chunks/grams (explode of a NULL array drops the row — same as the
+    DuckDB oracle's UNNEST), an empty text is one empty-string token
+    and therefore exactly one chunk / one whole-doc gram."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.decontaminate import (  # noqa: E501
+        ngram_contamination,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.plans import (
+        QUERIES,
+    )
+    rows = [(1, None), (2, ""), (3, "one two three")]
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.parquet(str(d))
+    chunks = QUERIES["doc_chunk_packing"].fn(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 1 not in by_doc                       # NULL text → no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 1
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 3
+
+    train = spark.createDataFrame([(1, None), (2, "")],
+                                  "doc_id long, text string")
+    test = spark.createDataFrame([(10, ""), (11, None)],
+                                 "doc_id long, text string")
+    got = {r.train_doc_id: (r.n_shared_grams, r.n_test_docs)
+           for r in ngram_contamination(train, test).collect()}
+    # NULL rows vanish on both sides; the two empty docs share the
+    # single empty-string gram.
+    assert got == {2: (1, 1)}
