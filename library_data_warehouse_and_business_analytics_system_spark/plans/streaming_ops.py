@@ -264,8 +264,11 @@ def events_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # field; this variant parses ONCE with `from_json` + explicit schema —
 # the shape to use when several fields are pulled from the same JSON
 # column at scale.  Both stay inside whole-stage codegen (never a
-# Python UDF); malformed documents yield NULL (PERMISSIVE), identical
-# to DuckDB's extract-then-cast.
+# Python UDF).  Malformed documents yield NULL on the Spark side
+# (PERMISSIVE); DuckDB's json_extract_string would instead error on
+# truly invalid JSON, so the oracle parity claim covers well-formed
+# payloads (which the gate corpus guarantees) — a dirty-data pipeline
+# would pre-quarantine via sources/io.py before this parse.
 
 
 @register(
