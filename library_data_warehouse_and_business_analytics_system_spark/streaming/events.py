@@ -287,3 +287,45 @@ def purchase_view_interval_join(events: DataFrame,
         & (F.col("v_ts") < F.col("p_ts")),
         "inner",
     ).select("p_id", "user_id", "p_ts", "v_id", "v_ts", "v_value")
+
+
+def event_rate_anomalies(events: DataFrame, window: str = "1 hour",
+                         trailing: int = 24,
+                         z_threshold: float = 3.0) -> DataFrame:
+    """Rate-anomaly detection per event type: tumbling-window counts
+    scored against the mean/stddev of the ``trailing`` PRECEDING
+    windows (the current window never sees itself — no self-masking).
+
+    Batch shape: one two-phase count aggregate (shuffle carries one
+    row per (type, window)), then a window function over the already
+    reduced frame — per-type state is ``trailing`` rows regardless of
+    event volume, the same state bound the streaming twin would keep.
+    Windows with fewer than 2 trailing samples or zero variance get
+    NULL z (undefined, not 'anomalous'): flagged = |z| >= threshold.
+
+    Returns (event_type, window_start, n_events, baseline_mean,
+    baseline_std, z, is_anomaly) ordered by (event_type, window_start).
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        events.groupBy("event_type",
+                       F.window("ts", window).start.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    trail = (W.partitionBy("event_type").orderBy("window_start")
+             .rowsBetween(-trailing, -1))
+    scored = counts.select(
+        "event_type", "window_start", "n_events",
+        F.avg("n_events").over(trail).alias("baseline_mean"),
+        F.stddev_samp("n_events").over(trail).alias("baseline_std"),
+    )
+    z = ((F.col("n_events") - F.col("baseline_mean"))
+         / F.when(F.col("baseline_std") > 0, F.col("baseline_std")))
+    return (
+        scored.select(
+            "*", z.alias("z"),
+            F.when(F.abs(z) >= z_threshold, True).otherwise(False)
+            .alias("is_anomaly"))
+        .orderBy("event_type", "window_start")
+    )

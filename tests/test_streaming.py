@@ -190,3 +190,51 @@ def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
         spark.read.parquet(stream_dir))
     pd.testing.assert_frame_equal(_sorted_pdf(got), _sorted_pdf(expected),
                                   check_dtype=False)
+
+
+def test_event_rate_anomalies_matches_pandas(spark, sf_dir):
+    """Differential vs a pandas recomputation on the real events table:
+    same trailing mean/std (sample stddev, current window excluded),
+    same NULL-z contract for <2 samples / zero variance."""
+    import math
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import (  # noqa: E501
+        load_table,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.streaming.events import (  # noqa: E501
+        event_rate_anomalies,
+    )
+    events = load_table(spark, sf_dir, "events")
+    got = event_rate_anomalies(events, trailing=6, z_threshold=2.0).collect()
+    assert got, "events table must produce windows"
+
+    pdf = events.toPandas()
+    pdf["window_start"] = pdf["ts"].dt.floor("h")
+    counts = (pdf.groupby(["event_type", "window_start"])
+              .size().rename("n").reset_index()
+              .sort_values(["event_type", "window_start"]))
+    expected = {}
+    for etype, g in counts.groupby("event_type"):
+        ns = list(g["n"])
+        ws = list(g["window_start"])
+        for i in range(len(ns)):
+            lo = max(0, i - 6)
+            window_vals = ns[lo:i]
+            if len(window_vals) >= 2:
+                m = sum(window_vals) / len(window_vals)
+                var = (sum((x - m) ** 2 for x in window_vals)
+                       / (len(window_vals) - 1))
+                sd = math.sqrt(var)
+                z = (ns[i] - m) / sd if sd > 0 else None
+            else:
+                z = None
+            expected[(etype, ws[i])] = (ns[i], z)
+    assert len(got) == len(expected)
+    for r in got:
+        n, z = expected[(r.event_type, r.window_start)]
+        assert r.n_events == n
+        if z is None:
+            assert r.z is None and r.is_anomaly is False
+        else:
+            assert math.isclose(r.z, z, rel_tol=1e-9)
+            assert r.is_anomaly == (abs(z) >= 2.0)
