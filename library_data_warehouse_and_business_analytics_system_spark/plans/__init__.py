@@ -31,7 +31,7 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "doc_repetition_scores", "benchmark_contamination",
           "events_json_props", "stratified_doc_sample",
           "doc_chunk_packing", "quality_topn_per_source",
-          "media_audio_stats",
+          "media_audio_stats", "pii_scrub_stats",
           # green only in round 1 (stale schema era):
           "cube_order_stats", "grouping_sets_orders", "brand_revenue_share",
           "acctbal_banding", "quarterly_pivot", "order_size_distribution",
@@ -71,7 +71,8 @@ _LATE = [  # all green r4 (and 3-4× green overall); families covered by
          "ngram_jaccard_dups",          # pair path inside dedup_kept_corpus
          "embedding_near_dups",         # bucketed path via _strict oracle
          "top_customers_per_nation",    # W2 via top_tokens_per_lang + quality_topn
-         "doc_bpe_token_counts"]        # token counts via doc_repetition_scores
+         "doc_bpe_token_counts",        # token counts via doc_repetition_scores
+         "orders_scalar_subquery"]      # J8 decorrelation, 4x green
 
 
 def _reorder() -> None:

@@ -1118,3 +1118,49 @@ def quality_topn_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "quality", "rank")
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing under the driver gate (round-5): the synthetic corpus
+# has no PII, so a committed fixture with seeded synthetic spans
+# (fixtures/pii_docs.parquet, scripts/build_pii_fixture.py) supplies
+# the input — the library_gate pattern: both engines read the same
+# parquet by absolute path.  The oracle chain is GENERATED from
+# TX.PII_PATTERNS, so the gate and the operator can never drift.
+
+_PII_FIXTURE = __import__("pathlib").Path(__file__).resolve().parents[2] \
+    / "fixtures" / "pii_docs.parquet"
+
+
+def _pii_oracle_sql() -> str:
+    scr = "text"
+    red = "text"
+    hits = []
+    for pattern, tag in TX.PII_PATTERNS:
+        hits.append(f"len(regexp_extract_all({red}, '{pattern}'))")
+        scr = f"regexp_replace({scr}, '{pattern}', '{tag}', 'g')"
+        red = f"regexp_replace({red}, '{pattern}', '', 'g')"
+    total = " + ".join(hits)
+    return f"""
+    SELECT doc_id,
+           {scr} AS scrubbed,
+           CAST({total} AS INT) AS n_pii_hits
+    FROM read_parquet('{_PII_FIXTURE}/*.parquet')
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "pii_scrub_stats",
+    _pii_oracle_sql(),
+    operators=("PII-SCRUB", "P1"),
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(str(_PII_FIXTURE))
+    return (
+        docs.select("doc_id",
+                    TX.scrub_pii(F.col("text")).alias("scrubbed"),
+                    TX.pii_hits(F.col("text")).cast("int")
+                    .alias("n_pii_hits"))
+        .orderBy("doc_id")
+    )

@@ -116,7 +116,7 @@ def test_registry_gate_ordering():
                       "doc_repetition_scores", "benchmark_contamination",
                       "events_json_props", "stratified_doc_sample",
                       "doc_chunk_packing", "quality_topn_per_source",
-                      "media_audio_stats",
+                      "media_audio_stats", "pii_scrub_stats",
                       "cube_order_stats", "grouping_sets_orders",
                       "brand_revenue_share", "acctbal_banding",
                       "quarterly_pivot", "order_size_distribution",
@@ -138,8 +138,8 @@ def test_registry_gate_ordering():
                       "events_json_extract", "dedup_exact",
                       "text_quality_scores", "ngram_jaccard_dups",
                       "embedding_near_dups", "top_customers_per_nation",
-                      "doc_bpe_token_counts"}
-    assert redundant_tail <= set(names[-27:])
+                      "doc_bpe_token_counts", "orders_scalar_subquery"}
+    assert redundant_tail <= set(names[-28:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
