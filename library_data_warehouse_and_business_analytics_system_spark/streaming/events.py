@@ -329,3 +329,72 @@ def event_rate_anomalies(events: DataFrame, window: str = "1 hour",
             .alias("is_anomaly"))
         .orderBy("event_type", "window_start")
     )
+
+
+def start_anomaly_stream(stream: DataFrame, results_path: str,
+                         checkpoint_dir: str, window: str = "1 hour",
+                         trailing: int = 24, z_threshold: float = 3.0,
+                         watermark: str = "2 hours",
+                         ) -> "StreamingQuery":  # noqa: F821
+    """Streaming twin of :func:`event_rate_anomalies`.
+
+    Stage 1 is the built-in watermarked tumbling count in APPEND mode,
+    so a (type, window) row reaches foreachBatch exactly once, when
+    the watermark finalizes it. Stage 2 re-scores the WHOLE window
+    spine (history ∪ new finalized windows) with the identical
+    trailing-window logic and atomically overwrites ``results_path``
+    — recompute-and-overwrite is idempotent under batch replay, and
+    the spine is window-grain (types × windows/year), so "recompute
+    everything" is a few thousand rows per type-year no matter how
+    many raw events the stream carries. Dedup on the keys guards
+    against replayed batches.
+
+    Equivalence contract (pytest): the results equal the batch twin
+    restricted to finalized windows — windows newer than
+    max(event_ts) − watermark are still open in the state store and
+    intentionally absent.
+    """
+    from pyspark.sql import Window as W
+
+    counts = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("window.start").alias("window_start"),
+                "n_events")
+    )
+
+    def score(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        spine = batch_df
+        if os.path.isdir(results_path) and os.listdir(results_path):
+            hist = (spark.read.parquet(results_path)
+                    .select("event_type", "window_start", "n_events"))
+            # eager localCheckpoint cuts the lineage off the target
+            # files BEFORE the overwrite deletes them (a lazy plan
+            # would re-read the path mid-write and fail)
+            spine = (hist.unionByName(spine)
+                     .dropDuplicates(["event_type", "window_start"])
+                     .localCheckpoint())
+        trail = (W.partitionBy("event_type").orderBy("window_start")
+                 .rowsBetween(-trailing, -1))
+        scored = spine.select(
+            "event_type", "window_start", "n_events",
+            F.avg("n_events").over(trail).alias("baseline_mean"),
+            F.stddev_samp("n_events").over(trail).alias("baseline_std"),
+        )
+        z = ((F.col("n_events") - F.col("baseline_mean"))
+             / F.when(F.col("baseline_std") > 0, F.col("baseline_std")))
+        out = scored.select(
+            "*", z.alias("z"),
+            F.when(F.abs(z) >= z_threshold, True).otherwise(False)
+            .alias("is_anomaly"))
+        out.write.mode("overwrite").parquet(results_path)
+
+    return (
+        counts.writeStream.outputMode("append")
+        .foreachBatch(score)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

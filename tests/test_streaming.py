@@ -238,3 +238,41 @@ def test_event_rate_anomalies_matches_pandas(spark, sf_dir):
         else:
             assert math.isclose(r.z, z, rel_tol=1e-9)
             assert r.is_anomaly == (abs(z) >= 2.0)
+
+
+def test_anomaly_stream_equals_batch_on_finalized_windows(
+        spark, sf_dir, stream_dir, tmp_path):
+    """The streaming anomaly results must equal the batch twin
+    restricted to watermark-finalized windows, and every finalized
+    window must be present (nothing silently dropped)."""
+    import datetime
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import (  # noqa: E501
+        load_table,
+    )
+    stream = SE.events_file_stream(spark, stream_dir, max_files_per_trigger=2)
+    results = str(tmp_path / "anomalies")
+    q = SE.start_anomaly_stream(stream, results,
+                                str(tmp_path / "ckpt"),
+                                trailing=6, z_threshold=2.0)
+    q.awaitTermination()
+
+    got = {(r.event_type, r.window_start):
+           (r.n_events, r.z, r.is_anomaly)
+           for r in spark.read.parquet(results).collect()}
+    assert got, "stream must finalize windows"
+
+    batch = SE.event_rate_anomalies(
+        load_table(spark, sf_dir, "events"),
+        trailing=6, z_threshold=2.0).collect()
+    max_ts = max(r.ts for r in
+                 spark.read.parquet(stream_dir).select("ts").collect())
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    finalized = {(r.event_type, r.window_start):
+                 (r.n_events, r.z, r.is_anomaly) for r in batch
+                 if r.window_start + datetime.timedelta(hours=1) <= cutoff}
+    assert set(got) == set(finalized)
+    for k, (n, z, flag) in finalized.items():
+        gn, gz, gflag = got[k]
+        assert gn == n and gflag == flag
+        assert (z is None and gz is None) or abs(gz - z) < 1e-9
