@@ -255,3 +255,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), "neighbor_id")
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def save_centroids(spark, centroids: list[list[float]], path: str) -> None:
+    """Persist a trained coarse quantizer (``kmeans_fit`` output) as
+    parquet so the expensive training runs ONCE and every later
+    ingest/query job loads the index instead of refitting — the
+    train-once/serve-many contract real ANN deployments need. One row
+    per cell keeps the file human-inspectable and schema-evolvable."""
+    rows = [(i, c) for i, c in enumerate(centroids)]
+    (spark.createDataFrame(rows, "cell int, centroid array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    """Load a quantizer saved by :func:`save_centroids`, in cell
+    order, ready to pass to ``ivf_topk(centroids=...)``."""
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    assert [r.cell for r in rows] == list(range(len(rows))), \
+        "centroid file is missing cells or has duplicates"
+    return [list(r.centroid) for r in rows]

@@ -567,3 +567,73 @@ def test_chunking_and_contamination_null_and_empty_text(spark, tmp_path):
     # NULL rows vanish on both sides; the two empty docs share the
     # single empty-string gram.
     assert got == {2: (1, 1)}
+
+
+def test_centroid_persistence_roundtrip(spark, emb, tmp_path):
+    """Train-once/serve-many: persisted centroids must reload exactly
+    and produce bit-identical IVF results to the in-memory fit."""
+    cents = similarity.kmeans_fit(emb, "embedding", dim=64, k=4, max_iter=2)
+    p = str(tmp_path / "ivf_index")
+    similarity.save_centroids(spark, cents, p)
+    loaded = similarity.load_centroids(spark, p)
+    assert loaded == cents
+    queries = emb.filter(F.col("vec_id") < 5)
+    a = similarity.ivf_topk(emb, queries, "embedding", "vec_id", dim=64,
+                            centroids=cents).collect()
+    b = similarity.ivf_topk(emb, queries, "embedding", "vec_id", dim=64,
+                            centroids=loaded).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_int8_quantization_properties(spark, emb):
+    """Pin the quantization contract on the real embeddings table:
+    per-component reconstruction error <= scale/2 + float eps, int8
+    range respected, zero-vector safe, and int8-cosine top-10 recall
+    >= 0.9 vs full precision."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.quantize import (  # noqa: E501
+        dequantize, int8_cosine, quantize_int8,
+    )
+    q = quantize_int8(emb, "embedding")
+    err = q.select(
+        F.array_max(F.zip_with(
+            dequantize(F.col("qvec"), F.col("scale")),
+            F.col("embedding"),
+            lambda a, b: F.abs(a - b.cast("double")))).alias("max_err"),
+        (F.col("scale") / 2 + F.lit(1e-9)).alias("bound"),
+        F.array_max(F.transform("qvec", lambda x: F.abs(x.cast("int"))))
+        .alias("qmax"))
+    bad = err.filter((F.col("max_err") > F.col("bound"))
+                     | (F.col("qmax") > 127)).count()
+    assert bad == 0
+
+    zero = spark.createDataFrame([(1, [0.0] * 8)],
+                                 "vec_id long, embedding array<double>")
+    r = quantize_int8(zero, "embedding").select(
+        "qvec", "scale",
+        dequantize(F.col("qvec"), F.col("scale")).alias("back")).first()
+    assert list(r.qvec) == [0] * 8 and r.scale == 0.0
+    assert list(r.back) == [0.0] * 8
+
+    # recall of int8-cosine top-10 vs exact top-10 (50 query vectors)
+    qv = q.select(F.col("vec_id").alias("a"), F.col("qvec").alias("qa"),
+                  F.col("embedding").alias("va")).filter(F.col("a") < 50)
+    cv = q.select(F.col("vec_id").alias("b"), F.col("qvec").alias("qb"),
+                  F.col("embedding").alias("vb"))
+    from library_data_warehouse_and_business_analytics_system_spark.functions.vectors import (  # noqa: E501
+        cosine,
+    )
+    pairs = (qv.crossJoin(cv).filter(F.col("a") != F.col("b"))
+             .select("a", "b",
+                     int8_cosine(F.col("qa"), F.col("qb")).alias("qcos"),
+                     cosine(F.col("va"), F.col("vb")).alias("cos")))
+    from pyspark.sql import Window as W
+    top_q = (pairs.withColumn("r", F.row_number().over(
+        W.partitionBy("a").orderBy(F.col("qcos").desc(), "b")))
+        .filter(F.col("r") <= 10).select("a", "b"))
+    top_e = (pairs.withColumn("r", F.row_number().over(
+        W.partitionBy("a").orderBy(F.col("cos").desc(), "b")))
+        .filter(F.col("r") <= 10).select("a", "b"))
+    qset = {(r.a, r.b) for r in top_q.collect()}
+    eset = {(r.a, r.b) for r in top_e.collect()}
+    recall = len(qset & eset) / len(eset)
+    assert recall >= 0.9, f"int8 recall@10 = {recall:.3f}"
