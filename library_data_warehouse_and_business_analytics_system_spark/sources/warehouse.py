@@ -72,3 +72,23 @@ def write_bucketed_pair(spark: SparkSession, lineitem: DataFrame,
 def drop_bucketed_pair(spark: SparkSession, lt: str, ot: str) -> None:
     spark.sql(f"DROP TABLE IF EXISTS {lt}")
     spark.sql(f"DROP TABLE IF EXISTS {ot}")
+
+
+def write_corpus_layout(df: DataFrame, out_dir: str,
+                        files_per_lang: int = 4) -> str:
+    """Training-corpus layout: documents partitioned by ``lang`` with
+    a bounded file count per partition.
+
+    Why this layout at 100 TB: corpus jobs are overwhelmingly
+    per-language (dedup within a language, lang-specific quality
+    filters, per-lang token budgets), so `lang=` partition pruning
+    turns a 100 TB scan into the 2-20 TB a language actually holds.
+    The repartition bounds files per partition (skew in lang sizes
+    otherwise yields thousands of small files for the long tail and
+    a handful of giants for English — both poisons; see
+    sources/compaction.py for healing existing layouts)."""
+    path = f"{out_dir}/documents"
+    (df.repartition(files_per_lang, "lang",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(files_per_lang)))
+       .write.mode("overwrite").partitionBy("lang").parquet(path))
+    return path

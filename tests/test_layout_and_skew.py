@@ -160,3 +160,32 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx"),
         F.countDistinct("l_orderkey").alias("exact")).collect()[0]
     assert abs(got["approx"] - got["exact"]) / got["exact"] < 0.06
+
+
+def test_corpus_layout_prunes_language_partitions(spark, sf_dir, tmp_path):
+    """lang= partition pruning must reach the scan: a lang='en' filter
+    over the partitioned corpus reads only the en directory, and the
+    layout bounds files per partition."""
+    import os
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.warehouse import (  # noqa: E501
+        write_corpus_layout,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    path = write_corpus_layout(docs, str(tmp_path), files_per_lang=3)
+
+    langs = [d for d in os.listdir(path) if d.startswith("lang=")]
+    assert len(langs) >= 2
+    for d in langs:
+        n_files = len([f for f in os.listdir(f"{path}/{d}")
+                       if f.endswith(".parquet")])
+        assert 1 <= n_files <= 3
+
+    back = spark.read.parquet(path)
+    en = back.filter(F.col("lang") == "en")
+    plan = en._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[[^\]]*lang[^\]]*\]", plan)
+    assert m, "lang filter must become a partition filter"
+    expected = docs.filter(F.col("lang") == "en").count()
+    assert en.count() == expected
