@@ -1,0 +1,3 @@
+from .curation import curate_corpus
+
+__all__ = ["curate_corpus"]

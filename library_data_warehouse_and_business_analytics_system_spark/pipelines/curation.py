@@ -1,0 +1,86 @@
+"""End-to-end training-corpus curation: the composition a real user
+runs, built entirely from the individually-gated operators.
+
+    raw documents
+      → PII scrub                 (functions/text.scrub_pii)
+      → exact dedup               (operators/dedup.exact_dedup)
+      → near-dup removal          (ngram_jaccard_pairs_prefix + keep_canonical)
+      → held-out split            (functions/text.md5_bucket)
+      → decontamination           (operators/decontaminate)
+      → repetition filter         (distinct-token ratio)
+      → fixed-size chunking       (sequence/slice over shared tokens)
+
+Every stage is a pure DataFrame transform — the whole pipeline is ONE
+lazy plan per output, Catalyst sees it end to end, and nothing leaves
+the JVM. Stage order matters and is part of the contract:
+scrub BEFORE hashing (two docs differing only in PII must dedup
+together), dedup BEFORE splitting (an exact dup straddling the
+train/test boundary would leak), decontaminate AFTER the split (the
+test side must be final), chunk LAST (chunks inherit every upstream
+filter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..operators import dedup
+from ..operators.decontaminate import ngram_contamination
+
+
+def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
+                  jaccard_threshold: float = 0.5,
+                  repetition_max: float = 0.5,
+                  test_bucket: int = 9, n_buckets: int = 10,
+                  contamination_n: int = 5,
+                  chunk_size: int = 64) -> dict[str, DataFrame]:
+    """Returns the intermediate frames keyed by stage name — callers
+    materialize what they need (`train_chunks` is the product;
+    `test`, `dropped_*` frames are the audit trail)."""
+    scrubbed = docs.withColumn("text", TX.scrub_pii(F.col("text")))
+
+    exact_kept = dedup.exact_dedup(scrubbed, "text", id_col)
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        exact_kept, "text", id_col, threshold=jaccard_threshold)
+    near_kept = dedup.keep_canonical(exact_kept, pairs, id_col)
+
+    bucket = TX.md5_bucket(F.col("text"), n_buckets)
+    with_bucket = near_kept.withColumn("_bucket", bucket)
+    test = with_bucket.where(F.col("_bucket") == test_bucket).drop("_bucket")
+    train = with_bucket.where(F.col("_bucket") != test_bucket).drop("_bucket")
+
+    contaminated = (ngram_contamination(train, test, id_col=id_col,
+                                        n=contamination_n)
+                    .select(F.col("train_doc_id").alias(id_col)))
+    decontaminated = train.join(contaminated, id_col, "left_anti")
+
+    toks = TX.tokens(F.lower(F.col("text")))
+    rep_ratio = (F.lit(1.0)
+                 - F.size(F.array_distinct(toks)).cast("double")
+                 / F.size(toks).cast("double"))
+    final_train = decontaminated.where(rep_ratio <= repetition_max)
+
+    toked = final_train.select(id_col, TX.tokens(F.col("text")).alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / F.lit(float(chunk_size))).cast("int")
+    exploded = toked.select(
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice(F.col("_t"), F.col("chunk_idx") * chunk_size + 1,
+                    chunk_size)
+    train_chunks = exploded.select(
+        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+    return {
+        "scrubbed": scrubbed,
+        "exact_kept": exact_kept,
+        "near_kept": near_kept,
+        "train": train,
+        "test": test,
+        "decontaminated": decontaminated,
+        "final_train": final_train,
+        "train_chunks": train_chunks,
+    }
