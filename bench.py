@@ -154,6 +154,28 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         errors["library_section"] = str(exc)[:200]
 
+    # Flagship composition: the end-to-end corpus-curation pipeline
+    # (scrub → dedup → split → decontaminate → filter → chunk) timed
+    # as one materialization — the number a user comparing engines
+    # actually feels. Guarded like the library section.
+    try:
+        if time.perf_counter() - t_begin > budget * 0.9:
+            raise TimeoutError("bench budget spent before pipeline section")
+        from library_data_warehouse_and_business_analytics_system_spark.pipelines import (  # noqa: E501
+            curate_corpus,
+        )
+        from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import (  # noqa: E501
+            load_table,
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        start = time.perf_counter()
+        stages = curate_corpus(docs)
+        n_chunks = stages["train_chunks"].count()
+        extra["corpus_curation"] = round(time.perf_counter() - start, 4)
+        extra["corpus_curation_chunks"] = float(n_chunks)
+    except Exception as exc:  # pragma: no cover - defensive
+        errors["pipeline_section"] = str(exc)[:200]
+
     all_timings = {**timings, **extra}
     full = {
         "metric": "headline_queries_total",
