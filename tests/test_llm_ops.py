@@ -637,3 +637,50 @@ def test_int8_quantization_properties(spark, emb):
     eset = {(r.a, r.b) for r in top_e.collect()}
     recall = len(qset & eset) / len(eset)
     assert recall >= 0.9, f"int8 recall@10 = {recall:.3f}"
+
+
+def test_pack_sequences_matches_duckdb_global_cumsum(spark, docs):
+    """The two-phase (range-partition + per-partition window) offsets
+    must equal a DuckDB single-window global cumsum over the same
+    deterministic order — and be gapless, non-overlapping, and stable
+    under input repartitioning."""
+    import duckdb
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.packing import (  # noqa: E501
+        pack_sequences,
+    )
+    got = {r.doc_id: (r.n_tokens, r.start_tok, r.end_tok,
+                      r.first_seq, r.last_seq)
+           for r in pack_sequences(docs, seq_len=256).collect()}
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("d", pdf)
+    oracle = con.execute(r"""
+        WITH t AS (
+          SELECT doc_id, md5('pack:' || text) AS ok,
+                 len(regexp_split_to_array(trim(text), '\s+')) AS n
+          FROM d
+        )
+        SELECT doc_id, n,
+               SUM(n) OVER (ORDER BY ok, doc_id
+                            ROWS UNBOUNDED PRECEDING) - n AS start_tok
+        FROM t
+    """).fetchall()
+    assert len(oracle) == len(got)
+    for doc_id, n, start in oracle:
+        gn, gs, ge, fs, ls = got[doc_id]
+        assert (gn, gs, ge) == (n, start, start + n), doc_id
+        assert fs == start // 256
+        assert ls == max((start + n - 1) // 256, fs)
+
+    # gapless + non-overlapping: spans sorted by start tile the stream
+    spans = sorted((s, e) for _, s, e, _, _ in got.values())
+    assert spans[0][0] == 0
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 == s2
+    # stable under repartitioning and partition-count changes
+    again = {r.doc_id: (r.start_tok, r.end_tok) for r in
+             pack_sequences(docs.repartition(13), seq_len=256,
+                            n_partitions=5).collect()}
+    assert again == {k: (s, e) for k, (_, s, e, _, _) in got.items()}
