@@ -684,3 +684,29 @@ def test_pack_sequences_matches_duckdb_global_cumsum(spark, docs):
              pack_sequences(docs.repartition(13), seq_len=256,
                             n_partitions=5).collect()}
     assert again == {k: (s, e) for k, (_, s, e, _, _) in got.items()}
+
+
+def test_unicode_normalization_for_dedup(spark):
+    """Composed and decomposed forms of the same visible text must
+    hash identically after NFC (the property exact dedup and the hash
+    split rely on); strip_accents is the lossy search variant."""
+    import unicodedata
+
+    from library_data_warehouse_and_business_analytics_system_spark.functions.unicode import (  # noqa: E501
+        nfc, strip_accents,
+    )
+    composed = "café résumé"
+    decomposed = unicodedata.normalize("NFD", composed)
+    assert composed != decomposed  # different code points, same glyphs
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None), (4, "plain ascii")],
+        "id long, text string")
+    out = {r.id: (r.n, r.h, r.a) for r in df.select(
+        "id", nfc(F.col("text")).alias("n"),
+        F.md5(nfc(F.col("text"))).alias("h"),
+        strip_accents(F.col("text")).alias("a")).collect()}
+    assert out[1][0] == out[2][0] == composed
+    assert out[1][1] == out[2][1]          # identical hash after NFC
+    assert out[3] == (None, None, None)
+    assert out[4][0] == "plain ascii"
+    assert out[1][2] == "cafe resume"
