@@ -710,3 +710,20 @@ def test_unicode_normalization_for_dedup(spark):
     assert out[3] == (None, None, None)
     assert out[4][0] == "plain ascii"
     assert out[1][2] == "cafe resume"
+
+
+def test_pii_fixture_is_pinned(spark):
+    """The committed PII fixture feeds a driver-gated oracle pair; a
+    silent regeneration (seed or generator drift) would change both
+    sides at once and still gate green — pin the corpus here so drift
+    fails loudly instead."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.llm_ops import (  # noqa: E501
+        _PII_FIXTURE,
+    )
+    docs = spark.read.parquet(str(_PII_FIXTURE))
+    assert docs.count() == 300
+    digest = (docs
+              .agg(F.md5(F.concat_ws("|", F.sort_array(F.collect_list(
+                  F.concat_ws(":", F.col("doc_id"), F.col("text"))))))
+                  .alias("d")).first().d)
+    assert digest == '7f5cb225534f18159a871882e0c1e93a'
