@@ -173,6 +173,23 @@ def main() -> None:
         n_chunks = stages["train_chunks"].count()
         extra["corpus_curation"] = round(time.perf_counter() - start, 4)
         extra["corpus_curation_chunks"] = float(n_chunks)
+
+        from library_data_warehouse_and_business_analytics_system_spark.operators.packing import (  # noqa: E501
+            pack_sequences,
+        )
+        start = time.perf_counter()
+        pack_sequences(docs, seq_len=256).selectExpr(
+            "max(end_tok)").collect()
+        extra["sequence_packing"] = round(time.perf_counter() - start, 4)
+
+        from library_data_warehouse_and_business_analytics_system_spark.operators.quantize import (  # noqa: E501
+            quantize_int8,
+        )
+        emb = load_table(spark, sf_dir, "embeddings")
+        start = time.perf_counter()
+        quantize_int8(emb, "embedding").selectExpr(
+            "sum(size(qvec))", "sum(scale)").collect()
+        extra["int8_quantize"] = round(time.perf_counter() - start, 4)
     except Exception as exc:  # pragma: no cover - defensive
         errors["pipeline_section"] = str(exc)[:200]
 
