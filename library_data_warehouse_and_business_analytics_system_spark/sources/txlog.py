@@ -1,0 +1,117 @@
+"""Minimal transactional table format over parquet: an append-only
+commit log giving atomic visibility and snapshot-isolated reads —
+the core mechanism Delta/Iceberg provide, reduced to what plain
+parquet + an atomic file create can do.
+
+This exists because the container has no delta-spark: `operators/
+merge.py`'s Delta branch stays untested there, and bare
+`mode("overwrite")` parquet writes are not atomic (a reader can
+observe a half-deleted directory). The protocol here closes that gap
+for single-writer-per-commit workloads:
+
+Layout::
+
+    table/
+      data/<commit-id>-<uuid>/part-*.parquet   (immutable once logged)
+      _txlog/00000001.json … 0000000N.json     (one file per commit)
+
+- WRITE: stage the data directory first, then publish it by creating
+  ``_txlog/<next-id>.json`` with ``open(..., 'x')`` — an ATOMIC
+  exclusive create. A crash before the log create leaves an orphaned
+  (invisible) data dir; a concurrent committer losing the race gets
+  ``FileExistsError`` and retries with the next id (optimistic
+  concurrency, exactly Delta's protocol).
+- READ: replay the log in id order; an ``overwrite`` entry resets the
+  visible set, an ``append`` adds to it. Readers never list ``data/``
+  — only logged dirs — so staged/orphaned writes cannot leak.
+- VACUUM: delete data dirs no log entry references (safe because
+  logged dirs are immutable).
+
+Scale notes: the log is O(commits) tiny JSON files read driver-side;
+compaction of old entries into checkpoints (what Delta does every 10
+commits) is a straightforward extension. Object stores without atomic
+create need a coordination service for the publish step — same caveat
+Delta documents for S3.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG = "_txlog"
+_DATA = "data"
+
+
+def _log_dir(table: str) -> Path:
+    return Path(table) / _LOG
+
+
+def _entries(table: str) -> list[dict]:
+    d = _log_dir(table)
+    if not d.is_dir():
+        return []
+    out = []
+    for f in sorted(d.glob("*.json")):
+        out.append(json.loads(f.read_text()))
+    return out
+
+
+def _visible_dirs(table: str) -> list[str]:
+    dirs: list[str] = []
+    for e in _entries(table):
+        if e["mode"] == "overwrite":
+            dirs = [e["dir"]]
+        else:
+            dirs.append(e["dir"])
+    return dirs
+
+
+def tx_write(df: DataFrame, table: str, mode: str = "append",
+             max_retries: int = 10) -> int:
+    """Atomically publish ``df`` as one commit; returns the commit id."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"tx_write: unknown mode {mode!r}")
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    df.write.parquet(str(Path(table) / stage))
+    log = _log_dir(table)
+    log.mkdir(parents=True, exist_ok=True)
+    for _ in range(max_retries):
+        existing = [int(f.stem) for f in log.glob("*.json")]
+        cid = (max(existing) + 1) if existing else 1
+        entry = {"id": cid, "mode": mode, "dir": stage}
+        try:
+            # exclusive create = the atomic publish point
+            with open(log / f"{cid:08d}.json", "x") as fh:
+                json.dump(entry, fh)
+            return cid
+        except FileExistsError:
+            continue  # lost the race — retry with the next id
+    raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
+
+
+def tx_read(spark: SparkSession, table: str) -> DataFrame:
+    """Snapshot read: exactly the committed state at call time."""
+    dirs = _visible_dirs(table)
+    if not dirs:
+        raise FileNotFoundError(f"tx_read: no commits in {table}")
+    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+
+
+def tx_vacuum(table: str) -> list[str]:
+    """Delete data dirs no commit references (staged-then-crashed or
+    overwritten-away); returns what was removed."""
+    referenced = {e["dir"].split("/", 1)[1] for e in _entries(table)}
+    removed = []
+    data = Path(table) / _DATA
+    if data.is_dir():
+        for d in data.iterdir():
+            if d.is_dir() and d.name not in referenced:
+                shutil.rmtree(d)
+                removed.append(d.name)
+    return sorted(removed)
