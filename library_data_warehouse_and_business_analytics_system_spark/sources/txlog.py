@@ -37,7 +37,6 @@ Delta documents for S3.
 from __future__ import annotations
 
 import json
-import os
 import shutil
 import uuid
 from pathlib import Path
@@ -62,9 +61,11 @@ def _entries(table: str) -> list[dict]:
     return out
 
 
-def _visible_dirs(table: str) -> list[str]:
+def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
     dirs: list[str] = []
     for e in _entries(table):
+        if as_of is not None and e["id"] > as_of:
+            break
         if e["mode"] == "overwrite":
             dirs = [e["dir"]]
         else:
@@ -95,11 +96,17 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
     raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
 
 
-def tx_read(spark: SparkSession, table: str) -> DataFrame:
-    """Snapshot read: exactly the committed state at call time."""
-    dirs = _visible_dirs(table)
+def tx_read(spark: SparkSession, table: str,
+            as_of: int | None = None) -> DataFrame:
+    """Snapshot read: the committed state at call time, or — with
+    ``as_of`` — the state as of that commit id (time travel; every
+    logged data dir is immutable and vacuum never touches logged
+    dirs, so historical snapshots stay readable)."""
+    dirs = _visible_dirs(table, as_of)
     if not dirs:
-        raise FileNotFoundError(f"tx_read: no commits in {table}")
+        raise FileNotFoundError(
+            f"tx_read: no commits in {table}"
+            + (f" as of {as_of}" if as_of is not None else ""))
     return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
 
 

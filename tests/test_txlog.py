@@ -73,3 +73,21 @@ def test_commit_race_retries(spark, tmp_path):
 def test_read_empty_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         tx_read(spark, str(tmp_path / "nope"))
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """as_of replays the log only up to that commit — overwrites later
+    than the snapshot are invisible, and historical generations stay
+    readable because vacuum never removes logged dirs."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1, 2]), t)                     # commit 1
+    tx_write(_df(spark, [3]), t)                        # commit 2
+    tx_write(_df(spark, [9]), t, mode="overwrite")      # commit 3
+    assert {r.id for r in tx_read(spark, t, as_of=1).collect()} == {1, 2}
+    assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2, 3}
+    assert {r.id for r in tx_read(spark, t, as_of=3).collect()} == {9}
+    assert {r.id for r in tx_read(spark, t).collect()} == {9}
+    tx_vacuum(t)
+    assert {r.id for r in tx_read(spark, t, as_of=1).collect()} == {1, 2}
+    with pytest.raises(FileNotFoundError):
+        tx_read(spark, t, as_of=0)
