@@ -40,10 +40,18 @@ def dequantize(q: Column, scale: Column) -> Column:
 
 def int8_cosine(qa: Column, qb: Column) -> Column:
     """Cosine directly on int8 arrays (scales cancel). Accumulates in
-    double — 64 products of ±127 fit with room to spare."""
+    double — 64 products of ±127 fit with room to spare.
+
+    Contract: NULL when either vector is all-zero (cosine is undefined
+    there) — guarded explicitly so the result is NULL under BOTH ANSI
+    and non-ANSI modes instead of a 0/0 that throws with
+    ``spark.sql.ansi.enabled`` (ADVICE r5). Mirrors the zero-vector
+    handling in :func:`quantize_int8`.
+    """
     def dot(a: Column, b: Column) -> Column:
         return F.aggregate(F.zip_with(a, b,
                                       lambda x, y: x.cast("double")
                                       * y.cast("double")),
                            F.lit(0.0), lambda acc, x: acc + x)
-    return dot(qa, qb) / F.sqrt(dot(qa, qa) * dot(qb, qb))
+    norm = F.sqrt(dot(qa, qa) * dot(qb, qb))
+    return F.when(norm > 0, dot(qa, qb) / norm)

@@ -63,18 +63,21 @@ def with_fact_surrogate_key(df: DataFrame, key_col: str,
     counts = {r["_pid"]: r["cnt"]
               for r in pid_df.groupBy("_pid").agg(
                   F.count(F.lit(1)).alias("cnt")).collect()}
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(counts):
-        offsets[pid] = acc
+        offsets.append((int(pid), acc))
         acc += counts[pid]
-    off_expr = F.coalesce(*[
-        F.when(F.col("_pid") == pid, F.lit(off))
-        for pid, off in offsets.items()
-    ], F.lit(0)) if offsets else F.lit(0)
+    # Offsets join in as a broadcast tiny DataFrame on _pid rather
+    # than a coalesce(when...) chain — constant-cost hash probe per
+    # row even at 10k+ partitions (VERDICT r5).
+    off_df = pid_df.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(F.monotonically_increasing_id())
     return (
-        pid_df.withColumn("_rn", F.row_number().over(w))
+        pid_df.join(F.broadcast(off_df), "_pid", "left")
+        .withColumn("_rn", F.row_number().over(w))
         .withColumn(key_col,
-                    (F.lit(start - 1) + off_expr + F.col("_rn")).cast("long"))
-        .drop("_pid", "_rn")
+                    (F.lit(start - 1) + F.coalesce("_off", F.lit(0))
+                     + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
     )

@@ -12,7 +12,7 @@ for single-writer-per-commit workloads:
 Layout::
 
     table/
-      data/<commit-id>-<uuid>/part-*.parquet   (immutable once logged)
+      data/<uuid>/part-*.parquet               (immutable once logged)
       _txlog/00000001.json … 0000000N.json     (one file per commit)
 
 - WRITE: stage the data directory first, then publish it by creating
@@ -24,8 +24,13 @@ Layout::
 - READ: replay the log in id order; an ``overwrite`` entry resets the
   visible set, an ``append`` adds to it. Readers never list ``data/``
   — only logged dirs — so staged/orphaned writes cannot leak.
-- VACUUM: delete data dirs no log entry references (safe because
-  logged dirs are immutable).
+- VACUUM: delete UNREFERENCED data dirs (staged-then-crashed orphans)
+  older than a retention window. Every LOGGED dir is kept — time
+  travel needs it — and the retention window protects a dir another
+  writer has staged but not yet published (stage happens BEFORE the
+  log create, so a zero-grace vacuum racing an in-flight writer would
+  delete its data and corrupt the table; Delta solves the same race
+  the same way).
 
 Scale notes: the log is O(commits) tiny JSON files read driver-side;
 compaction of old entries into checkpoints (what Delta does every 10
@@ -110,15 +115,29 @@ def tx_read(spark: SparkSession, table: str,
     return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
 
 
-def tx_vacuum(table: str) -> list[str]:
-    """Delete data dirs no commit references (staged-then-crashed or
-    overwritten-away); returns what was removed."""
+def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
+    """Delete UNREFERENCED data dirs (orphans from a writer that
+    crashed between staging and publishing) older than
+    ``retention_sec``; returns what was removed.
+
+    Logged dirs are ALWAYS kept — overwrite history included — so
+    time-travel reads (``tx_read(as_of=...)``) stay valid forever.
+    The retention window exists because ``tx_write`` stages its data
+    dir BEFORE creating the log entry: a dir younger than the window
+    may belong to an in-flight writer about to publish, and deleting
+    it would let that writer commit a log entry pointing at nothing
+    (ADVICE r5). Pass ``retention_sec=0`` only when no writers are
+    active (e.g. tests).
+    """
+    import time
     referenced = {e["dir"].split("/", 1)[1] for e in _entries(table)}
+    now = time.time()
     removed = []
     data = Path(table) / _DATA
     if data.is_dir():
         for d in data.iterdir():
-            if d.is_dir() and d.name not in referenced:
+            if (d.is_dir() and d.name not in referenced
+                    and now - d.stat().st_mtime >= retention_sec):
                 shutil.rmtree(d)
                 removed.append(d.name)
     return sorted(removed)

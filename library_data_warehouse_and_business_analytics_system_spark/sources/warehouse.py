@@ -75,7 +75,8 @@ def drop_bucketed_pair(spark: SparkSession, lt: str, ot: str) -> None:
 
 
 def write_corpus_layout(df: DataFrame, out_dir: str,
-                        files_per_lang: int = 4) -> str:
+                        files_per_lang: int = 4,
+                        n_langs: int | None = None) -> str:
     """Training-corpus layout: documents partitioned by ``lang`` with
     a bounded file count per partition.
 
@@ -86,9 +87,19 @@ def write_corpus_layout(df: DataFrame, out_dir: str,
     The repartition bounds files per partition (skew in lang sizes
     otherwise yields thousands of small files for the long tail and
     a handful of giants for English — both poisons; see
-    sources/compaction.py for healing existing layouts)."""
+    sources/compaction.py for healing existing layouts).
+
+    The TOTAL shuffle-partition count scales with the language count
+    (``n_langs * files_per_lang``) so write parallelism grows with
+    the corpus rather than funnelling every language through
+    ``files_per_lang`` tasks (ADVICE r5); the ``(lang, hash-bucket)``
+    keys still hold each lang directory to ≤ ``files_per_lang``
+    files. ``n_langs`` defaults to a cheap distinct count (pass it
+    explicitly when known to skip that job)."""
+    if n_langs is None:
+        n_langs = df.select("lang").distinct().count()
     path = f"{out_dir}/documents"
-    (df.repartition(files_per_lang, "lang",
+    (df.repartition(max(1, n_langs) * files_per_lang, "lang",
                     F.pmod(F.xxhash64("doc_id"), F.lit(files_per_lang)))
        .write.mode("overwrite").partitionBy("lang").parquet(path))
     return path

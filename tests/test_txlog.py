@@ -37,7 +37,12 @@ def test_crashed_stage_is_invisible_and_vacuumed(spark, tmp_path):
     orphan = Path(t) / "data" / "deadbeef"
     _df(spark, [99]).write.parquet(str(orphan))
     assert {r.id for r in tx_read(spark, t).collect()} == {1}
-    removed = tx_vacuum(t)
+    # default retention protects a young staged dir (it could belong
+    # to an in-flight writer about to publish)...
+    assert tx_vacuum(t) == []
+    assert orphan.exists()
+    # ...zero-grace vacuum (no writers active) reclaims it
+    removed = tx_vacuum(t, retention_sec=0)
     assert removed == ["deadbeef"]
     assert not orphan.exists()
     # committed data survives vacuum
@@ -51,7 +56,7 @@ def test_vacuum_reclaims_overwritten_generation(spark, tmp_path):
     # the first generation is unreachable but still on disk... no:
     # it IS still referenced by commit 1 (time travel would need it).
     # vacuum keeps every logged dir — only unlogged dirs go.
-    assert tx_vacuum(t) == []
+    assert tx_vacuum(t, retention_sec=0) == []
     assert {r.id for r in tx_read(spark, t).collect()} == {2}
 
 
@@ -87,7 +92,7 @@ def test_time_travel_reads(spark, tmp_path):
     assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2, 3}
     assert {r.id for r in tx_read(spark, t, as_of=3).collect()} == {9}
     assert {r.id for r in tx_read(spark, t).collect()} == {9}
-    tx_vacuum(t)
+    tx_vacuum(t, retention_sec=0)
     assert {r.id for r in tx_read(spark, t, as_of=1).collect()} == {1, 2}
     with pytest.raises(FileNotFoundError):
         tx_read(spark, t, as_of=0)
