@@ -215,7 +215,7 @@ WITH joined AS (
   SELECT year, quarter, qnum, state,
          SUM(line_total) AS total_revenue, SUM(cost) AS total_cost,
          SUM(line_total) - SUM(cost) AS total_gm
-  FROM joined GROUP BY year, quarter, qnum, state
+  FROM joined WHERE {sp} GROUP BY year, quarter, qnum, state
 ), f AS (
   SELECT *, CASE WHEN total_revenue = 0 THEN NULL
                  ELSE ROUND(total_gm / NULLIF(total_revenue,0) * 100, 2)
@@ -282,7 +282,8 @@ def lqy_query2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lqy_query3",
     "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
                             "dim_members") + ",\n"
-    + Q3_SQL.strip().removeprefix("WITH ").format(yf=2016, yt=2020, cov=15),
+    + Q3_SQL.strip().removeprefix("WITH ").format(yf=2016, yt=2020, cov=15,
+                                                  sp="1=1"),
     operators=("EP1", "A1", "W1"),
     bench=False,
 )
@@ -291,4 +292,46 @@ def lqy_query3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cost model, GM%, QoQ delta, target signal) on the committed
     fixture warehouse."""
     return query3(load_warehouse(spark), 2016, 2020, states_csv="%",
+                  target_gm_pct=15.0)
+
+
+# ---------------------------------------------------------------------------
+# Second parameterization per report (VERDICT r5 item 5): the dynamic
+# P6 gender branch of q1 (LQY_query1.txt:51) and the multi-value P7
+# state-CSV branch of q3 (LQY_query3.txt:72-75) face the driver's
+# bit-exact hash, not just the pytest differential.
+
+
+@register(
+    "lqy_query1_f",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + Q1_SQL.strip().removeprefix("WITH ").format(
+        yf=2019, yt=2021, g="F", lim=3),
+    operators=("EP1", "P6", "A2", "W1", "W2"),
+    bench=False,
+)
+def lqy_query1_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query1.txt:51 — the `&p_gender` dynamic-filter branch
+    ACTIVE (gender='F', the non-'ALL' path) with a tighter top-N."""
+    return query1(load_warehouse(spark), 2019, 2021, limit=3,
+                  gender="F")
+
+
+@register(
+    "lqy_query3_states",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + Q3_SQL.strip().removeprefix("WITH ").format(
+        yf=2016, yt=2020, cov=15,
+        sp="state IN ('PERLIS','SELANGOR','KEDAH')"),
+    operators=("EP1", "P7", "A1", "W1"),
+    bench=False,
+)
+def lqy_query3_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query3.txt:72-75 — the comma-split multi-state parameter
+    filter ACTIVE (P7): only the listed states survive to the GM
+    aggregation, mixed-case input normalized like the reference."""
+    return query3(load_warehouse(spark), 2016, 2020,
+                  states_csv="Perlis,Selangor,Kedah",
                   target_gm_pct=15.0)

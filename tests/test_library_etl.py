@@ -224,9 +224,24 @@ def test_query1_gender_filter(dw, duck_dw):
 
 def test_query3_matches_reference_sql(dw, duck_dw):
     got = query3(dw, 2016, 2020, states_csv="%", target_gm_pct=15.0).toPandas()
-    exp = duck_dw.execute(Q3_SQL.format(yf=2016, yt=2020, cov=15)).df()
+    exp = duck_dw.execute(
+        Q3_SQL.format(yf=2016, yt=2020, cov=15, sp="1=1")).df()
     assert len(got) > 0
     assert_frames_match(got, exp, "query3", float_rtol=1e-9)
+
+
+def test_query3_state_csv_filter(dw, duck_dw):
+    """P7 multi-value parameter branch (LQY_query3.txt:72-75): the
+    comma-split state list filters before aggregation; mixed-case
+    input normalizes like the reference."""
+    got = query3(dw, 2016, 2020, states_csv="Perlis,Selangor,Kedah",
+                 target_gm_pct=15.0).toPandas()
+    exp = duck_dw.execute(Q3_SQL.format(
+        yf=2016, yt=2020, cov=15,
+        sp="state IN ('PERLIS','SELANGOR','KEDAH')")).df()
+    assert len(got) > 0
+    assert set(got.state) <= {"PERLIS", "SELANGOR", "KEDAH"}
+    assert_frames_match(got, exp, "query3_states", float_rtol=1e-9)
 
 
 def test_query2_matches_reference_sql(dw, duck_dw):
