@@ -179,6 +179,24 @@ def main() -> None:
         extra["corpus_curation"] = round(time.perf_counter() - start, 4)
         counts["corpus_curation_chunks"] = float(n_chunks)
 
+        # Durable twin: same pipeline with every stage boundary a
+        # txlog table write (the restartable 100 TB shape) — the
+        # delta vs `corpus_curation` is the price of durability.
+        import shutil
+        import tempfile
+
+        from library_data_warehouse_and_business_analytics_system_spark.pipelines import (  # noqa: E501
+            curate_corpus_durable,
+        )
+        root = tempfile.mkdtemp(prefix="bench_curation_")
+        try:
+            start = time.perf_counter()
+            curate_corpus_durable(spark, docs, root)
+            extra["corpus_curation_durable"] = round(
+                time.perf_counter() - start, 4)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
         from library_data_warehouse_and_business_analytics_system_spark.operators.packing import (  # noqa: E501
             pack_sequences,
         )

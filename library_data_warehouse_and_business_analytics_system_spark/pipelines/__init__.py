@@ -1,3 +1,3 @@
-from .curation import curate_corpus
+from .curation import curate_corpus, curate_corpus_durable
 
-__all__ = ["curate_corpus"]
+__all__ = ["curate_corpus", "curate_corpus_durable"]

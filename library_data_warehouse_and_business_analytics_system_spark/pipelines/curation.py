@@ -22,7 +22,7 @@ filter).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -69,28 +69,10 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
     test = with_bucket.where(F.col("_bucket") == test_bucket).drop("_bucket")
     train = with_bucket.where(F.col("_bucket") != test_bucket).drop("_bucket")
 
-    contaminated = (ngram_contamination(train, test, id_col=id_col,
-                                        n=contamination_n)
-                    .select(F.col("train_doc_id").alias(id_col)))
-    decontaminated = train.join(contaminated, id_col, "left_anti")
-
-    toks = TX.tokens(F.lower(F.col("text")))
-    rep_ratio = (F.lit(1.0)
-                 - F.size(F.array_distinct(toks)).cast("double")
-                 / F.size(toks).cast("double"))
-    final_train = decontaminated.where(rep_ratio <= repetition_max)
-
-    toked = final_train.select(id_col, TX.tokens(F.col("text")).alias("_t"))
-    n_chunks = F.ceil(F.size("_t") / F.lit(float(chunk_size))).cast("int")
-    exploded = toked.select(
-        id_col, "_t",
-        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
-    chunk = F.slice(F.col("_t"), F.col("chunk_idx") * chunk_size + 1,
-                    chunk_size)
-    train_chunks = exploded.select(
-        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
-        F.array_join(chunk, " ").alias("chunk_text"))
+    decontaminated = _decontaminate(train, test, id_col, contamination_n)
+    final_train = decontaminated.where(
+        _repetition_ratio() <= repetition_max)
+    train_chunks = _chunk(final_train, id_col, chunk_size)
 
     return {
         "scrubbed": scrubbed,
@@ -102,3 +84,126 @@ def curate_corpus(docs: DataFrame, *, id_col: str = "doc_id",
         "final_train": final_train,
         "train_chunks": train_chunks,
     }
+
+
+# ---------------------------------------------------------------------------
+# Shared stage expressions (in-memory and durable variants must be the
+# SAME plan per stage — resume ≡ from-scratch depends on it).
+
+
+def _decontaminate(train: DataFrame, test: DataFrame, id_col: str,
+                   contamination_n: int) -> DataFrame:
+    contaminated = (ngram_contamination(train, test, id_col=id_col,
+                                        n=contamination_n)
+                    .select(F.col("train_doc_id").alias(id_col)))
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def _repetition_ratio() -> Column:
+    toks = TX.tokens(F.lower(F.col("text")))
+    return (F.lit(1.0)
+            - F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"))
+
+
+def _chunk(final_train: DataFrame, id_col: str,
+           chunk_size: int) -> DataFrame:
+    toked = final_train.select(id_col, TX.tokens(F.col("text")).alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / F.lit(float(chunk_size))).cast("int")
+    exploded = toked.select(
+        id_col, "_t",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+    chunk = F.slice(F.col("_t"), F.col("chunk_idx") * chunk_size + 1,
+                    chunk_size)
+    return exploded.select(
+        id_col, F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"))
+
+
+#: durable stage order — each entry is (table name, builder); a stage
+#: reads only tables of EARLIER stages, so the prefix property holds:
+#: any committed prefix + a restart = the same final output.
+_DURABLE_STAGES = ("exact_kept", "near_kept", "train", "test",
+                   "train_chunks")
+
+
+def curate_corpus_durable(spark, docs: DataFrame, root: str, *,
+                          id_col: str = "doc_id",
+                          jaccard_threshold: float = 0.5,
+                          repetition_max: float = 0.5,
+                          test_bucket: int = 9, n_buckets: int = 10,
+                          contamination_n: int = 5,
+                          chunk_size: int = 64,
+                          stop_after: str | None = None) -> dict[str, str]:
+    """The 100 TB shape of :func:`curate_corpus`: every reuse boundary
+    is a DURABLE txlog table under ``root`` instead of a
+    ``localCheckpoint`` (the in-memory variant's documented
+    ``materialize=False`` contract, made real — VERDICT r5 item 4).
+
+    Restartability: each stage publishes atomically via ``tx_write``
+    and is SKIPPED on re-run when its table already has a commit
+    (``tx_exists``), so a driver that dies between any two stages
+    resumes exactly where it stopped — a crashed stage leaves only an
+    unpublished orphan dir and re-runs. Because every stage is
+    deterministic (md5 hashes, no rand()), resume ≡ from-scratch
+    bit-for-bit (pinned by tests/test_curation.py).
+
+    ``stop_after`` runs the pipeline only through the named stage —
+    the stage-wise-orchestration entry point (one Airflow task per
+    stage) that doubles as the crash-injection hook for the resume
+    test. Returns ``{stage: table_path}`` for the stages now
+    committed.
+    """
+    from ..sources.txlog import tx_exists, tx_read, tx_write
+
+    tables = {s: f"{root}/{s}" for s in _DURABLE_STAGES}
+    done: dict[str, str] = {}
+
+    def ensure(stage: str, build) -> DataFrame | None:
+        """Publish `stage` if absent; return its committed frame."""
+        t = tables[stage]
+        if not tx_exists(t):
+            tx_write(build(), t, mode="overwrite")
+        done[stage] = t
+        return tx_read(spark, t)
+
+    def stop(stage: str) -> bool:
+        if stop_after == stage:
+            return True
+        if stop_after is not None and stop_after not in _DURABLE_STAGES:
+            raise ValueError(f"unknown stage {stop_after!r}")
+        return False
+
+    exact_kept = ensure("exact_kept", lambda: dedup.exact_dedup(
+        docs.withColumn("text", TX.scrub_pii(F.col("text"))),
+        "text", id_col))
+    if stop("exact_kept"):
+        return done
+
+    def build_near():
+        pairs = dedup.ngram_jaccard_pairs_prefix(
+            exact_kept, "text", id_col, threshold=jaccard_threshold)
+        return dedup.keep_canonical(exact_kept, pairs, id_col)
+    near_kept = ensure("near_kept", build_near)
+    if stop("near_kept"):
+        return done
+
+    bucket = TX.md5_bucket(F.col("text"), n_buckets)
+    with_bucket = near_kept.withColumn("_bucket", bucket)
+    train = ensure("train", lambda: with_bucket
+                   .where(F.col("_bucket") != test_bucket).drop("_bucket"))
+    if stop("train"):
+        return done
+    test = ensure("test", lambda: with_bucket
+                  .where(F.col("_bucket") == test_bucket).drop("_bucket"))
+    if stop("test"):
+        return done
+
+    def build_chunks():
+        final_train = _decontaminate(train, test, id_col,
+                                     contamination_n).where(
+            _repetition_ratio() <= repetition_max)
+        return _chunk(final_train, id_col, chunk_size)
+    ensure("train_chunks", build_chunks)
+    return done

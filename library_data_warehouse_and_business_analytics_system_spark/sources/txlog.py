@@ -42,11 +42,12 @@ Delta documents for S3.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 
 _LOG = "_txlog"
 _DATA = "data"
@@ -91,13 +92,20 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
         existing = [int(f.stem) for f in log.glob("*.json")]
         cid = (max(existing) + 1) if existing else 1
         entry = {"id": cid, "mode": mode, "dir": stage}
+        # Publish = atomic link of a fully-written temp file. A bare
+        # open('x') + dump could crash BETWEEN create and write,
+        # leaving a truncated log entry every reader then chokes on;
+        # link() only ever exposes the complete payload (and raises
+        # FileExistsError to the race loser, same as 'x').
+        tmp = log / f".{uuid.uuid4().hex}.tmp"
+        tmp.write_text(json.dumps(entry))
         try:
-            # exclusive create = the atomic publish point
-            with open(log / f"{cid:08d}.json", "x") as fh:
-                json.dump(entry, fh)
+            os.link(tmp, log / f"{cid:08d}.json")
             return cid
         except FileExistsError:
             continue  # lost the race — retry with the next id
+        finally:
+            tmp.unlink(missing_ok=True)
     raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
 
 
@@ -113,6 +121,44 @@ def tx_read(spark: SparkSession, table: str,
             f"tx_read: no commits in {table}"
             + (f" as of {as_of}" if as_of is not None else ""))
     return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+
+
+def tx_exists(table: str) -> bool:
+    """True if the table has at least one committed entry — the
+    restart predicate for stage-wise pipelines (a staged-but-crashed
+    write leaves no entry, so the stage correctly re-runs)."""
+    return bool(_entries(table))
+
+
+def tx_merge(spark: SparkSession, table: str, source: DataFrame,
+             keys: list[str], update_cols: list[str] | None = None,
+             condition: Column | None = None) -> int:
+    """MERGE routed through the commit log (VERDICT r5 item 3): read
+    the current snapshot, apply the ``operators/merge.merge_upsert``
+    semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT —
+    07_SubsequentLoading.sql:331-355), stage the merged result, and
+    publish it as ONE atomic overwrite commit.
+
+    Crash contract: the merge output is staged into a fresh data dir
+    while the pre-merge generation stays untouched, so a crash
+    anywhere before the log-entry link leaves readers on the
+    pre-merge snapshot and the staged dir an invisible orphan
+    (``tx_vacuum`` reclaims it). There is never a moment when a
+    reader can observe a half-merged table — the property plain
+    ``mode("overwrite")`` parquet cannot give. Time travel keeps the
+    pre-merge generation addressable afterwards.
+
+    A merge into a table with no commits bootstraps it (publishes
+    ``source`` as commit 1), mirroring ``whenNotMatchedInsertAll``
+    over an empty target.
+    """
+    from ..operators.merge import merge_upsert
+    if not tx_exists(table):
+        return tx_write(source, table, mode="overwrite")
+    current = tx_read(spark, table)
+    merged = merge_upsert(current, source, keys,
+                          update_cols=update_cols, condition=condition)
+    return tx_write(merged, table, mode="overwrite")
 
 
 def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:

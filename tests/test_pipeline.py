@@ -52,3 +52,49 @@ def test_curation_pipeline_end_to_end(spark, sf_dir):
         a = {r.doc_id for r in stages[name].select("doc_id").collect()}
         b = {r.doc_id for r in again[name].select("doc_id").collect()}
         assert a == b, name
+
+
+def test_curation_durable_resume_after_failure(spark, sf_dir, tmp_path):
+    """The 100 TB shape: stage outputs are txlog tables; a driver that
+    dies between near-dup and split resumes to a bit-identical
+    train_chunks, and committed stages are NOT recomputed."""
+    from pathlib import Path
+
+    from library_data_warehouse_and_business_analytics_system_spark.pipelines import (
+        curate_corpus_durable,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.pipelines.curation import (
+        _DURABLE_STAGES,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read,
+    )
+
+    # deterministic ~1/3 subset (limit() is layout-dependent — unusable)
+    docs = (load_table(spark, sf_dir, "documents")
+            .where(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == 0))
+
+    # "crash" between the near-dup and split stages
+    root = str(tmp_path / "resume")
+    done = curate_corpus_durable(spark, docs, root, stop_after="near_kept")
+    assert set(done) == {"exact_kept", "near_kept"}
+
+    # restart completes the tail without touching committed stages
+    done = curate_corpus_durable(spark, docs, root)
+    assert set(done) == set(_DURABLE_STAGES)
+    for stage in _DURABLE_STAGES:
+        logs = list((Path(root) / stage / "_txlog").glob("*.json"))
+        assert len(logs) == 1, f"{stage} recommitted on resume"
+
+    def chunks(df):
+        return {(r.doc_id, r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+                for r in df.collect()}
+
+    resumed = chunks(tx_read(spark, f"{root}/train_chunks"))
+    assert resumed
+
+    # ≡ a never-interrupted durable run ≡ the in-memory pipeline
+    scratch_root = str(tmp_path / "scratch")
+    curate_corpus_durable(spark, docs, scratch_root)
+    assert chunks(tx_read(spark, f"{scratch_root}/train_chunks")) == resumed
+    assert chunks(curate_corpus(docs)["train_chunks"]) == resumed

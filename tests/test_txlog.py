@@ -9,8 +9,9 @@ from pathlib import Path
 
 import pytest
 
+from library_data_warehouse_and_business_analytics_system_spark.sources import txlog
 from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
-    tx_read, tx_vacuum, tx_write,
+    tx_exists, tx_merge, tx_read, tx_vacuum, tx_write,
 )
 
 
@@ -96,3 +97,73 @@ def test_time_travel_reads(spark, tmp_path):
     assert {r.id for r in tx_read(spark, t, as_of=1).collect()} == {1, 2}
     with pytest.raises(FileNotFoundError):
         tx_read(spark, t, as_of=0)
+
+def _kv(spark, pairs):
+    return spark.createDataFrame(pairs, "id long, v string")
+
+
+def test_tx_merge_upsert_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "t")
+    assert not tx_exists(t)
+    # bootstrap: merge into an empty table publishes the source
+    assert tx_merge(spark, t, _kv(spark, [(1, "a"), (2, "b")]), ["id"]) == 1
+    assert tx_exists(t)
+    # upsert: id=2 updates, id=3 inserts — one atomic overwrite commit
+    cid = tx_merge(spark, t, _kv(spark, [(2, "B"), (3, "c")]), ["id"])
+    assert cid == 2
+    got = {(r.id, r.v) for r in tx_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+    # time travel still sees the pre-merge generation
+    pre = {(r.id, r.v) for r in tx_read(spark, t, as_of=1).collect()}
+    assert pre == {(1, "a"), (2, "b")}
+
+
+def test_tx_merge_crash_between_stage_and_publish(spark, tmp_path,
+                                                  monkeypatch):
+    """A crash after the merged data dir is staged but before the log
+    entry publishes must leave readers on the PRE-merge snapshot —
+    never a half-merged table — and the retry must succeed."""
+    t = str(tmp_path / "t")
+    tx_merge(spark, t, _kv(spark, [(1, "a"), (2, "b")]), ["id"])
+    before = {(r.id, r.v) for r in tx_read(spark, t).collect()}
+
+    def boom(src, dst):
+        raise OSError("simulated crash at the publish point")
+
+    monkeypatch.setattr(txlog.os, "link", boom)
+    with pytest.raises(OSError, match="simulated crash"):
+        tx_merge(spark, t, _kv(spark, [(2, "B"), (3, "c")]), ["id"])
+    monkeypatch.undo()
+
+    # readers: pre-merge snapshot, intact
+    assert {(r.id, r.v) for r in tx_read(spark, t).collect()} == before
+    # the staged merge output is an invisible orphan; vacuum reclaims it
+    orphans = tx_vacuum(t, retention_sec=0)
+    assert len(orphans) == 1
+    assert {(r.id, r.v) for r in tx_read(spark, t).collect()} == before
+    # retry completes the merge atomically
+    tx_merge(spark, t, _kv(spark, [(2, "B"), (3, "c")]), ["id"])
+    got = {(r.id, r.v) for r in tx_read(spark, t).collect()}
+    assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_tx_write_crash_leaves_no_partial_log_entry(spark, tmp_path,
+                                                    monkeypatch):
+    """The publish is an atomic link of a fully-written temp file: a
+    crash can't leave a truncated .json that poisons every reader."""
+    t = str(tmp_path / "t")
+    tx_write(_kv(spark, [(1, "a")]), t)
+
+    def boom(src, dst):
+        raise OSError("simulated crash mid-publish")
+
+    monkeypatch.setattr(txlog.os, "link", boom)
+    with pytest.raises(OSError):
+        tx_write(_kv(spark, [(2, "b")]), t)
+    monkeypatch.undo()
+    log = Path(t) / "_txlog"
+    # exactly the one complete entry; no temp litter, all parseable
+    files = sorted(log.iterdir())
+    assert [f.name for f in files] == ["00000001.json"]
+    json.loads(files[0].read_text())
+    assert {r.id for r in tx_read(spark, t).collect()} == {1}
