@@ -79,23 +79,33 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         .alias("signature"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
-                        bands: int = 16) -> DataFrame:
-    """Band the signature; docs sharing any band bucket are candidates.
-    Returns distinct (a, b) id pairs with a < b."""
+def band_buckets(signatures: DataFrame, id_col: str, bands: int = 16,
+                 num_hashes: int = 64) -> DataFrame:
+    """(id, band, bucket) — the banded-LSH posting list. Shared by the
+    in-memory pair path and the persisted incremental index
+    (operators/dedup_index.py), so both derive candidates from the
+    IDENTICAL banding expression."""
     k = bands
-    sig = signatures.select(
+    return signatures.select(
         id_col,
         F.explode(F.array(*[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(F.slice("signature",
-                                   b * (64 // k) + 1, 64 // k).cast("string"))
+                                   b * (num_hashes // k) + 1,
+                                   num_hashes // k).cast("string"))
                 .alias("bucket"),
             )
             for b in range(k)
         ])).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str,
+                        bands: int = 16) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Returns distinct (a, b) id pairs with a < b."""
+    sig = band_buckets(signatures, id_col, bands)
     a = sig.alias("a")
     b = sig.alias("b")
     return (

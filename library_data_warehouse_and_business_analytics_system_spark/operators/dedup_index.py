@@ -1,0 +1,169 @@
+"""Incremental batch-vs-corpus dedup against a PERSISTED MinHash/LSH
+band index — the dedup a 100 TB pipeline actually runs daily is not
+"dedup the corpus from scratch" but "dedup this NEW batch against the
+existing corpus", and its cost must scale with the batch, not the
+corpus (VERDICT r5 item 1; reference analogue: the idempotent
+NOT-EXISTS incremental load, 07_SubsequentLoading.sql:42,395-401,
+which probes the target by key instead of reloading it).
+
+Index layout (mirrors the ANN side's train-once/serve-many
+``save_centroids``/``load_centroids``, operators/similarity.py:260)::
+
+    index_root/
+      bands/      txlog table: (id, band, bucket)   — the LSH posting
+                  list; fixed-width longs, the only thing the probe
+                  join ever touches
+      shingles/   txlog table: (id, sh array<bigint>) — the verify
+                  sidecar, fetched ONLY for candidate ids
+      meta.json   {num_hashes, bands, shingle_n, id_col} — probe-time
+                  parameters are read from here so a probe can never
+                  band differently than the index it probes
+
+Both tables are txlog tables, so the daily append publishes
+atomically: a reader (another probe job) sees the index before or
+after the whole batch, never half of it.
+
+Correctness contract: candidates for the new batch are
+``(corpus ∪ batch) ⋈ batch`` on (band, bucket) — exactly the full
+in-memory LSH candidate set (operators/dedup.lsh_candidate_pairs)
+restricted to pairs touching the batch, because corpus-corpus pairs
+are the only ones the probe omits. The verify step is the same exact
+shingle Jaccard. Hence::
+
+    dedup_new_batch(batch, idx(corpus))
+      ≡ minhash_lsh_dedup_pairs(corpus ∪ batch)
+          restricted to pairs with ≥1 batch member
+
+deterministically — this identity is the driver gate
+(``dedup_incremental``) and the pytest differential.
+
+Scale shape: the batch's band table is broadcast into the probe join
+(no shuffle of the corpus index; its columnar scan of 3 long columns
+is the only O(corpus) term). For batches too large to broadcast,
+write the bands table bucketed on (band, bucket) and probe with a
+shuffle of the BATCH side only — same plan contract, documented here
+because local parquet has no bucketed-write path through txlog.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.txlog import tx_read, tx_write
+from .dedup import _shingle_sets, band_buckets, minhash_signatures
+
+_META = "meta.json"
+
+
+def _paths(index_root: str) -> tuple[str, str, Path]:
+    root = Path(index_root)
+    return str(root / "bands"), str(root / "shingles"), root / _META
+
+
+def _index_frames(df: DataFrame, text_col: str, id_col: str,
+                  num_hashes: int, bands: int,
+                  shingle_n: int) -> tuple[DataFrame, DataFrame]:
+    """(bands, shingles) frames for ``df`` under the index's params."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    bb = band_buckets(sigs, id_col, bands, num_hashes)
+    sh = _shingle_sets(df, text_col, id_col, shingle_n)
+    return bb, sh
+
+
+def build_dedup_index(corpus: DataFrame, index_root: str, *,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      num_hashes: int = 64, bands: int = 16,
+                      shingle_n: int = 5) -> None:
+    """Build (or rebuild) the persisted index from the full corpus —
+    the expensive one-time pass; every later day only probes and
+    appends."""
+    bands_t, sh_t, meta_p = _paths(index_root)
+    bb, sh = _index_frames(corpus, text_col, id_col,
+                           num_hashes, bands, shingle_n)
+    tx_write(bb, bands_t, mode="overwrite")
+    tx_write(sh, sh_t, mode="overwrite")
+    meta_p.parent.mkdir(parents=True, exist_ok=True)
+    meta_p.write_text(json.dumps({
+        "num_hashes": num_hashes, "bands": bands,
+        "shingle_n": shingle_n, "id_col": id_col}))
+
+
+def _meta(index_root: str) -> dict:
+    _, _, meta_p = _paths(index_root)
+    return json.loads(meta_p.read_text())
+
+
+def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
+                    index_root: str, *, text_col: str = "text",
+                    threshold: float = 0.8) -> DataFrame:
+    """Near-dup pairs (a, b, jaccard), a < b, where at least one side
+    is in ``new_docs`` — batch-vs-corpus AND batch-vs-batch — without
+    recomputing anything about the corpus.
+
+    Banding/shingling parameters come from the index's meta so probe
+    and index can never disagree. Batch ids are assumed disjoint from
+    corpus ids (re-ingesting an already-indexed id is the caller's
+    upstream exact-dedup's job).
+    """
+    m = _meta(index_root)
+    id_col = m["id_col"]
+    bands_t, sh_t, _ = _paths(index_root)
+
+    bb_new, sh_new = _index_frames(new_docs, text_col, id_col,
+                                   m["num_hashes"], m["bands"],
+                                   m["shingle_n"])
+    bb_idx = tx_read(spark, bands_t)
+
+    # candidate pairs: (corpus ∪ batch) ⋈ batch on (band, bucket);
+    # the batch side broadcasts, so the corpus posting list is scanned
+    # once and never shuffled
+    all_bb = bb_idx.unionByName(bb_new).alias("a")
+    probe = F.broadcast(bb_new).alias("b")
+    cand = (
+        all_bb.join(probe, ["band", "bucket"])
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(F.least(f"a.{id_col}", f"b.{id_col}").alias("a"),
+                F.greatest(f"a.{id_col}", f"b.{id_col}").alias("b"))
+        .distinct()
+    )
+
+    # verify with exact shingle Jaccard; corpus shingles are fetched
+    # for CANDIDATE ids only — the broadcast semi-join prunes the
+    # shingle table scan BEFORE any join shuffle can form, so even a
+    # shuffle-join plan moves candidate-bounded data, never the
+    # corpus's shingle arrays
+    ids = (cand.select(F.col("a").alias(id_col))
+           .union(cand.select(F.col("b").alias(id_col))).distinct())
+    sh_cand = (tx_read(spark, sh_t).unionByName(sh_new)
+               .join(F.broadcast(ids), id_col, "left_semi"))
+    pairs = (
+        F.broadcast(cand)
+        .join(sh_cand.select(F.col(id_col).alias("a"),
+                             F.col("sh").alias("sh_a")), "a")
+        .join(sh_cand.select(F.col(id_col).alias("b"),
+                             F.col("sh").alias("sh_b")), "b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.select("a", "b",
+                     (inter / F.nullif(union, F.lit(0))).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def append_to_index(new_docs: DataFrame, index_root: str, *,
+                    text_col: str = "text") -> None:
+    """Publish the (deduplicated) batch's bands + shingles into the
+    index — one atomic append commit per table; the daily cycle is
+    probe → drop dups → append survivors."""
+    m = _meta(index_root)
+    bands_t, sh_t, _ = _paths(index_root)
+    bb, sh = _index_frames(new_docs, text_col, m["id_col"],
+                           m["num_hashes"], m["bands"], m["shingle_n"])
+    tx_write(bb, bands_t, mode="append")
+    tx_write(sh, sh_t, mode="append")

@@ -19,60 +19,57 @@ from . import library_gate  # noqa: E402,F401
 # families have several other oracle-green rows go last, so a
 # truncation only drops redundant signal. The union of green rows per
 # query across rounds is tracked in COVERAGE.md.
-# Round-5 rotation: the 9 queries whose ONLY green row is round 1
-# (pre-TIMESTAMP_NTZ-drift testdata) plus the 7 whose freshest row is
-# r2/r3 move INTO the 50-row window, together with this round's new
-# registrations (3 LQY gate rows + the forced-LSH variant); 20 queries
-# that went green in round 4 AND whose SURVEY §2 families are multiply
-# covered rotate OUT to the tail.
+# Round-6 rotation (the documented reservoir plan, executed): the 28
+# queries whose freshest green row is r04 — last round's tail — move
+# back INTO the 50-row window together with this round's new
+# registrations; everything that went green in r5 AND is multiply
+# green overall rotates OUT. Invariant the rotation keeps: after r6,
+# no registry query's freshest green row is older than two rounds.
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
-          "lqy_query1", "lqy_query2", "lqy_query3", "lsh_ann_topk_forced",
-          "doc_repetition_scores", "benchmark_contamination",
-          "events_json_props", "stratified_doc_sample",
-          "doc_chunk_packing", "quality_topn_per_source",
-          "media_audio_stats", "pii_scrub_stats",
-          # green only in round 1 (stale schema era):
-          "cube_order_stats", "grouping_sets_orders", "brand_revenue_share",
-          "acctbal_banding", "quarterly_pivot", "order_size_distribution",
-          "suppliers_of_large_shipments", "nation_customer_counts",
-          "events_sliding_1h30m",
-          # freshest green row is r2/r3:
-          "regexp_function_surface", "date_function_surface",
-          "order_quantity_arrays", "daily_order_window_frames",
-          "order_price_percentiles", "math_function_surface",
-          "nation_list_per_region"]
-_LATE = [  # all green r4 (and 3-4× green overall); families covered by
-         # in-window mates noted inline.
-         "pricing_summary",             # A1 via 19 other agg queries
-         "revenue_by_nation",           # J1/O1 via top_customers_per_nation
-         "yoy_nation_revenue",          # W1 via lqy_query1 (LAG) + frames
-         "market_share",                # W3/A6 via brand_revenue_share
-         "rollup_year_quarter",         # A9 via cube + grouping_sets
-         "top_orders_global",           # O2/W4 via top_customers_per_nation
-         "customers_without_orders",    # J3 via nation_set_ops semi/anti kin
-         "region_status_universe",      # J5/A4 via lqy_query2 universe
-         "date_spine_daily_orders",     # J2/J6 via nation_customer_counts
-         "order_price_bands",           # J7 via events_interval_join range
-         "param_filter_orders",         # P3/P5/P6 via brand_revenue_share
-         "string_function_surface",     # strings via regexp_function_surface
-         "surrogate_keys_customers",    # S8 via fact_surrogate_keys_audit
-         "cosine_topk",                 # ANN exact via lsh_ann_topk(+forced)
-         "doc_fingerprint_dedup",       # hash dedup via dedup_exact
-         "doc_token_stats",             # text via doc_bpe_token_counts
-         "lang_id_confusion",           # lang via top_tokens_per_lang
-         "events_tumbling_hourly",      # windows via events_sliding_1h30m
-         "events_session_windows",      # sessions via events_sessionize
-         "nation_set_ops",              # J4 via suppliers_of_large_shipments
-         # rotated out round 5 (4x green, families in-window):
-         "events_json_extract",         # JSON via events_json_props
-         "dedup_exact",                 # hash dedup via dedup_kept_corpus
-         "text_quality_scores",         # text via doc_repetition_scores
-         "ngram_jaccard_dups",          # pair path inside dedup_kept_corpus
-         "embedding_near_dups",         # bucketed path via _strict oracle
-         "top_customers_per_nation",    # W2 via top_tokens_per_lang + quality_topn
-         "doc_bpe_token_counts",        # token counts via doc_repetition_scores
-         "orders_scalar_subquery"]      # J8 decorrelation, 4x green
+          "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
+          "media_video_stats",
+          # freshest green row is r4 (the full r5 tail, rotated in):
+          "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
+          "market_share", "rollup_year_quarter", "top_orders_global",
+          "customers_without_orders", "region_status_universe",
+          "date_spine_daily_orders", "order_price_bands",
+          "param_filter_orders", "string_function_surface",
+          "surrogate_keys_customers", "cosine_topk",
+          "doc_fingerprint_dedup", "doc_token_stats",
+          "lang_id_confusion", "events_tumbling_hourly",
+          "events_session_windows", "nation_set_ops",
+          "events_json_extract", "dedup_exact", "text_quality_scores",
+          "ngram_jaccard_dups", "embedding_near_dups",
+          "top_customers_per_nation", "doc_bpe_token_counts",
+          "orders_scalar_subquery",
+          # single green row so far (first gated r5):
+          "lqy_query1", "lqy_query2", "lqy_query3",
+          "lsh_ann_topk_forced", "doc_repetition_scores",
+          "benchmark_contamination", "events_json_props",
+          "stratified_doc_sample", "doc_chunk_packing",
+          "quality_topn_per_source", "media_audio_stats",
+          "pii_scrub_stats",
+          # two green rows (r4+r5):
+          "fact_surrogate_keys_audit", "orders_data_profile",
+          "dedup_kept_corpus", "events_funnel"]
+_LATE = [  # all green r5 and 3-5× green overall; families covered by
+         # in-window mates.
+         "cube_order_stats", "grouping_sets_orders",
+         "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
+         "order_size_distribution", "suppliers_of_large_shipments",
+         "nation_customer_counts", "events_sliding_1h30m",
+         "regexp_function_surface", "date_function_surface",
+         "order_quantity_arrays", "daily_order_window_frames",
+         "order_price_percentiles", "math_function_surface",
+         "nation_list_per_region", "events_sessionize",
+         "customer_spend_scd2_versions", "salted_event_type_counts",
+         "approx_distinct_check", "approx_quantile_check",
+         "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
+         "ivf_ann_topk", "embedding_near_dups_strict",
+         "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
+         "source_token_budget", "events_interval_join",
+         "events_asof_purchase_view"]
 
 
 def _reorder() -> None:

@@ -313,6 +313,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", threshold=0.5).orderBy("a", "b")
 
 
+@register(
+    "dedup_incremental",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM toks
+    ), flag AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('batch:' || CAST(doc_id AS VARCHAR)),
+                                 1, 6) AS INTEGER) % 5 = 4 AS is_new
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b,
+             len(list_intersect(a.g, b.g))
+               / nullif(len(a.g) + len(b.g)
+                        - len(list_intersect(a.g, b.g)), 0) AS jaccard
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+    )
+    SELECT p.a, p.b, p.jaccard FROM pairs p
+    JOIN flag fa ON fa.doc_id = p.a
+    JOIN flag fb ON fb.doc_id = p.b
+    WHERE (fa.is_new OR fb.is_new) AND p.jaccard >= 0.5
+    ORDER BY p.a, p.b
+    """,
+    operators=("DEDUP-INCREMENTAL", "DEDUP-MINHASH-LSH"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup against the PERSISTED band
+    index (operators/dedup_index.py): a deterministic ~20% of the
+    documents table plays the daily batch, the rest is indexed, and
+    the probe must reproduce the all-pairs exact-Jaccard ground truth
+    restricted to pairs touching the batch — i.e. the full-corpus
+    ``minhash_lsh_pairs`` answer for every pair the batch could
+    affect, computed WITHOUT re-scanning corpus pair space.
+    Reference analogue: the idempotent NOT-EXISTS incremental load
+    (07_SubsequentLoading.sql:42,395-401) probes the target by key
+    instead of reloading it."""
+    import tempfile
+
+    from ..operators.dedup_index import build_dedup_index, dedup_new_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = TX.md5_bucket(F.col("doc_id"), 5, salt="batch:") == 4
+    # the index build is part of the operator under test; the dir
+    # lives until the returned (lazy) frame has been collected
+    root = tempfile.mkdtemp(prefix="dedup_idx_gate_")
+    build_dedup_index(docs.where(~is_new), root)
+    return (dedup_new_batch(spark, docs.where(is_new), root,
+                            threshold=0.5)
+            .orderBy("a", "b"))
+
+
 _SIMHASH32_VOTES = ", ".join(
     f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
     for i in range(32))

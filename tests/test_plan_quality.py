@@ -106,40 +106,44 @@ def test_registry_gate_ordering():
     names = list(QUERIES)
     assert names.index("media_decode_stats") <= 2
     assert names.index("media_frame_counts") <= 2
-    # fresh-signal queries must sit inside the 50-row window: this
-    # round's new registrations, the 9 whose only green row was the
-    # round-1 (pre-schema-drift) gate, and the 7 whose freshest row
-    # is r2/r3.
-    for must_gate in ("lqy_query1", "lqy_query2", "lqy_query3",
-                      "lsh_ann_topk_forced",
-                      # round-5 new registrations:
-                      "doc_repetition_scores", "benchmark_contamination",
-                      "events_json_props", "stratified_doc_sample",
-                      "doc_chunk_packing", "quality_topn_per_source",
-                      "media_audio_stats", "pii_scrub_stats",
-                      "cube_order_stats", "grouping_sets_orders",
-                      "brand_revenue_share", "acctbal_banding",
-                      "quarterly_pivot", "order_size_distribution",
-                      "suppliers_of_large_shipments",
-                      "nation_customer_counts", "events_sliding_1h30m",
-                      "regexp_function_surface", "date_function_surface",
-                      "order_quantity_arrays", "daily_order_window_frames",
-                      "order_price_percentiles", "math_function_surface",
-                      "nation_list_per_region",
-                      # r4-new queries that should keep their streak
-                      "events_funnel", "events_sessionize",
-                      "embedding_near_dups_strict",
-                      "fact_surrogate_keys_audit",
-                      "events_asof_purchase_view"):
+    # Round-6 window: the entire r5 tail (freshest green row = r4)
+    # rotates back in, plus this round's new registrations, plus every
+    # query whose only green row is r5 — so after r6 no query's
+    # freshest green row is older than two rounds.
+    for must_gate in (
+            # new this round:
+            "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
+            # freshest green = r4 (the full r5 tail):
+            "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
+            "market_share", "rollup_year_quarter", "top_orders_global",
+            "customers_without_orders", "region_status_universe",
+            "date_spine_daily_orders", "order_price_bands",
+            "param_filter_orders", "string_function_surface",
+            "surrogate_keys_customers", "cosine_topk",
+            "doc_fingerprint_dedup", "doc_token_stats",
+            "lang_id_confusion", "events_tumbling_hourly",
+            "events_session_windows", "nation_set_ops",
+            "events_json_extract", "dedup_exact", "text_quality_scores",
+            "ngram_jaccard_dups", "embedding_near_dups",
+            "top_customers_per_nation", "doc_bpe_token_counts",
+            "orders_scalar_subquery",
+            # single green row (first gated r5):
+            "lqy_query1", "lqy_query2", "lqy_query3",
+            "lsh_ann_topk_forced", "doc_repetition_scores",
+            "benchmark_contamination", "events_json_props",
+            "stratified_doc_sample", "doc_chunk_packing",
+            "quality_topn_per_source", "media_audio_stats",
+            "pii_scrub_stats"):
         assert names.index(must_gate) < 50, must_gate
-    # multiply-green round-4 queries rotate to the tail
-    redundant_tail = {"pricing_summary", "revenue_by_nation",
-                      "cosine_topk", "nation_set_ops",
-                      "events_json_extract", "dedup_exact",
-                      "text_quality_scores", "ngram_jaccard_dups",
-                      "embedding_near_dups", "top_customers_per_nation",
-                      "doc_bpe_token_counts", "orders_scalar_subquery"}
-    assert redundant_tail <= set(names[-28:])
+    # multiply-green r5 queries rotate to the tail
+    redundant_tail = {"cube_order_stats", "grouping_sets_orders",
+                      "brand_revenue_share", "quarterly_pivot",
+                      "events_sessionize", "customer_spend_scd2_versions",
+                      "minhash_lsh_pairs", "simhash_pairs",
+                      "lsh_ann_topk", "ivf_ann_topk", "dedup_clusters",
+                      "doc_hash_split", "events_interval_join",
+                      "events_asof_purchase_view"}
+    assert redundant_tail <= set(names[-32:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
