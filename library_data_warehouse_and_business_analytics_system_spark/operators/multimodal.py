@@ -13,9 +13,11 @@ on the driver's documents table); ``mode="real"`` actually decodes
 pixels — through PIL when importable, else the pure-stdlib PNG
 decoder in functions/png_codec.py (this container has no
 PIL/cv2/torchaudio). Audio ``mode="real"`` parses PCM WAV with the
-stdlib ``wave`` codec; compressed audio and video byte decode remain
-stubbed behind the fake tier (would slot in behind the same
-mapInPandas signatures via torchaudio/cv2 when available).
+stdlib ``wave`` codec. Video ``mode="real"`` parses uncompressed
+YUV4MPEG2 (Y4M) streams with the ~40-line parser below (known-signal
+round-trip in tests/test_multimodal.py); compressed audio/video would
+slot in behind the same mapInPandas signatures via torchaudio/cv2
+when available.
 
 All per-row Python work runs in ``mapInPandas`` (Arrow-batched, one
 Python worker per partition); nothing here shuffles, so throughput
@@ -301,3 +303,116 @@ def decode_audio(df: DataFrame, payload_col: str = "data",
             yield out
 
     return df.mapInPandas(batches, AUDIO_DECODED_SCHEMA)
+
+
+VIDEO_DECODED_SCHEMA = StructType([
+    StructField("media_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("n_frames", LongType()),
+    StructField("fps", DoubleType()),
+    StructField("duration_ms", LongType()),
+    StructField("mean_luma", DoubleType()),
+])
+
+#: bytes per frame as a multiple of (width*height), by Y4M colorspace
+_Y4M_PLANE_RATIO = {"420": 1.5, "420jpeg": 1.5, "420paldv": 1.5,
+                    "420mpeg2": 1.5, "422": 2.0, "444": 3.0, "mono": 1.0}
+
+
+def _decode_y4m(payload: bytes) -> tuple[int, int, int, float, int, float]:
+    """Uncompressed YUV4MPEG2 → (width, height, n_frames, fps,
+    duration_ms, mean_luma). mean_luma averages the Y plane over all
+    frames, normalized to [0, 1] — the video twin of the PNG
+    mean_pixel / WAV rms statistic.
+
+    The format (header line ``YUV4MPEG2 W.. H.. F<num>:<den> [C..]``,
+    then per frame a ``FRAME...\\n`` marker + raw planar YUV) is fully
+    specified by the mjpegtools public docs; the test generates
+    streams by hand and round-trips known signals — the same
+    no-external-codec strategy as functions/png_codec.py."""
+    data = bytes(payload)
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", errors="strict")
+    fields = header.split(" ")
+    if fields[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    num, den, cs = 25, 1, "420"
+    for f in fields[1:]:
+        if not f:
+            continue
+        tag, val = f[0], f[1:]
+        if tag == "W":
+            w = int(val)
+        elif tag == "H":
+            h = int(val)
+        elif tag == "F":
+            num, den = (int(x) for x in val.split(":"))
+        elif tag == "C":
+            cs = val
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W/H")
+    if cs not in _Y4M_PLANE_RATIO:
+        raise ValueError(f"unsupported Y4M colorspace: {cs}")
+    frame_bytes = int(w * h * _Y4M_PLANE_RATIO[cs])
+    luma_bytes = w * h
+
+    pos, n_frames, luma_sum = nl + 1, 0, 0
+    while pos < len(data):
+        fnl = data.index(b"\n", pos)
+        if not data[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("corrupt Y4M: FRAME marker missing")
+        pos = fnl + 1
+        frame = data[pos:pos + frame_bytes]
+        if len(frame) != frame_bytes:
+            raise ValueError("corrupt Y4M: truncated frame")
+        luma_sum += sum(frame[:luma_bytes])
+        pos += frame_bytes
+        n_frames += 1
+
+    fps = num / den
+    duration_ms = int(n_frames * 1000 * den // num) if num else 0
+    mean_luma = (luma_sum / (n_frames * luma_bytes) / 255.0) \
+        if n_frames else 0.0
+    return w, h, n_frames, fps, duration_ms, mean_luma
+
+
+def fake_decode_video(payload: bytes) -> tuple[int, int, int, float, int,
+                                               float]:
+    """Deterministic pseudo-decode from the payload's md5 (the same
+    oracle-reproducible contract as :func:`fake_decode`)."""
+    h = hashlib.md5(payload).hexdigest()
+    width = 16 + int(h[0:4], 16) % 497
+    height = 16 + int(h[4:8], 16) % 497
+    n_frames = 1 + int(h[8:12], 16) % 300
+    fps = float((10, 24, 25, 30)[int(h[12], 16) % 4])
+    duration_ms = n_frames * 1000 // int(fps)
+    mean_luma = int(h[13:17], 16) / 65535.0
+    return width, height, n_frames, fps, duration_ms, mean_luma
+
+
+def decode_video(df: DataFrame, payload_col: str = "data",
+                 id_col: str = "media_id", mode: str = "fake") -> DataFrame:
+    """Video payload → typed stats via the same streaming mapInPandas
+    contract as :func:`decode_images` / :func:`decode_audio`.
+    ``mode="real"`` parses uncompressed Y4M with the stdlib-only
+    parser above; compressed formats would slot in behind the same
+    signature via cv2/pyav when available."""
+    if mode == "real":
+        decode = _decode_y4m
+    elif mode == "fake":
+        decode = fake_decode_video
+    else:
+        raise ValueError(f"decode_video: unknown mode {mode!r}")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode(bytes(p)) for p in pdf[payload_col]]
+            out = pd.DataFrame(decoded,
+                               columns=["width", "height", "n_frames",
+                                        "fps", "duration_ms", "mean_luma"])
+            out.insert(0, "media_id", pdf[id_col].values)
+            yield out
+
+    return df.mapInPandas(batches, VIDEO_DECODED_SCHEMA)

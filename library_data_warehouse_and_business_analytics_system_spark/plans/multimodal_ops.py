@@ -102,3 +102,42 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = MM.documents_as_media(docs)
     return MM.decode_audio(media).orderBy("media_id")
+
+
+@register(
+    "media_video_stats",
+    """
+    WITH h AS (SELECT doc_id, md5(text) AS x FROM documents
+               WHERE doc_id % 3 = 0)
+    SELECT doc_id AS media_id,
+           CAST(16 + CAST('0x' || substr(x, 1, 4) AS INTEGER) % 497
+                AS INTEGER) AS width,
+           CAST(16 + CAST('0x' || substr(x, 5, 4) AS INTEGER) % 497
+                AS INTEGER) AS height,
+           CAST(1 + CAST('0x' || substr(x, 9, 4) AS INTEGER) % 300
+                AS BIGINT) AS n_frames,
+           CAST(CASE CAST('0x' || substr(x, 13, 1) AS INTEGER) % 4
+                  WHEN 0 THEN 10 WHEN 1 THEN 24
+                  WHEN 2 THEN 25 ELSE 30 END AS DOUBLE) AS fps,
+           CAST((1 + CAST('0x' || substr(x, 9, 4) AS INTEGER) % 300) * 1000
+                // (CASE CAST('0x' || substr(x, 13, 1) AS INTEGER) % 4
+                      WHEN 0 THEN 10 WHEN 1 THEN 24
+                      WHEN 2 THEN 25 ELSE 30 END)
+                AS BIGINT) AS duration_ms,
+           CAST('0x' || substr(x, 14, 4) AS INTEGER) / 65535.0 AS mean_luma
+    FROM h
+    ORDER BY media_id
+    """,
+    operators=("MEDIA-VIDEO", "UDF-MAPINPANDAS"),
+)
+def media_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-tier video decode over the document-backed media corpus
+    (kind='video' rows only, exercising the metadata pre-filter) —
+    gates the decode_video mapInPandas plumbing exactly as
+    media_decode_stats / media_audio_stats do for images and audio;
+    the real Y4M tier is known-signal tested in
+    tests/test_multimodal.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = MM.documents_as_media(docs)
+    return (MM.decode_video(media.filter(F.col("meta.kind") == "video"))
+            .orderBy("media_id"))

@@ -329,3 +329,72 @@ def test_decode_audio_fake_tier_deterministic(spark):
     assert rows[1] == rows[2]          # same payload → same stats
     assert rows[1] != rows[3]
     assert rows[1][0] in (8000, 16000, 22050, 44100)
+
+
+# ---------------------------------------------------------------------------
+# Y4M video decode: streams hand-written by the test (the format is
+# public: YUV4MPEG2 header + FRAME markers + raw planar YUV), parsed
+# by the stdlib-only decoder — same strategy as the PNG codec above.
+
+
+def _make_y4m(w, h, frame_lumas, fps=(25, 1), cs="420"):
+    ratio = {"420": 1.5, "422": 2.0, "444": 3.0, "mono": 1.0}[cs]
+    chroma = int(w * h * ratio) - w * h
+    head = f"YUV4MPEG2 W{w} H{h} F{fps[0]}:{fps[1]} Ip A1:1 C{cs}\n"
+    out = bytearray(head.encode())
+    for luma in frame_lumas:
+        out += b"FRAME\n"
+        out += bytes([luma]) * (w * h)          # constant Y plane
+        out += bytes([128]) * chroma            # neutral chroma
+    return bytes(out)
+
+
+def test_y4m_known_signal_roundtrip():
+    payload = _make_y4m(8, 4, [100, 200], fps=(30, 1))
+    w, h, n, fps, dur, luma = MM._decode_y4m(payload)
+    assert (w, h, n) == (8, 4, 2)
+    assert fps == 30.0
+    assert dur == 2 * 1000 * 1 // 30
+    assert luma == 150 / 255.0  # exact: constant planes, integer mean
+
+
+def test_y4m_colorspaces_and_fractional_fps():
+    for cs in ("420", "422", "444", "mono"):
+        payload = _make_y4m(4, 4, [50], cs=cs, fps=(30000, 1001))
+        w, h, n, fps, dur, luma = MM._decode_y4m(payload)
+        assert (w, h, n) == (4, 4, 1), cs
+        assert abs(fps - 29.97) < 0.01
+        assert luma == 50 / 255.0, cs
+
+
+def test_y4m_rejects_corrupt_streams():
+    good = _make_y4m(4, 4, [10, 20])
+    with pytest.raises(ValueError, match="not a YUV4MPEG2"):
+        MM._decode_y4m(b"RIFF" + good)
+    with pytest.raises(ValueError, match="truncated"):
+        MM._decode_y4m(good[:-5])
+    with pytest.raises(ValueError, match="unsupported Y4M colorspace"):
+        MM._decode_y4m(_make_y4m(4, 4, [10]).replace(b"C420", b"C410"))
+
+
+def test_decode_video_real_tier_via_spark(spark):
+    rows = [(1, _make_y4m(8, 4, [100, 200]), None),
+            (2, _make_y4m(4, 4, [0], cs="444"), None)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in
+           MM.decode_video(df, mode="real").collect()}
+    assert got[1].width == 8 and got[1].n_frames == 2
+    assert got[1].mean_luma == 150 / 255.0
+    assert got[2].height == 4 and got[2].mean_luma == 0.0
+
+
+def test_decode_video_fake_matches_reference_impl(spark):
+    rows = [(i, f"payload {i}".encode(), None) for i in range(20)]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in MM.decode_video(df).collect()}
+    for i in range(20):
+        w, h, n, fps, dur, luma = MM.fake_decode_video(f"payload {i}".encode())
+        r = got[i]
+        assert (r.width, r.height, r.n_frames) == (w, h, n)
+        assert (r.fps, r.duration_ms) == (fps, dur)
+        assert abs(r.mean_luma - luma) < 1e-12
