@@ -157,13 +157,16 @@ def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
 
 
 def append_to_index(new_docs: DataFrame, index_root: str, *,
-                    text_col: str = "text") -> None:
+                    text_col: str = "text",
+                    txn_id: str | None = None) -> None:
     """Publish the (deduplicated) batch's bands + shingles into the
     index — one atomic append commit per table; the daily cycle is
-    probe → drop dups → append survivors."""
+    probe → drop dups → append survivors. ``txn_id`` makes the append
+    idempotent per table (redelivered micro-batches re-commit only
+    the table that didn't make it — see ``tx_write``)."""
     m = _meta(index_root)
     bands_t, sh_t, _ = _paths(index_root)
     bb, sh = _index_frames(new_docs, text_col, m["id_col"],
                            m["num_hashes"], m["bands"], m["shingle_n"])
-    tx_write(bb, bands_t, mode="append")
-    tx_write(sh, sh_t, mode="append")
+    tx_write(bb, bands_t, mode="append", txn_id=txn_id)
+    tx_write(sh, sh_t, mode="append", txn_id=txn_id)

@@ -80,10 +80,21 @@ def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
 
 
 def tx_write(df: DataFrame, table: str, mode: str = "append",
-             max_retries: int = 10) -> int:
-    """Atomically publish ``df`` as one commit; returns the commit id."""
+             max_retries: int = 10, txn_id: str | None = None) -> int:
+    """Atomically publish ``df`` as one commit; returns the commit id.
+
+    ``txn_id`` makes the write IDEMPOTENT (Delta's txnAppId/txnVersion
+    pattern): if a commit with the same txn_id is already in the log,
+    the write is skipped and that commit's id returned. This is what
+    lets a ``foreachBatch`` sink pass its batch_id through and survive
+    micro-batch REDELIVERY after a crash without double-appending
+    (streaming/dedup_ingest.py)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"tx_write: unknown mode {mode!r}")
+    if txn_id is not None:
+        for e in _entries(table):
+            if e.get("txn") == txn_id:
+                return e["id"]
     stage = f"{_DATA}/{uuid.uuid4().hex}"
     df.write.parquet(str(Path(table) / stage))
     log = _log_dir(table)
@@ -91,7 +102,13 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
     for _ in range(max_retries):
         existing = [int(f.stem) for f in log.glob("*.json")]
         cid = (max(existing) + 1) if existing else 1
+        if txn_id is not None:
+            for e in _entries(table):
+                if e.get("txn") == txn_id:  # racer published our txn
+                    return e["id"]
         entry = {"id": cid, "mode": mode, "dir": stage}
+        if txn_id is not None:
+            entry["txn"] = txn_id
         # Publish = atomic link of a fully-written temp file. A bare
         # open('x') + dump could crash BETWEEN create and write,
         # leaving a truncated log entry every reader then chokes on;

@@ -127,3 +127,97 @@ def test_probe_cost_scales_with_batch_not_corpus(spark, sf_dir, tmp_path):
     t1 = probe_time(corpus)
     t4 = probe_time(corpus4)
     assert t4 < 2.5 * t1, f"probe not batch-bound: {t1:.2f}s -> {t4:.2f}s"
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin: continuous ingest through the band index.
+
+
+def _day_chunks(docs, n=3):
+    day = TX.md5_bucket(F.col("doc_id"), n, salt="day:")
+    return [docs.where(day == i) for i in range(n)]
+
+
+def _write_day_files(chunks, src):
+    import os
+    import time as _t
+    base = _t.time()
+    seen: set[str] = set()
+    for k, chunk in enumerate(chunks, start=1):
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        fresh = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(os.path.join(src, f), (base + k * 10, base + k * 10))
+
+
+def test_streaming_ingest_equals_sequential_batches(spark, sf_dir,
+                                                    tmp_path):
+    """start_dedup_ingest over day-files ≡ the sequential batch
+    probe→drop→append loop: same kept corpus, same index contents."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.streaming.dedup_ingest import (
+        ingest_batch, start_dedup_ingest,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = _day_chunks(docs)
+    src = str(tmp_path / "src")
+    _write_day_files(chunks, src)
+
+    # streaming run (bootstrapped from an empty index)
+    root_s, kept_s = str(tmp_path / "idx_s"), str(tmp_path / "kept_s")
+    build_dedup_index(docs.limit(0), root_s)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_dedup_ingest(stream, root_s, kept_s,
+                           str(tmp_path / "ck"), threshold=THRESHOLD)
+    q.awaitTermination()
+
+    # sequential reference over the same chunks in the same order
+    root_b, kept_b = str(tmp_path / "idx_b"), str(tmp_path / "kept_b")
+    build_dedup_index(docs.limit(0), root_b)
+    for i, chunk in enumerate(chunks):
+        ingest_batch(chunk, i, root_b, kept_b, threshold=THRESHOLD)
+
+    def ids(table):
+        return {r.doc_id for r in
+                tx_read(spark, table).select("doc_id").collect()}
+
+    assert ids(kept_s) == ids(kept_b)
+    assert ids(kept_s) < {r.doc_id for r in docs.select("doc_id").collect()}
+    for sub in ("bands", "shingles"):
+        a = tx_read(spark, f"{root_s}/{sub}")
+        b = tx_read(spark, f"{root_b}/{sub}")
+        assert a.count() == b.count(), sub
+        assert a.exceptAll(b).count() == 0, sub
+
+
+def test_ingest_batch_redelivery_is_idempotent(spark, sf_dir, tmp_path):
+    """A redelivered micro-batch (same batch_id) must not
+    double-append: txn ids in the commit log absorb the replay."""
+    from pathlib import Path
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.streaming.dedup_ingest import (
+        ingest_batch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunk = _day_chunks(docs)[0]
+    root, kept = str(tmp_path / "idx"), str(tmp_path / "kept")
+    build_dedup_index(docs.limit(0), root)
+
+    ingest_batch(chunk, 7, root, kept, threshold=THRESHOLD)
+    n_kept = tx_read(spark, kept).count()
+    n_bands = tx_read(spark, f"{root}/bands").count()
+    logs = len(list((Path(kept) / "_txlog").glob("*.json")))
+
+    ingest_batch(chunk, 7, root, kept, threshold=THRESHOLD)  # replay
+    assert tx_read(spark, kept).count() == n_kept
+    assert tx_read(spark, f"{root}/bands").count() == n_bands
+    assert len(list((Path(kept) / "_txlog").glob("*.json"))) == logs
