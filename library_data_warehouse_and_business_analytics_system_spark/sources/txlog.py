@@ -33,10 +33,12 @@ Layout::
   the same way).
 
 Scale notes: the log is O(commits) tiny JSON files read driver-side;
-compaction of old entries into checkpoints (what Delta does every 10
-commits) is a straightforward extension. Object stores without atomic
-create need a coordination service for the publish step — same caveat
-Delta documents for S3.
+``tx_checkpoint`` compacts the visible state (what Delta does every
+10 commits) so reads replay only commits newer than the checkpoint,
+and ``tx_truncate_log`` bounds the log's file count once a checkpoint
+covers the history. Object stores without atomic create/link need a
+coordination service for the publish step — same caveat Delta
+documents for S3.
 """
 
 from __future__ import annotations
@@ -67,9 +69,38 @@ def _entries(table: str) -> list[dict]:
     return out
 
 
+def _cp_dir(table: str) -> Path:
+    return _log_dir(table) / "checkpoints"
+
+
+def _latest_checkpoint(table: str, as_of: int | None = None) -> dict | None:
+    """Newest checkpoint with id ≤ as_of (or newest overall)."""
+    d = _cp_dir(table)
+    if not d.is_dir():
+        return None
+    best = None
+    for f in d.glob("*.json"):
+        cid = int(f.stem)
+        if as_of is not None and cid > as_of:
+            continue
+        if best is None or cid > best[0]:
+            best = (cid, f)
+    return json.loads(best[1].read_text()) if best else None
+
+
 def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
-    dirs: list[str] = []
-    for e in _entries(table):
+    cp = _latest_checkpoint(table, as_of)
+    dirs: list[str] = list(cp["dirs"]) if cp else []
+    base = cp["id"] if cp else 0
+    entries = [e for e in _entries(table) if e["id"] > base]
+    if entries and not cp and entries[0]["id"] != 1:
+        # log was truncated past every checkpoint usable for this
+        # snapshot — replaying from a gap would silently drop history
+        raise ValueError(
+            f"txlog history before commit {entries[0]['id']} of {table} "
+            "was truncated and no checkpoint covers "
+            + (f"as_of={as_of}" if as_of is not None else "this read"))
+    for e in entries:
         if as_of is not None and e["id"] > as_of:
             break
         if e["mode"] == "overwrite":
@@ -101,6 +132,11 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
     log.mkdir(parents=True, exist_ok=True)
     for _ in range(max_retries):
         existing = [int(f.stem) for f in log.glob("*.json")]
+        # a truncated log may hold fewer entries than history — the
+        # latest checkpoint keeps the id sequence monotone
+        cp = _latest_checkpoint(table)
+        if cp:
+            existing.append(cp["id"])
         cid = (max(existing) + 1) if existing else 1
         if txn_id is not None:
             for e in _entries(table):
@@ -140,11 +176,67 @@ def tx_read(spark: SparkSession, table: str,
     return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
 
 
+def tx_checkpoint(table: str) -> int:
+    """Summarize the table's visible state at its latest commit into
+    ``_txlog/checkpoints/<id>.json`` (what Delta writes every 10
+    commits): snapshot reads then replay only commits NEWER than the
+    checkpoint, so read cost is O(commits since last checkpoint)
+    instead of O(all commits) — the one unbounded driver-side term
+    this format had. Old log entries stay valid (time travel before
+    the checkpoint keeps working) until ``tx_truncate_log`` reclaims
+    them. Idempotent; returns the checkpointed commit id."""
+    entries = _entries(table)
+    if not entries:
+        cp = _latest_checkpoint(table)
+        if cp:
+            return cp["id"]
+        raise FileNotFoundError(f"tx_checkpoint: no commits in {table}")
+    last = entries[-1]["id"]
+    d = _cp_dir(table)
+    d.mkdir(parents=True, exist_ok=True)
+    target = d / f"{last:08d}.json"
+    if target.exists():
+        return last
+    payload = json.dumps({"id": last, "dirs": _visible_dirs(table)})
+    tmp = d / f".{uuid.uuid4().hex}.tmp"
+    tmp.write_text(payload)
+    try:
+        os.link(tmp, target)  # atomic, complete-or-absent (as tx_write)
+    except FileExistsError:
+        pass  # concurrent checkpointer won; states are identical
+    finally:
+        tmp.unlink(missing_ok=True)
+    return last
+
+
+def tx_truncate_log(table: str) -> list[str]:
+    """Delete log entries already covered by the latest checkpoint,
+    bounding the log's file count (the metadata twin of ``tx_vacuum``).
+    Time travel to commits at/after the checkpoint — and the current
+    snapshot — keep working; ``as_of`` BEFORE the oldest surviving
+    checkpoint becomes unanswerable, and ``tx_read`` raises rather
+    than silently replaying from a gap. Truncation also forgets the
+    removed entries' ``txn_id`` markers — run it only once upstream
+    redelivery of those transactions is impossible (the stream's own
+    checkpoint has advanced past them), the same retention reasoning
+    Delta documents for setTransaction. Returns the removed files."""
+    cp = _latest_checkpoint(table)
+    if cp is None:
+        return []
+    removed = []
+    for f in _log_dir(table).glob("*.json"):
+        if int(f.stem) <= cp["id"]:
+            f.unlink()
+            removed.append(f.name)
+    return sorted(removed)
+
+
 def tx_exists(table: str) -> bool:
-    """True if the table has at least one committed entry — the
-    restart predicate for stage-wise pipelines (a staged-but-crashed
-    write leaves no entry, so the stage correctly re-runs)."""
-    return bool(_entries(table))
+    """True if the table has at least one committed entry (or a
+    checkpoint covering truncated ones) — the restart predicate for
+    stage-wise pipelines (a staged-but-crashed write leaves no entry,
+    so the stage correctly re-runs)."""
+    return bool(_entries(table)) or _latest_checkpoint(table) is not None
 
 
 def tx_merge(spark: SparkSession, table: str, source: DataFrame,
@@ -194,6 +286,12 @@ def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
     """
     import time
     referenced = {e["dir"].split("/", 1)[1] for e in _entries(table)}
+    # checkpoints reference dirs whose log entries may be truncated
+    cp_d = _cp_dir(table)
+    if cp_d.is_dir():
+        for f in cp_d.glob("*.json"):
+            for d in json.loads(f.read_text())["dirs"]:
+                referenced.add(d.split("/", 1)[1])
     now = time.time()
     removed = []
     data = Path(table) / _DATA

@@ -167,3 +167,52 @@ def test_tx_write_crash_leaves_no_partial_log_entry(spark, tmp_path,
     assert [f.name for f in files] == ["00000001.json"]
     json.loads(files[0].read_text())
     assert {r.id for r in tx_read(spark, t).collect()} == {1}
+
+
+def test_checkpoint_accelerated_reads_and_time_travel(spark, tmp_path):
+    """A checkpoint summarizes the visible state; reads replay only
+    newer commits and every pre-checkpoint snapshot stays readable
+    while its log entries remain."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_checkpoint,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1, 2]), t)                 # 1
+    tx_write(_df(spark, [3]), t)                    # 2
+    assert tx_checkpoint(t) == 2
+    assert tx_checkpoint(t) == 2                    # idempotent
+    tx_write(_df(spark, [9]), t, mode="overwrite")  # 3
+    tx_write(_df(spark, [10]), t)                   # 4
+    assert {r.id for r in tx_read(spark, t).collect()} == {9, 10}
+    assert {r.id for r in tx_read(spark, t, as_of=1).collect()} == {1, 2}
+    assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2, 3}
+    assert {r.id for r in tx_read(spark, t, as_of=3).collect()} == {9}
+
+
+def test_truncate_log_bounds_metadata_and_guards_history(spark, tmp_path):
+    """Truncation deletes entries the checkpoint covers: current and
+    post-checkpoint reads work from the checkpoint alone, commit ids
+    stay monotone, vacuum keeps checkpoint-referenced dirs, and a
+    pre-checkpoint as_of raises instead of silently replaying a gap."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_checkpoint, tx_exists, tx_truncate_log,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)                    # 1
+    tx_write(_df(spark, [2]), t)                    # 2
+    tx_checkpoint(t)
+    removed = tx_truncate_log(t)
+    assert removed == ["00000001.json", "00000002.json"]
+    assert tx_exists(t)
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2}
+    # vacuum must keep dirs only the checkpoint references
+    assert tx_vacuum(t, retention_sec=0) == []
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2}
+    # ids continue after the checkpointed history
+    assert tx_write(_df(spark, [3]), t) == 3
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2, 3}
+    assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="truncated"):
+        tx_read(spark, t, as_of=1)
