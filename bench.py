@@ -68,7 +68,7 @@ def main() -> None:
     PIN_MEDIAN = {
         "embedding_near_dups", "embedding_near_dups_strict",
         "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_dups",
-        "dedup_clusters", "dedup_kept_corpus",
+        "dedup_clusters", "dedup_kept_corpus", "dedup_incremental",
     }
 
     timings: dict[str, float] = {}

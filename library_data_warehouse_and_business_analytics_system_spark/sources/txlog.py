@@ -270,6 +270,21 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     return tx_write(merged, table, mode="overwrite")
 
 
+def tx_apply_scd2(spark: SparkSession, table: str, updates: DataFrame,
+                  **scd2_kwargs) -> int:
+    """SCD2 apply (operators/scd2.scd2_apply — the reference's
+    Prod_Update_Dim* expire-and-insert procedures) routed through the
+    commit log: the new dimension generation stages fully, then
+    publishes as ONE atomic overwrite commit. Same crash contract as
+    :func:`tx_merge` — readers see the pre-update dimension until the
+    publish instant, and time travel keeps every prior generation
+    (the dimension's own SCD2 history plus the table format's commit
+    history, two independent time axes)."""
+    from ..operators.scd2 import scd2_apply
+    new_dim = scd2_apply(tx_read(spark, table), updates, **scd2_kwargs)
+    return tx_write(new_dim, table, mode="overwrite")
+
+
 def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
     """Delete UNREFERENCED data dirs (orphans from a writer that
     crashed between staging and publishing) older than

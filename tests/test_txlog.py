@@ -216,3 +216,53 @@ def test_truncate_log_bounds_metadata_and_guards_history(spark, tmp_path):
     assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2}
     with pytest.raises(ValueError, match="truncated"):
         tx_read(spark, t, as_of=1)
+
+
+def test_tx_apply_scd2_atomic_publish(spark, tmp_path, monkeypatch):
+    """SCD2 expire-and-insert through the commit log: the published
+    generation equals a direct scd2_apply, a crash at the publish
+    point leaves readers on the pre-update dimension, and time travel
+    reaches the pre-update generation afterwards."""
+    import datetime as dt
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.scd2 import (
+        OPEN_END, scd2_apply,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_apply_scd2,
+    )
+
+    dim_schema = ("bookKey long, bookId string, price double, "
+                  "effective_date date, expiration_date date, curr_ind string")
+    dim = spark.createDataFrame(
+        [(100001, "B1", 50.0, dt.date(2020, 1, 1), OPEN_END, "Y")],
+        dim_schema)
+    updates = spark.createDataFrame([("B1", 55.0)],
+                                    "bookId string, price double")
+    kwargs = dict(natural_key="bookId", tracked=["price"],
+                  surrogate_key="bookKey",
+                  effective_date=dt.date(2023, 6, 15))
+
+    t = str(tmp_path / "dim_book")
+    tx_write(dim, t, mode="overwrite")
+
+    # crash at publish: readers stay on the pre-update dimension
+    def boom(src, dst):
+        raise OSError("simulated crash at the publish point")
+    monkeypatch.setattr(txlog.os, "link", boom)
+    with pytest.raises(OSError):
+        tx_apply_scd2(spark, t, updates, **kwargs)
+    monkeypatch.undo()
+    assert tx_read(spark, t).count() == 1
+
+    # retry publishes; result == direct scd2_apply on the same input
+    cid = tx_apply_scd2(spark, t, updates, **kwargs)
+    got = tx_read(spark, t).toPandas().sort_values("bookKey") \
+        .reset_index(drop=True)
+    want = scd2_apply(dim, updates, **kwargs).toPandas() \
+        .sort_values("bookKey").reset_index(drop=True)
+    pd_cols = sorted(got.columns)
+    assert got[pd_cols].equals(want[pd_cols])
+    assert len(got) == 2 and set(got.curr_ind) == {"Y", "N"}
+    # the pre-update dimension is one time-travel hop away
+    assert tx_read(spark, t, as_of=cid - 1).count() == 1
