@@ -61,23 +61,22 @@ def main() -> None:
     # Variance protocol (round-5): single samples produced an
     # unexplained 11x cross-round swing on embedding_near_dups
     # (43.2s driver vs 3.8s committed, same code — VERDICT r4).
-    # Headliners and the pair/cluster family are timed 3x and the
-    # MEDIAN is reported, with (min, med, max) preserved in
-    # BENCH_FULL.json["stats"] so regressions are distinguishable
-    # from JIT/GC noise.  Breadth queries stay single-run.
+    # Headliners and the historically-noisy queries are timed 3x and
+    # the MEDIAN is reported, with (min, med, max) preserved in
+    # BENCH_FULL.json["stats"].  Round 6 trimmed the pin set back to
+    # the queries whose r5 triples actually showed spread — pinning
+    # the whole stable pair family tripled ~50s of work and pushed
+    # the library section past the wall-clock budget on a slow host.
     PIN_MEDIAN = {
         "embedding_near_dups", "embedding_near_dups_strict",
-        "minhash_lsh_pairs", "simhash_pairs", "ngram_jaccard_dups",
-        "dedup_clusters", "dedup_kept_corpus", "dedup_incremental",
+        "dedup_incremental",
     }
 
     timings: dict[str, float] = {}
     stats: dict[str, list[float]] = {}
     skipped: list[str] = []
-    for spec in specs:
-        if not spec.bench and time.perf_counter() - t_begin > budget:
-            skipped.append(spec.name)
-            continue
+
+    def time_spec(spec) -> None:
         n_runs = 3 if (spec.bench or spec.name in PIN_MEDIAN) else 1
         samples: list[float] = []
         for _ in range(n_runs):
@@ -93,13 +92,22 @@ def main() -> None:
         # samples (ADVICE r5): report the median of what succeeded
         # (the error is still recorded above).
         if not samples:
-            continue
+            return
         samples.sort()
         timings[spec.name] = round(samples[len(samples) // 2], 4)
         if n_runs > 1:
             stats[spec.name] = [round(samples[0], 4),
                                 round(samples[len(samples) // 2], 4),
                                 round(samples[-1], 4)]
+
+    # Headliners first — they are the cross-round comparable.  The
+    # breadth tail runs LAST (after the library + pipeline sections),
+    # so a budget cut only ever drops breadth entries; round 6's
+    # driver host ran ~2x slower than round 5's and the old ordering
+    # silently dropped the library section instead.
+    for spec in specs:
+        if spec.bench:
+            time_spec(spec)
 
     headline = round(sum(t for n, t in timings.items() if QUERIES[n].bench), 4)
 
@@ -215,6 +223,16 @@ def main() -> None:
         extra["int8_quantize"] = round(time.perf_counter() - start, 4)
     except Exception as exc:  # pragma: no cover - defensive
         errors["pipeline_section"] = str(exc)[:200]
+
+    # Breadth tail: everything not already timed, single-run,
+    # budget-gated per query (skips are recorded, never silent).
+    for spec in specs:
+        if spec.bench:
+            continue
+        if time.perf_counter() - t_begin > budget:
+            skipped.append(spec.name)
+            continue
+        time_spec(spec)
 
     all_timings = {**timings, **extra}
     full = {
