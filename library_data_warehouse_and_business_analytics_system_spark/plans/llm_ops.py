@@ -366,6 +366,65 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("a", "b"))
 
 
+@register(
+    "boilerplate_line_scrub",
+    r"""
+    WITH wrapped AS (
+      SELECT doc_id,
+             '[' || source || ' header]' || chr(10) || text || chr(10)
+             || '[' || source || ' footer]' AS text
+      FROM documents
+    ), l AS (
+      SELECT doc_id, regexp_split_to_array(text, '\n') AS ls
+      FROM wrapped
+    ), lines AS (
+      SELECT doc_id, u.pos AS pos, u.line AS line
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(ls)),
+                          i -> struct_pack(pos := i, line := ls[i]))) AS u
+            FROM l)
+    ), freq AS (
+      SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+      FROM lines GROUP BY line
+    ), kept AS (
+      SELECT doc_id, pos, line FROM lines
+      WHERE line NOT IN (SELECT line FROM freq WHERE n_docs >= 3)
+    ), rebuilt AS (
+      SELECT doc_id, COUNT(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(regexp_split_to_array(d.text, '\n')) AS BIGINT)
+             AS n_lines,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           md5(COALESCE(r.clean_text, '')) AS clean_hash
+    FROM wrapped d LEFT JOIN rebuilt r USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+    operators=("BOILERPLATE-LINES", "A1", "A3"),
+)
+def boilerplate_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: lines occurring in ≥3
+    distinct documents are stripped from every document; the rest are
+    rejoined in original order. The driver's documents are single-line
+    and text-distinct, so BOTH engines first wrap every doc in
+    deterministic per-source chrome (the seeded-input strategy the PII
+    gate uses) — a green row then proves frequency counting,
+    thresholding, AND positional reassembly remove exactly the chrome
+    and keep unique content, bit-for-bit."""
+    from ..operators.boilerplate import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "text", F.concat(F.lit("["), "source", F.lit(" header]\n"),
+                         "text", F.lit("\n["), "source", F.lit(" footer]")))
+    return (remove_boilerplate_lines(wrapped, "text", "doc_id", min_docs=3)
+            .select("doc_id", "n_lines", "n_kept",
+                    F.md5("clean_text").alias("clean_hash"))
+            .orderBy("doc_id"))
+
+
 #: sf_dir → built index root. The index content is deterministic per
 #: sf_dir, so repeat invocations in one process (bench median-of-3,
 #: repeated pytest params) reuse the first build and time only the

@@ -727,3 +727,31 @@ def test_pii_fixture_is_pinned(spark):
                   F.concat_ws(":", F.col("doc_id"), F.col("text"))))))
                   .alias("d")).first().d)
     assert digest == '7f5cb225534f18159a871882e0c1e93a'
+
+
+def test_boilerplate_line_removal_semantics(spark):
+    """Shared chrome lines (header/footer in ≥3 docs) are stripped;
+    unique content survives in original order; a doc that is ALL
+    boilerplate rebuilds to the empty string."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.boilerplate import (
+        remove_boilerplate_lines,
+    )
+
+    hdr, ftr = "SITE NAV | home | about", "(c) 2024 example.org"
+    rows = [
+        (1, f"{hdr}\nunique one\nmore one\n{ftr}"),
+        (2, f"{hdr}\nunique two\n{ftr}"),
+        (3, f"{hdr}\nunique three\n{ftr}"),
+        (4, f"{hdr}\n{ftr}"),                      # chrome-only doc
+        (5, "standalone doc\nno chrome at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           remove_boilerplate_lines(docs, min_docs=3).collect()}
+
+    assert got[1].clean_text == "unique one\nmore one"
+    assert (got[1].n_lines, got[1].n_kept) == (4, 2)
+    assert got[2].clean_text == "unique two"
+    assert got[4].clean_text == "" and got[4].n_kept == 0
+    assert got[5].clean_text == "standalone doc\nno chrome at all"
+    assert got[5].n_kept == 2
