@@ -275,3 +275,51 @@ def load_centroids(spark, path: str) -> list[list[float]]:
     assert [r.cell for r in rows] == list(range(len(rows))), \
         "centroid file is missing cells or has duplicates"
     return [list(r.centroid) for r in rows]
+
+
+def matryoshka_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+                    id_col: str, k: int = 10, prefix_dim: int = 16,
+                    shortlist: int = 40) -> DataFrame:
+    """Coarse-to-fine two-stage search — the matryoshka (MRL) serving
+    pattern: stage 1 ranks every candidate by cosine over only the
+    FIRST ``prefix_dim`` components (array math shrinks by
+    prefix_dim/dim; with stored truncated vectors the scan shrinks
+    too), keeping a per-query ``shortlist``; stage 2 re-ranks just the
+    shortlist with full-dimension exact cosine.
+
+    Invariant pinned by pytest: with ``shortlist ≥ |corpus|`` the
+    output is BIT-IDENTICAL to :func:`brute_force_topk` — the pruning
+    is the only approximation. Recall at practical shortlists depends
+    on how front-loaded the embedding is (MRL-trained embeddings
+    concentrate information in the prefix; the testdata's generic
+    vectors give the probed floor in tests/test_llm_ops.py).
+
+    Scale shape: stage 1 is one broadcast-queries scan of the corpus
+    (same as brute force, on 4× less arithmetic at prefix 16/64);
+    stage 2 touches shortlist×queries rows only, so the full-width
+    vectors are fetched for a candidate-bounded set (broadcast
+    semi-join), never rescanned corpus-wide.
+    """
+    pre = (brute_force_topk(
+        corpus.select(id_col, F.slice(vec_col, 1, prefix_dim).alias(vec_col)),
+        queries.select(id_col, F.slice(vec_col, 1, prefix_dim).alias(vec_col)),
+        vec_col, id_col, k=shortlist)
+        .select("query_id", "neighbor_id"))
+    full_q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm_sq(F.col(vec_col)).alias("nq")))
+    cand_ids = pre.select(F.col("neighbor_id").alias(id_col)).distinct()
+    full_c = (corpus.join(F.broadcast(cand_ids), id_col, "left_semi")
+              .select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv"),
+                      l2_norm_sq(F.col(vec_col)).alias("nc")))
+    rescored = (
+        F.broadcast(pre).join(full_c, "neighbor_id").join(full_q, "query_id")
+        .select("query_id", "neighbor_id",
+                cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                                  F.col("nq"), F.col("nc")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               "neighbor_id")
+    return (rescored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

@@ -264,6 +264,66 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDOT = ("list_reduce(list_transform(range(1, 17), "
+         "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), (acc, x) -> acc + x)")
+
+
+@register(
+    "matryoshka_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), s1 AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_PDOT.format(a='qv', b='e.embedding')}
+               / nullif(sqrt({_PDOT.format(a='qv', b='qv')})
+                        * sqrt({_PDOT.format(a='e.embedding',
+                                             b='e.embedding')}), 0)
+               AS pcos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), short AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pcos DESC, neighbor_id) AS rn
+        FROM s1) WHERE rn <= 30
+    ), re AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_DOT.format(a='q.qv', b='e.embedding')}
+               / nullif(sqrt({_DOT.format(a='q.qv', b='q.qv')})
+                        * sqrt({_DOT.format(a='e.embedding',
+                                            b='e.embedding')}), 0)
+               AS cos
+      FROM short s
+      JOIN q ON q.query_id = s.query_id
+      JOIN embeddings e ON e.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM re) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-MATRYOSHKA", "W2"),
+)
+def matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-to-fine matryoshka search: prefix-16 cosine shortlist
+    (30 per query) re-ranked by full-64-dim exact cosine. The oracle
+    replicates BOTH stages, so a green row certifies the truncation
+    arithmetic, the shortlist cut, and the re-rank bit-for-bit; the
+    shortlist≥corpus ≡ brute-force identity and the recall floor are
+    pytest-pinned (tests/test_llm_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        similarity.matryoshka_topk(emb, emb.filter(F.col("vec_id") < 8),
+                                   "embedding", "vec_id", k=10,
+                                   prefix_dim=16, shortlist=30)
+        .orderBy("query_id", "rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketch/ANN operators, oracle-gated through derived ground truths:
 # - minhash_lsh_pairs: LSH candidates + exact-Jaccard verify must equal

@@ -755,3 +755,41 @@ def test_boilerplate_line_removal_semantics(spark):
     assert got[4].clean_text == "" and got[4].n_kept == 0
     assert got[5].clean_text == "standalone doc\nno chrome at all"
     assert got[5].n_kept == 2
+
+
+def test_matryoshka_no_pruning_equals_brute_force(spark, sf_dir):
+    """With shortlist ≥ |corpus| the two-stage search prunes nothing,
+    so it must be BIT-IDENTICAL to exact brute force — the pruning is
+    the only approximation in the operator."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.similarity import (
+        brute_force_topk, matryoshka_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    n = emb.count()
+    got = matryoshka_topk(emb, queries, "embedding", "vec_id", k=10,
+                          prefix_dim=16, shortlist=n).toPandas() \
+        .sort_values(["query_id", "rank"]).reset_index(drop=True)
+    want = brute_force_topk(emb, queries, "embedding", "vec_id", k=10) \
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert got.equals(want)
+
+
+def test_matryoshka_recall_floor(spark, sf_dir):
+    """Practical shortlists keep most of the true top-10 even on
+    generic (non-MRL-trained) vectors; pin a conservative floor so a
+    broken prefix slice or re-rank can't hide."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.similarity import (
+        brute_force_topk, matryoshka_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = matryoshka_topk(emb, queries, "embedding", "vec_id", k=10,
+                          prefix_dim=16, shortlist=100)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    g = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(g & e) / len(e)
+    assert recall >= 0.5, f"recall@10 {recall:.2f}"

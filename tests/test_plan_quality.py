@@ -113,7 +113,7 @@ def test_registry_gate_ordering():
     for must_gate in (
             # new this round:
             "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
-            "boilerplate_line_scrub",
+            "boilerplate_line_scrub", "matryoshka_topk",
             # freshest green = r4 (the full r5 tail):
             "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
             "market_share", "rollup_year_quarter", "top_orders_global",
