@@ -17,6 +17,9 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 #: cartesian (or broadcast nested loop) stage is the intended shape.
 CARTESIAN_OK = {
     "cosine_topk",          # query × corpus scoring
+    "matryoshka_topk",      # stage 1 IS query × corpus scoring (on
+                            # prefix dims); stage 2 is candidate-bounded
+                            # broadcast joins
     "ivf_ann_topk",         # embeds the brute tier as its recall oracle
     "lsh_ann_topk",         # lsh_topk_auto: below the measured crossover
                             # the brute scan IS the right plan; the LSH
