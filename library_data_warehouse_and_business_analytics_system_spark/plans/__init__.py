@@ -52,14 +52,17 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "pii_scrub_stats",
           # never gated (registered mid-round-6):
           "boilerplate_line_scrub", "matryoshka_topk",
+          "temperature_mixture_sample",
           # two green rows (r4+r5):
-          "fact_surrogate_keys_audit", "dedup_kept_corpus"]
+          "fact_surrogate_keys_audit"]
 _LATE = [  # all green r5 and 2-5× green overall; families covered by
          # in-window mates.
          "orders_data_profile",   # r4+r5 green; yielded its window slot
                                   # to the never-gated boilerplate scrub
          "events_funnel",         # r4+r5 green; yielded its slot to the
                                   # never-gated matryoshka_topk
+         "dedup_kept_corpus",     # r4+r5 green; yielded its slot to the
+                                  # never-gated temperature mix sample
          "cube_order_stats", "grouping_sets_orders",
          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
          "order_size_distribution", "suppliers_of_large_shipments",

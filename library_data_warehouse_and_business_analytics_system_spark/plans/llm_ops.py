@@ -988,6 +988,54 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "temperature_mixture_sample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ), src AS (
+      SELECT source, SUM(n_tokens) AS src_tokens FROM toks GROUP BY source
+    ), denom AS (
+      SELECT SUM(sqrt(src_tokens)) AS d FROM src
+    ), budgets AS (
+      SELECT source,
+             CAST(FLOOR(5000.0 * sqrt(src_tokens) / d) AS BIGINT)
+               AS src_budget
+      FROM src, denom
+    ), running AS (
+      SELECT t.doc_id, t.source, t.n_tokens, b.src_budget,
+             CAST(SUM(t.n_tokens) OVER (
+               PARTITION BY t.source
+               ORDER BY md5('mix:' || CAST(t.doc_id AS VARCHAR)), t.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+      FROM toks t JOIN budgets b USING (source)
+    )
+    SELECT doc_id, source, n_tokens, src_budget,
+           (cum - n_tokens) < src_budget AS kept
+    FROM running
+    ORDER BY doc_id
+    """,
+    operators=("SAMPLE-TEMPERATURE-MIX", "A1", "W1"),
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixing (alpha=0.5): the global 5000-token
+    budget is allocated across sources ∝ sqrt(source tokens) —
+    flattening the mixture so tail sources get a super-proportional
+    share — and each source fills its budget in salted-hash order.
+    sqrt is IEEE-exact in both engines, so weights, floors, and the
+    budget cut match bit-for-bit (the reason the gate pins alpha=0.5;
+    see operators/mixture.py)."""
+    from ..operators.mixture import temperature_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (temperature_mixture(docs, total_budget=5000, alpha=0.5)
+            .orderBy("doc_id"))
+
+
+@register(
     "doc_bpe_token_counts",
     r"""
     SELECT doc_id,

@@ -793,3 +793,33 @@ def test_matryoshka_recall_floor(spark, sf_dir):
     e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(g & e) / len(e)
     assert recall >= 0.5, f"recall@10 {recall:.2f}"
+
+
+def test_temperature_mixture_flattens_shares(spark):
+    """alpha=0.5 gives tail sources a SUPER-proportional budget share
+    and head sources a sub-proportional one; budgets sum to ≤ the
+    global budget; selection is deterministic and budget-respecting."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.mixture import (
+        temperature_mixture,
+    )
+
+    rows = ([(i, "head", "w " * 100) for i in range(90)]
+            + [(1000 + i, "tail", "w " * 100) for i in range(10)])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = temperature_mixture(docs, total_budget=2000, alpha=0.5).toPandas()
+
+    budgets = out.groupby("source").src_budget.first()
+    # raw shares: head 90%, tail 10%. sqrt shares: 3:1 → 75% / 25%.
+    assert budgets.sum() <= 2000
+    assert budgets["tail"] / budgets.sum() > 0.2          # upsampled
+    assert budgets["head"] / budgets.sum() < 0.8          # downsampled
+    # kept tokens per source never exceed budget + one doc overshoot
+    kept = out[out.kept].groupby("source").n_tokens.sum()
+    for s in kept.index:
+        assert kept[s] <= budgets[s] + 100
+    # deterministic under reshuffling
+    again = temperature_mixture(docs.repartition(7), total_budget=2000,
+                                alpha=0.5).toPandas()
+    a = set(out[out.kept].doc_id)
+    b = set(again[again.kept].doc_id)
+    assert a == b
