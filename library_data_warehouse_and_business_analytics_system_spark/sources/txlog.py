@@ -163,17 +163,26 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
 
 
 def tx_read(spark: SparkSession, table: str,
-            as_of: int | None = None) -> DataFrame:
+            as_of: int | None = None,
+            merge_schema: bool = False) -> DataFrame:
     """Snapshot read: the committed state at call time, or — with
     ``as_of`` — the state as of that commit id (time travel; every
     logged data dir is immutable and vacuum never touches logged
-    dirs, so historical snapshots stay readable)."""
+    dirs, so historical snapshots stay readable).
+
+    ``merge_schema=True`` unions the schemas of all visible commits
+    (columns added by later appends surface as NULL on earlier
+    generations) — the read side of schema evolution; the default
+    keeps parquet's cheap single-footer schema."""
     dirs = _visible_dirs(table, as_of)
     if not dirs:
         raise FileNotFoundError(
             f"tx_read: no commits in {table}"
             + (f" as of {as_of}" if as_of is not None else ""))
-    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[str(Path(table) / d) for d in dirs])
 
 
 def tx_checkpoint(table: str) -> int:

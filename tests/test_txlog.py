@@ -266,3 +266,20 @@ def test_tx_apply_scd2_atomic_publish(spark, tmp_path, monkeypatch):
     assert len(got) == 2 and set(got.curr_ind) == {"Y", "N"}
     # the pre-update dimension is one time-travel hop away
     assert tx_read(spark, t, as_of=cid - 1).count() == 1
+
+
+def test_tx_read_schema_evolution(spark, tmp_path):
+    """An append commit may add columns; merge_schema=True surfaces
+    them (NULL on pre-evolution generations) while the default read
+    stays single-footer cheap."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)
+    evolved = spark.createDataFrame([(2, "x", 9.5)],
+                                    "id long, v string, score double")
+    tx_write(evolved, t)
+    merged = tx_read(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    # default read still returns both commits' rows
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2}
