@@ -52,9 +52,7 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "pii_scrub_stats",
           # never gated (registered mid-round-6):
           "boilerplate_line_scrub", "matryoshka_topk",
-          "temperature_mixture_sample",
-          # two green rows (r4+r5):
-          "fact_surrogate_keys_audit"]
+          "temperature_mixture_sample", "lqy_query2_suppliers"]
 _LATE = [  # all green r5 and 2-5× green overall; families covered by
          # in-window mates.
          "orders_data_profile",   # r4+r5 green; yielded its window slot
@@ -63,6 +61,8 @@ _LATE = [  # all green r5 and 2-5× green overall; families covered by
                                   # never-gated matryoshka_topk
          "dedup_kept_corpus",     # r4+r5 green; yielded its slot to the
                                   # never-gated temperature mix sample
+         "fact_surrogate_keys_audit",  # r4+r5 green; yielded its slot to
+                                       # the never-gated lqy_query2_suppliers
          "cube_order_stats", "grouping_sets_orders",
          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
          "order_size_distribution", "suppliers_of_large_shipments",

@@ -122,7 +122,7 @@ WITH p_lines AS (
   JOIN dim_date d ON d.dateKey = fp.dateKey
   JOIN dim_book b ON b.bookKey = fp.bookKey
   JOIN dim_suppliers s ON s.supplierKey = fp.supplierKey
-  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt}
+  WHERE d.cal_year BETWEEN {yf} - 1 AND {yt} AND {sup}
 ), po_tot AS (
   SELECT year, quarter, qnum, po_id,
          SUM(line_amt) AS po_amt, SUM(line_qty) AS po_qty
@@ -267,7 +267,8 @@ def lqy_query1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lqy_query2",
     "WITH " + _fixture_ctes("fact_purchase", "dim_date", "dim_book",
                             "dim_suppliers") + ",\n"
-    + Q2_SQL.strip().removeprefix("WITH ").format(yf=2017, yt=2020, topn=5),
+    + Q2_SQL.strip().removeprefix("WITH ").format(yf=2017, yt=2020, topn=5,
+                                                  sup="1=1"),
     operators=("EP1", "A5", "O4", "J5"),
     bench=False,
 )
@@ -316,6 +317,29 @@ def lqy_query1_f(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACTIVE (gender='F', the non-'ALL' path) with a tighter top-N."""
     return query1(load_warehouse(spark), 2019, 2021, limit=3,
                   gender="F")
+
+
+@register(
+    "lqy_query2_suppliers",
+    "WITH " + _fixture_ctes("fact_purchase", "dim_date", "dim_book",
+                            "dim_suppliers") + ",\n"
+    + Q2_SQL.strip().removeprefix("WITH ").format(
+        yf=2017, yt=2020, topn=5,
+        sup="UPPER(s.supplierName) IN ('SUPPLIER LIM SDN BHD',"
+            "'SUPPLIER WONG SDN BHD','SUPPLIER KUMAR SDN BHD')"),
+    operators=("EP1", "P7", "A5", "O4", "J5"),
+    bench=False,
+)
+def lqy_query2_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query2.txt:58-62,81 — the comma-split supplier-name
+    parameter filter ACTIVE (P7): purchase lines restrict to the
+    listed suppliers before PO/primary-genre attribution; mixed-case
+    input normalized like the reference. Completes driver-gate
+    coverage of every LQY dynamic-parameter branch."""
+    return query2(load_warehouse(spark), 2017, 2020, topn=5,
+                  suppliers_csv="Supplier Lim Sdn Bhd,"
+                                "Supplier Wong Sdn Bhd,"
+                                "Supplier Kumar Sdn Bhd")
 
 
 @register(

@@ -246,9 +246,26 @@ def test_query3_state_csv_filter(dw, duck_dw):
 
 def test_query2_matches_reference_sql(dw, duck_dw):
     got = query2(dw, 2017, 2020, topn=5).toPandas()
-    exp = duck_dw.execute(Q2_SQL.format(yf=2017, yt=2020, topn=5)).df()
+    exp = duck_dw.execute(
+        Q2_SQL.format(yf=2017, yt=2020, topn=5, sup="1=1")).df()
     assert len(got) > 0
     assert_frames_match(got, exp, "query2", float_rtol=1e-9)
+
+
+def test_query2_supplier_csv_filter(dw, duck_dw):
+    """P7 multi-value supplier filter (LQY_query2.txt:58-62,81):
+    purchase lines restrict to the listed suppliers before PO and
+    primary-genre attribution; mixed-case input normalizes."""
+    got = query2(dw, 2017, 2020, topn=5,
+                 suppliers_csv="Supplier Lim Sdn Bhd,"
+                               "Supplier Wong Sdn Bhd,"
+                               "Supplier Kumar Sdn Bhd").toPandas()
+    exp = duck_dw.execute(Q2_SQL.format(
+        yf=2017, yt=2020, topn=5,
+        sup="UPPER(s.supplierName) IN ('SUPPLIER LIM SDN BHD',"
+            "'SUPPLIER WONG SDN BHD','SUPPLIER KUMAR SDN BHD')")).df()
+    assert len(got) > 0
+    assert_frames_match(got, exp, "query2_suppliers", float_rtol=1e-9)
 
 
 def test_query2_runs_and_is_sane(dw):

@@ -35,6 +35,7 @@ CARTESIAN_OK = {
     "lqy_query2",           # quarters × genres universe fill
                             # (LQY_query2.txt:133-151) — broadcast side
                             # is the distinct genre list
+    "lqy_query2_suppliers",  # same universe fill, supplier-filtered
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "temperature_mixture_sample",  # scalar weight denominator
                                    # broadcast-crossed into per-source rows
@@ -119,7 +120,7 @@ def test_registry_gate_ordering():
             # new this round:
             "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
             "boilerplate_line_scrub", "matryoshka_topk",
-            "temperature_mixture_sample",
+            "temperature_mixture_sample", "lqy_query2_suppliers",
             # freshest green = r4 (the full r5 tail):
             "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
             "market_share", "rollup_year_quarter", "top_orders_global",
