@@ -48,11 +48,12 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "lsh_ann_topk_forced", "doc_repetition_scores",
           "benchmark_contamination", "events_json_props",
           "stratified_doc_sample", "doc_chunk_packing",
-          "quality_topn_per_source", "media_audio_stats",
+          "quality_topn_per_source",
           "pii_scrub_stats",
           # never gated (registered mid-round-6):
           "boilerplate_line_scrub", "matryoshka_topk",
-          "temperature_mixture_sample", "lqy_query2_suppliers"]
+          "temperature_mixture_sample", "lqy_query2_suppliers",
+          "scd2_dimbook_apply"]
 _LATE = [  # all green r5 and 2-5× green overall; families covered by
          # in-window mates.
          "orders_data_profile",   # r4+r5 green; yielded its window slot
@@ -63,6 +64,9 @@ _LATE = [  # all green r5 and 2-5× green overall; families covered by
                                   # never-gated temperature mix sample
          "fact_surrogate_keys_audit",  # r4+r5 green; yielded its slot to
                                        # the never-gated lqy_query2_suppliers
+         "media_audio_stats",     # r5 green; media family keeps 3 other
+                                  # in-window rows — yielded its slot to
+                                  # the never-gated scd2_dimbook_apply
          "cube_order_stats", "grouping_sets_orders",
          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
          "order_size_distribution", "suppliers_of_large_shipments",

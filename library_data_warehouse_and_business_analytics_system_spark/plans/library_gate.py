@@ -22,6 +22,8 @@ import pathlib
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from .library import query1, query2, query3
 from .registry import register
 
@@ -359,3 +361,114 @@ def lqy_query3_states(spark: SparkSession, sf_dir: str) -> DataFrame:
     return query3(load_warehouse(spark), 2016, 2020,
                   states_csv="Perlis,Selangor,Kedah",
                   target_gm_pct=15.0)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 apply under the driver hash. The Spark side RUNS the generic
+# expire-and-insert operator (operators/scd2.scd2_apply — the
+# reference's Prod_Update_DimBook, 06_Type2_DimBook.sql:22-113) on the
+# committed dimension with a deterministic update batch both engines
+# derive identically; the oracle INDEPENDENTLY derives the intended
+# outcome (expired rows, successor versions with continued surrogate
+# keys, untouched rows) in plain SQL. A green row therefore certifies
+# the write-side transform itself — change detection, the
+# GREATEST(effective-1) expiration guard, carried-column propagation,
+# first-version inserts, and key continuation — bit-for-bit.
+
+SCD2_DIMBOOK_SQL = """
+WITH dim AS (SELECT * FROM read_parquet('{fix}/dim_book.parquet/*.parquet')),
+cur AS (
+  SELECT *, CAST('0x' || substr(md5('scd2:' || bookId), 1, 6)
+                 AS INTEGER) % 5 AS bkt
+  FROM dim WHERE curr_ind = 'Y'
+), mx AS (SELECT MAX(bookKey) AS mxk FROM dim),
+inserts AS (
+  SELECT bookId, price + 5.0 AS price, bookStatus,
+         title, author, genre, popularity
+  FROM cur WHERE bkt = 0
+  UNION ALL
+  SELECT 'ZZNEW1', 42.5, 'AVAILABLE',
+         'BRAND NEW TITLE', 'NEW AUTHOR', 'FICTION', 3.0
+), keyed AS (
+  SELECT i.*, mx.mxk + ROW_NUMBER() OVER (ORDER BY bookId) AS bookKey
+  FROM inserts i, mx
+), result AS (
+  -- untouched sample (bkt=1): pass through
+  SELECT bookKey, bookId, price, bookStatus, title, popularity,
+         effective_date, expiration_date, curr_ind
+  FROM cur WHERE bkt = 1
+  UNION ALL
+  -- changed rows: expired, closing the day before the batch
+  SELECT bookKey, bookId, price, bookStatus, title, popularity,
+         effective_date,
+         GREATEST(DATE '2025-02-28', effective_date) AS expiration_date,
+         'N' AS curr_ind
+  FROM cur WHERE bkt = 0
+  UNION ALL
+  -- successor versions + the brand-new first version
+  SELECT bookKey, bookId, price, bookStatus, title, popularity,
+         DATE '2025-03-01' AS effective_date,
+         DATE '9999-12-31' AS expiration_date, 'Y' AS curr_ind
+  FROM keyed
+)
+SELECT CAST(bookKey AS BIGINT) AS bookKey, bookId,
+       CAST(price AS DOUBLE) AS price, bookStatus, title,
+       CAST(popularity AS DOUBLE) AS popularity,
+       strftime(effective_date, '%Y-%m-%d') AS effective_date,
+       strftime(expiration_date, '%Y-%m-%d') AS expiration_date,
+       curr_ind
+FROM result ORDER BY bookId, bookKey
+"""
+
+
+@register(
+    "scd2_dimbook_apply",
+    SCD2_DIMBOOK_SQL.format(fix=FIXTURE_DIR),
+    operators=("E8", "S8", "S5"),
+    bench=False,
+)
+def scd2_dimbook_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run scd2_apply on the committed dim_book with a deterministic
+    batch: every bucket-0 book gets price+5 (changed → expire+insert),
+    bucket-1 books arrive unchanged (must be untouched), and one
+    brand-new bookId inserts its first version. Output restricted to
+    touched natural keys, date columns formatted for bit-exact
+    comparison. ``sf_dir`` is ignored — the input is the fixture
+    star schema."""
+    import datetime as dt
+
+    from ..functions.text import md5_bucket
+    from ..operators.scd2 import scd2_apply
+
+    db = load_warehouse(spark)["dim_book"]
+    cur = db.filter(F.col("curr_ind") == "Y")
+    bkt = md5_bucket(F.col("bookId"), 5, salt="scd2:")
+    changed = (cur.where(bkt == 0)
+               .select("bookId", (F.col("price") + 5.0).alias("price"),
+                       "bookStatus"))
+    unchanged = cur.where(bkt == 1).select("bookId", "price", "bookStatus")
+    brand_new = spark.createDataFrame(
+        [("ZZNEW1", 42.5, "AVAILABLE", "BRAND NEW TITLE", "NEW AUTHOR",
+          "FICTION", 3.0)],
+        "bookId string, price double, bookStatus string, title string, "
+        "author string, genre string, popularity double")
+    updates = (changed.unionByName(unchanged)
+               .unionByName(brand_new, allowMissingColumns=True))
+
+    out = scd2_apply(db, updates, "bookId", ["price", "bookStatus"],
+                     "bookKey", dt.date(2025, 3, 1),
+                     carried=["title", "author", "genre", "popularity"])
+    touched = updates.select("bookId").distinct()
+    return (
+        out.join(F.broadcast(touched), "bookId", "left_semi")
+        .select(F.col("bookKey").cast("bigint").alias("bookKey"),
+                "bookId", F.col("price").cast("double").alias("price"),
+                "bookStatus", "title",
+                F.col("popularity").cast("double").alias("popularity"),
+                F.date_format("effective_date", "yyyy-MM-dd")
+                .alias("effective_date"),
+                F.date_format("expiration_date", "yyyy-MM-dd")
+                .alias("expiration_date"),
+                "curr_ind")
+        .orderBy("bookId", "bookKey")
+    )

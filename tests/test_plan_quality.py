@@ -39,6 +39,8 @@ CARTESIAN_OK = {
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "temperature_mixture_sample",  # scalar weight denominator
                                    # broadcast-crossed into per-source rows
+    "scd2_dimbook_apply",   # scalar max-surrogate-key broadcast-crossed
+                            # into the (dimension-sized) insert set
     "events_sliding_1h30m",
     "nation_set_ops",
     "orders_scalar_subquery",
@@ -121,6 +123,7 @@ def test_registry_gate_ordering():
             "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
             "boilerplate_line_scrub", "matryoshka_topk",
             "temperature_mixture_sample", "lqy_query2_suppliers",
+            "scd2_dimbook_apply",
             # freshest green = r4 (the full r5 tail):
             "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
             "market_share", "rollup_year_quarter", "top_orders_global",
@@ -140,7 +143,9 @@ def test_registry_gate_ordering():
             "lsh_ann_topk_forced", "doc_repetition_scores",
             "benchmark_contamination", "events_json_props",
             "stratified_doc_sample", "doc_chunk_packing",
-            "quality_topn_per_source", "media_audio_stats",
+            "quality_topn_per_source",
+            # media_audio_stats (r5 green) rotated out — the media
+            # family keeps three other in-window rows
             "pii_scrub_stats"):
         assert names.index(must_gate) < 50, must_gate
     # multiply-green r5 queries rotate to the tail
