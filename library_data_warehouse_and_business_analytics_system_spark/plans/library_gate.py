@@ -472,3 +472,79 @@ def scd2_dimbook_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "curr_ind")
         .orderBy("bookId", "bookKey")
     )
+
+
+# ---------------------------------------------------------------------------
+# MERGE (S5) under the driver hash, on the driver's own orders table:
+# the Spark side RUNS operators/merge.merge_upsert (the emulation of
+# 07_SubsequentLoading.sql:331-355's Oracle MERGE) with a
+# deterministic source both engines derive identically; the oracle
+# independently states the intended outcome — updated rows take the
+# source value for update columns and keep target values elsewhere,
+# unmatched source keys insert with NULL for columns the MERGE's
+# INSERT clause doesn't list, untouched rows pass through.
+
+MERGE_ORDERS_SQL = r"""
+WITH b AS (
+  SELECT *, CAST('0x' || substr(md5('merge:' || CAST(o_orderkey AS VARCHAR)),
+                 1, 6) AS INTEGER) % 37 AS bkt
+  FROM orders
+), result AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         o_totalprice + 10.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM b WHERE bkt = 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM b WHERE bkt IN (1, 2)
+  UNION ALL
+  SELECT o_orderkey + 10000000, NULL::BIGINT, NULL::VARCHAR,
+         o_totalprice, NULL::TIMESTAMP, NULL::VARCHAR
+  FROM b WHERE bkt = 1
+)
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+       o_orderpriority
+FROM result ORDER BY o_orderkey
+"""
+
+
+@register(
+    "merge_upsert_orders",
+    MERGE_ORDERS_SQL,
+    operators=("S5", "J9", "E9"),
+    bench=False,
+)
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_upsert on orders: bucket-0 keys arrive as updates
+    (o_totalprice + 10, other columns untouched by the restricted
+    update set), bucket-1 keys re-arrive shifted by 10M (unmatched →
+    insert with NULLs for unlisted columns), bucket-2 is an untouched
+    pass-through sample. Output restricted to touched keys; a green
+    row certifies the full-outer merge join's matched/unmatched
+    branches and the update-column restriction bit-for-bit."""
+    from ..functions.text import md5_bucket
+    from ..operators.merge import merge_upsert
+    from ..sources.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    bkt = md5_bucket(F.col("o_orderkey").cast("string"), 37, salt="merge:")
+    upd = orders.where(bkt == 0).select(
+        "o_orderkey", (F.col("o_totalprice") + 10.0).alias("o_totalprice"))
+    ins = orders.where(bkt == 1).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice")
+    merged = merge_upsert(orders, upd.unionByName(ins), ["o_orderkey"],
+                          update_cols=["o_totalprice"])
+    touched = (orders.where(bkt.isin(0, 1, 2)).select("o_orderkey")
+               .unionByName(ins.select("o_orderkey")))
+    return (
+        merged.join(F.broadcast(touched), "o_orderkey", "left_semi")
+        .select("o_orderkey", "o_custkey", "o_orderstatus",
+                F.col("o_totalprice").cast("double").alias("o_totalprice"),
+                F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+                .alias("o_orderdate"),
+                "o_orderpriority")
+        .orderBy("o_orderkey")
+    )
