@@ -44,7 +44,7 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "top_customers_per_nation", "doc_bpe_token_counts",
           "orders_scalar_subquery",
           # single green row so far (first gated r5):
-          "lqy_query2", "lqy_query3",
+          "lqy_query2",
           "lsh_ann_topk_forced", "doc_repetition_scores",
           "benchmark_contamination", "events_json_props",
           "stratified_doc_sample", "doc_chunk_packing",
@@ -53,7 +53,8 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # never gated (registered mid-round-6):
           "boilerplate_line_scrub", "matryoshka_topk",
           "temperature_mixture_sample", "lqy_query2_suppliers",
-          "scd2_dimbook_apply", "merge_upsert_orders"]
+          "scd2_dimbook_apply", "merge_upsert_orders",
+          "borrowing_not_exists_append"]
 _LATE = [  # all green r5 and 2-5× green overall; families covered by
          # in-window mates.
          "orders_data_profile",   # r4+r5 green; yielded its window slot
@@ -71,6 +72,9 @@ _LATE = [  # all green r5 and 2-5× green overall; families covered by
                                   # lqy_query1_f (same plan, gender branch
                                   # active) is in-window — yielded its
                                   # slot to merge_upsert_orders
+         "lqy_query3",            # r5 green; its states twin is in-window
+                                  # — yielded its slot to the NOT-EXISTS
+                                  # append gate
          "cube_order_stats", "grouping_sets_orders",
          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
          "order_size_distribution", "suppliers_of_large_shipments",

@@ -548,3 +548,82 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "o_orderpriority")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# NOT-EXISTS append (A8/J3 write path) + correlated-UPDATE
+# retro-correction (S7) under the driver hash — with merge and SCD2
+# above, every write-side transform family in SURVEY §2 now has a
+# bit-exact driver-gate row, not only pytest properties.
+
+BORROWING_APPEND_SQL = r"""
+WITH fb AS (
+  SELECT *, CAST('0x' || substr(md5('ins:' || CAST(dateKey AS VARCHAR)
+                 || '-' || CAST(memberKey AS VARCHAR)
+                 || '-' || CAST(bookKey AS VARCHAR)), 1, 6)
+                 AS INTEGER) % 11 AS bkt
+  FROM read_parquet('{fix}/fact_borrowing.parquet/*.parquet')
+), result AS (
+  -- rows whose keys the delta re-sent (bkt=0): NOT EXISTS drops the
+  -- duplicates, the stored row survives once
+  SELECT dateKey, memberKey, bookKey, overdueDays, borrowDuration,
+         returnRate
+  FROM fb WHERE bkt = 0
+  UNION ALL
+  -- bkt=1 originals stay; their shifted twins are brand-new keys and
+  -- append exactly once despite arriving twice in the batch
+  SELECT dateKey, memberKey, bookKey, overdueDays, borrowDuration,
+         returnRate
+  FROM fb WHERE bkt = 1
+  UNION ALL
+  SELECT dateKey, memberKey + 9000000, bookKey, overdueDays,
+         borrowDuration, returnRate
+  FROM fb WHERE bkt = 1
+)
+SELECT dateKey, memberKey, bookKey,
+       CAST(CASE WHEN overdueDays > 3 THEN 0 ELSE overdueDays END
+            AS BIGINT) AS overdueDays,
+       CAST(borrowDuration AS BIGINT) AS borrowDuration,
+       CAST(returnRate AS DOUBLE) AS returnRate
+FROM result ORDER BY dateKey, memberKey, bookKey
+"""
+
+
+@register(
+    "borrowing_not_exists_append",
+    BORROWING_APPEND_SQL.format(fix=FIXTURE_DIR),
+    operators=("A8", "J3", "S7", "E9"),
+    bench=False,
+)
+def borrowing_not_exists_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insert_not_exists + cap_overdue_days on the committed
+    fact_borrowing: bucket-0 keys are re-delivered (must be dropped by
+    the NOT-EXISTS anti-join), bucket-1 keys arrive shifted to new
+    member keys AND duplicated within the batch (must append exactly
+    once), then the correlated-UPDATE recode zeroes overdueDays > 3.
+    The oracle independently states the outcome; output restricted to
+    touched keys."""
+    from ..functions.text import md5_bucket
+    from ..operators.merge import insert_not_exists
+    from .library.incremental import cap_overdue_days
+
+    fb = load_warehouse(spark)["fact_borrowing"]
+    keys = ["dateKey", "memberKey", "bookKey"]
+    bkt = md5_bucket(F.concat_ws("-", *keys), 11, salt="ins:")
+    redelivered = fb.where(bkt == 0)
+    shifted = fb.where(bkt == 1).withColumn(
+        "memberKey", F.col("memberKey") + 9_000_000)
+    delta = redelivered.unionByName(shifted).unionByName(shifted)
+    merged = insert_not_exists(fb, delta, keys)
+    corrected = cap_overdue_days(merged, cap=3)
+    touched = (fb.where(bkt.isin(0, 1)).select(*keys)
+               .unionByName(shifted.select(*keys)))
+    return (
+        corrected.join(F.broadcast(touched), keys, "left_semi")
+        .select("dateKey", "memberKey", "bookKey",
+                F.col("overdueDays").cast("bigint").alias("overdueDays"),
+                F.col("borrowDuration").cast("bigint")
+                .alias("borrowDuration"),
+                F.col("returnRate").cast("double").alias("returnRate"))
+        .orderBy("dateKey", "memberKey", "bookKey")
+    )
