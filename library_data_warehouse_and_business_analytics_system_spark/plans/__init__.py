@@ -44,7 +44,6 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "top_customers_per_nation", "doc_bpe_token_counts",
           "orders_scalar_subquery",
           # single green row so far (first gated r5):
-          "lqy_query2",
           "lsh_ann_topk_forced", "doc_repetition_scores",
           "benchmark_contamination", "events_json_props",
           "stratified_doc_sample", "doc_chunk_packing",
@@ -54,7 +53,7 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "boilerplate_line_scrub", "matryoshka_topk",
           "temperature_mixture_sample", "lqy_query2_suppliers",
           "scd2_dimbook_apply", "merge_upsert_orders",
-          "borrowing_not_exists_append"]
+          "borrowing_not_exists_append", "doc_token_familiarity"]
 _LATE = [  # all green r5 and 2-5× green overall; families covered by
          # in-window mates.
          "orders_data_profile",   # r4+r5 green; yielded its window slot
@@ -75,6 +74,9 @@ _LATE = [  # all green r5 and 2-5× green overall; families covered by
          "lqy_query3",            # r5 green; its states twin is in-window
                                   # — yielded its slot to the NOT-EXISTS
                                   # append gate
+         "lqy_query2",            # r5 green; its suppliers twin is
+                                  # in-window — yielded its slot to the
+                                  # never-gated token-familiarity query
          "cube_order_stats", "grouping_sets_orders",
          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
          "order_size_distribution", "suppliers_of_large_shipments",

@@ -988,6 +988,54 @@ def source_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_token_familiarity",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ), counts AS (
+      SELECT t, COUNT(*) AS n FROM tok GROUP BY t
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(n) AS DOUBLE) / COUNT(*) AS familiarity,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_frac
+    FROM tok JOIN counts USING (t)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    operators=("TEXT-FAMILIARITY", "A1", "J1"),
+)
+def doc_token_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency familiarity scoring — the integer-exact stand-in
+    for unigram-LM perplexity filtering (log-free, so the oracle is
+    bit-comparable): per document, the mean corpus frequency of its
+    token occurrences and the fraction of hapax (count-1) occurrences.
+    Low familiarity / high rare_frac flags gibberish and OCR noise;
+    high familiarity flags boilerplate-ish text.
+
+    Scale shape: one explode → two-phase vocabulary count; the
+    vocabulary (not the corpus) broadcasts into the occurrence join,
+    so the only corpus-sized shuffle is the per-doc rollup of
+    fixed-width (doc_id, n) pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(TX.tokens(F.lower(F.col("text"))))
+                      .alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(F.broadcast(counts), "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+             (F.sum("n").cast("double") / F.count(F.lit(1)))
+             .alias("familiarity"),
+             (F.sum((F.col("n") == 1).cast("int")).cast("double")
+              / F.count(F.lit(1))).alias("rare_frac"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "temperature_mixture_sample",
     r"""
     WITH toks AS (

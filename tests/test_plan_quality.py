@@ -124,7 +124,7 @@ def test_registry_gate_ordering():
             "boilerplate_line_scrub", "matryoshka_topk",
             "temperature_mixture_sample", "lqy_query2_suppliers",
             "scd2_dimbook_apply", "merge_upsert_orders",
-            "borrowing_not_exists_append",
+            "borrowing_not_exists_append", "doc_token_familiarity",
             # freshest green = r4 (the full r5 tail):
             "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
             "market_share", "rollup_year_quarter", "top_orders_global",
@@ -139,9 +139,8 @@ def test_registry_gate_ordering():
             "ngram_jaccard_dups", "embedding_near_dups",
             "top_customers_per_nation", "doc_bpe_token_counts",
             "orders_scalar_subquery",
-            # single green row (first gated r5); lqy_query1/3 rotated
+            # single green row (first gated r5); lqy_query1/2/3 rotated
             # out (their parameter twins are in-window)
-            "lqy_query2",
             "lsh_ann_topk_forced", "doc_repetition_scores",
             "benchmark_contamination", "events_json_props",
             "stratified_doc_sample", "doc_chunk_packing",
