@@ -157,6 +157,15 @@ def curate_corpus_durable(spark, docs: DataFrame, root: str, *,
     """
     from ..sources.txlog import tx_exists, tx_read, tx_write
 
+    # Validate BEFORE any stage runs: deferring this into stop() let a
+    # typo'd stop_after execute (and commit) the first stage — on a
+    # 100 TB corpus an expensive pass — before the error surfaced
+    # (ADVICE r6).
+    if stop_after is not None and stop_after not in _DURABLE_STAGES:
+        raise ValueError(
+            f"unknown stage {stop_after!r}; expected one of "
+            f"{_DURABLE_STAGES}")
+
     tables = {s: f"{root}/{s}" for s in _DURABLE_STAGES}
     done: dict[str, str] = {}
 
@@ -169,11 +178,7 @@ def curate_corpus_durable(spark, docs: DataFrame, root: str, *,
         return tx_read(spark, t)
 
     def stop(stage: str) -> bool:
-        if stop_after == stage:
-            return True
-        if stop_after is not None and stop_after not in _DURABLE_STAGES:
-            raise ValueError(f"unknown stage {stop_after!r}")
-        return False
+        return stop_after == stage
 
     exact_kept = ensure("exact_kept", lambda: dedup.exact_dedup(
         docs.withColumn("text", TX.scrub_pii(F.col("text"))),

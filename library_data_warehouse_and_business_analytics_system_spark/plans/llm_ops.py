@@ -494,7 +494,9 @@ _GATE_INDEX_CACHE: dict[str, str] = {}
 
 
 def _gate_index_root(spark, sf_dir: str, corpus: DataFrame) -> str:
+    import atexit
     import os
+    import shutil
     import tempfile
 
     from ..operators.dedup_index import build_dedup_index
@@ -502,6 +504,10 @@ def _gate_index_root(spark, sf_dir: str, corpus: DataFrame) -> str:
     root = _GATE_INDEX_CACHE.get(sf_dir)
     if root is None or not os.path.isdir(root):
         root = tempfile.mkdtemp(prefix="dedup_idx_gate_")
+        # repeated bench/pytest PROCESSES each mkdtemp a fresh root;
+        # without cleanup they accumulate in the system temp dir
+        # forever (ADVICE r6)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
         build_dedup_index(corpus, root)
         _GATE_INDEX_CACHE[sf_dir] = root
     return root

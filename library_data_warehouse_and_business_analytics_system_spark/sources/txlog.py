@@ -88,30 +88,76 @@ def _latest_checkpoint(table: str, as_of: int | None = None) -> dict | None:
     return json.loads(best[1].read_text()) if best else None
 
 
-def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
-    cp = _latest_checkpoint(table, as_of)
+class TxConflict(RuntimeError):
+    """Another writer committed between this transaction's snapshot
+    read and its publish attempt (optimistic-concurrency failure —
+    what Delta raises as ConcurrentAppendException)."""
+
+
+def _replay(cp: dict | None, entries: list[dict], table: str,
+            as_of: int | None = None) -> list[str]:
+    """Visible data dirs from a covering checkpoint plus log entries.
+
+    Replay must be CONTIGUOUS from the checkpoint (ADVICE r6): each
+    applied entry's id must be exactly predecessor+1. A gap means
+    ``tx_truncate_log`` removed commits this snapshot needs — silently
+    skipping them would drop history (an overwrite inside the gap
+    would even resurrect pre-overwrite data), so any gap raises."""
     dirs: list[str] = list(cp["dirs"]) if cp else []
-    base = cp["id"] if cp else 0
-    entries = [e for e in _entries(table) if e["id"] > base]
-    if entries and not cp and entries[0]["id"] != 1:
-        # log was truncated past every checkpoint usable for this
-        # snapshot — replaying from a gap would silently drop history
-        raise ValueError(
-            f"txlog history before commit {entries[0]['id']} of {table} "
-            "was truncated and no checkpoint covers "
-            + (f"as_of={as_of}" if as_of is not None else "this read"))
-    for e in entries:
+    prev = cp["id"] if cp else 0
+    for e in sorted(entries, key=lambda e: e["id"]):
+        if e["id"] <= prev:
+            continue
         if as_of is not None and e["id"] > as_of:
             break
+        if e["id"] != prev + 1:
+            raise ValueError(
+                f"txlog history of {table} between commits {prev + 1} "
+                f"and {e['id'] - 1} was truncated and no checkpoint "
+                "covers "
+                + (f"as_of={as_of}" if as_of is not None else "this read"))
         if e["mode"] == "overwrite":
             dirs = [e["dir"]]
         else:
             dirs.append(e["dir"])
+        prev = e["id"]
+    if as_of is not None and prev < as_of:
+        # Replay stopped short of as_of. Fine when history simply ends
+        # at `prev`; an error when NEWER history provably existed (a
+        # checkpoint past `prev`) — then commits prev+1..as_of were
+        # truncated and the resolved checkpoint silently skips them
+        # (ADVICE r6: cp@2 + cp@4 + log truncated ≤4, as_of=3 must
+        # raise, not return the commit-2 state).
+        newest = _latest_checkpoint(table)
+        if newest and newest["id"] > prev:
+            raise ValueError(
+                f"txlog history of {table} between commits {prev + 1} "
+                f"and {min(newest['id'], as_of)} was truncated; "
+                f"as_of={as_of} is unanswerable")
     return dirs
 
 
+def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
+    cp = _latest_checkpoint(table, as_of)
+    base = cp["id"] if cp else 0
+    entries = [e for e in _entries(table) if e["id"] > base]
+    return _replay(cp, entries, table, as_of)
+
+
+def tx_latest_id(table: str) -> int:
+    """Latest committed id (0 for an empty table) — the snapshot
+    version a read-modify-write transaction records for its
+    optimistic-concurrency check."""
+    ids = [e["id"] for e in _entries(table)]
+    cp = _latest_checkpoint(table)
+    if cp:
+        ids.append(cp["id"])
+    return max(ids) if ids else 0
+
+
 def tx_write(df: DataFrame, table: str, mode: str = "append",
-             max_retries: int = 10, txn_id: str | None = None) -> int:
+             max_retries: int = 10, txn_id: str | None = None,
+             expect_latest: int | None = None) -> int:
     """Atomically publish ``df`` as one commit; returns the commit id.
 
     ``txn_id`` makes the write IDEMPOTENT (Delta's txnAppId/txnVersion
@@ -119,13 +165,25 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
     the write is skipped and that commit's id returned. This is what
     lets a ``foreachBatch`` sink pass its batch_id through and survive
     micro-batch REDELIVERY after a crash without double-appending
-    (streaming/dedup_ingest.py)."""
+    (streaming/dedup_ingest.py).
+
+    ``expect_latest`` publishes CONDITIONALLY (Delta's optimistic
+    concurrency, ADVICE r6): the commit succeeds only as id
+    ``expect_latest + 1`` — if another writer advanced the log past
+    the snapshot this write was derived from, :class:`TxConflict`
+    raises instead of silently discarding that writer's commit. The
+    check happens inside the publish loop (on the atomic-create id),
+    so there is no list-then-publish race window."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"tx_write: unknown mode {mode!r}")
     if txn_id is not None:
         for e in _entries(table):
             if e.get("txn") == txn_id:
                 return e["id"]
+    if expect_latest is not None and tx_latest_id(table) != expect_latest:
+        raise TxConflict(  # cheap pre-stage check; the loop re-checks
+            f"tx_write: {table} is at commit {tx_latest_id(table)}, "
+            f"not the expected snapshot {expect_latest}")
     stage = f"{_DATA}/{uuid.uuid4().hex}"
     df.write.parquet(str(Path(table) / stage))
     log = _log_dir(table)
@@ -138,6 +196,11 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
         if cp:
             existing.append(cp["id"])
         cid = (max(existing) + 1) if existing else 1
+        if expect_latest is not None and cid != expect_latest + 1:
+            raise TxConflict(
+                f"tx_write: {table} advanced to commit {cid - 1} past "
+                f"the expected snapshot {expect_latest}; the pending "
+                "write was derived from a stale snapshot")
         if txn_id is not None:
             for e in _entries(table):
                 if e.get("txn") == txn_id:  # racer published our txn
@@ -206,7 +269,14 @@ def tx_checkpoint(table: str) -> int:
     target = d / f"{last:08d}.json"
     if target.exists():
         return last
-    payload = json.dumps({"id": last, "dirs": _visible_dirs(table)})
+    # Replay the ALREADY-FETCHED entries (capped at `last`) instead of
+    # re-listing the log: a commit published between two listings
+    # would otherwise land in the checkpoint's dirs while its id stays
+    # `last`, and later reads would replay that commit AGAIN on top —
+    # duplicated appends / resurrected overwrites (ADVICE r6).
+    cp = _latest_checkpoint(table, last)
+    dirs = _replay(cp, entries, table, as_of=last)
+    payload = json.dumps({"id": last, "dirs": dirs})
     tmp = d / f".{uuid.uuid4().hex}.tmp"
     tmp.write_text(payload)
     try:
@@ -269,14 +339,22 @@ def tx_merge(spark: SparkSession, table: str, source: DataFrame,
     A merge into a table with no commits bootstraps it (publishes
     ``source`` as commit 1), mirroring ``whenNotMatchedInsertAll``
     over an empty target.
+
+    Concurrency: the publish is CONDITIONAL on the log not advancing
+    past the snapshot the merge read (``expect_latest`` — ADVICE r6).
+    A commit by another writer between ``tx_read`` and the publish
+    raises :class:`TxConflict` instead of being silently discarded;
+    the caller re-runs the merge against the fresh snapshot (Delta's
+    optimistic-concurrency contract for read-modify-write commits).
     """
     from ..operators.merge import merge_upsert
     if not tx_exists(table):
-        return tx_write(source, table, mode="overwrite")
-    current = tx_read(spark, table)
+        return tx_write(source, table, mode="overwrite", expect_latest=0)
+    base = tx_latest_id(table)
+    current = tx_read(spark, table, as_of=base)
     merged = merge_upsert(current, source, keys,
                           update_cols=update_cols, condition=condition)
-    return tx_write(merged, table, mode="overwrite")
+    return tx_write(merged, table, mode="overwrite", expect_latest=base)
 
 
 def tx_apply_scd2(spark: SparkSession, table: str, updates: DataFrame,
@@ -288,10 +366,14 @@ def tx_apply_scd2(spark: SparkSession, table: str, updates: DataFrame,
     :func:`tx_merge` — readers see the pre-update dimension until the
     publish instant, and time travel keeps every prior generation
     (the dimension's own SCD2 history plus the table format's commit
-    history, two independent time axes)."""
+    history, two independent time axes). Publishes conditionally on
+    the snapshot it read (``expect_latest`` — see :func:`tx_merge`);
+    a concurrent commit raises :class:`TxConflict`."""
     from ..operators.scd2 import scd2_apply
-    new_dim = scd2_apply(tx_read(spark, table), updates, **scd2_kwargs)
-    return tx_write(new_dim, table, mode="overwrite")
+    base = tx_latest_id(table)
+    new_dim = scd2_apply(tx_read(spark, table, as_of=base), updates,
+                         **scd2_kwargs)
+    return tx_write(new_dim, table, mode="overwrite", expect_latest=base)
 
 
 def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:

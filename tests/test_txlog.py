@@ -283,3 +283,121 @@ def test_tx_read_schema_evolution(spark, tmp_path):
     assert rows[1].score is None and rows[2].score == 9.5
     # default read still returns both commits' rows
     assert {r.id for r in tx_read(spark, t).collect()} == {1, 2}
+
+
+def test_time_travel_into_truncated_gap_between_checkpoints_raises(
+        spark, tmp_path):
+    """ADVICE r6: with checkpoints at 2 and 4 and the log truncated
+    ≤4, as_of=3 must raise — not silently resolve checkpoint 2 and
+    return the commit-2 state (commit 3 would be lost)."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_checkpoint, tx_truncate_log,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)                    # 1
+    tx_write(_df(spark, [2]), t)                    # 2
+    tx_checkpoint(t)
+    tx_write(_df(spark, [3]), t)                    # 3
+    tx_write(_df(spark, [4]), t)                    # 4
+    tx_checkpoint(t)
+    tx_truncate_log(t)                              # removes entries 1-4
+    # snapshots AT checkpoint ids stay answerable
+    assert {r.id for r in tx_read(spark, t, as_of=2).collect()} == {1, 2}
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2, 3, 4}
+    # the gap between them is not
+    with pytest.raises(ValueError, match="truncated"):
+        tx_read(spark, t, as_of=3)
+
+
+def test_replay_gap_in_log_entries_raises(spark, tmp_path):
+    """A hole in the replayed entry sequence (manual tampering /
+    partial truncation) raises instead of skipping commits — an
+    overwrite inside the gap would otherwise resurrect old data."""
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)                    # 1
+    tx_write(_df(spark, [9]), t, mode="overwrite")  # 2
+    tx_write(_df(spark, [10]), t)                   # 3
+    (Path(t) / "_txlog" / "00000002.json").unlink()
+    with pytest.raises(ValueError, match="truncated"):
+        tx_read(spark, t)
+
+
+def test_checkpoint_ignores_commit_published_mid_call(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r6: tx_checkpoint must summarize exactly the entries it
+    first listed. A commit racing in mid-call must not land in the
+    checkpoint's dirs while the id stays older — readers would replay
+    that commit twice (duplicated rows)."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_checkpoint, tx_truncate_log,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)                    # 1
+    tx_write(_df(spark, [2]), t)                    # 2
+
+    real_entries = txlog._entries
+    fired = {"done": False}
+
+    def racing_entries(table):
+        out = real_entries(table)
+        if not fired["done"]:
+            fired["done"] = True     # publish commit 3 AFTER the
+            tx_write(_df(spark, [3]), t)  # checkpoint's first listing
+        return out
+
+    monkeypatch.setattr(txlog, "_entries", racing_entries)
+    cid = tx_checkpoint(t)
+    monkeypatch.undo()
+    assert cid == 2
+    cp = json.loads(
+        (Path(t) / "_txlog" / "checkpoints" / "00000002.json").read_text())
+    assert len(cp["dirs"]) == 2      # commit 3's dir NOT in the summary
+    # replaying checkpoint + newer entries yields each commit exactly once
+    assert sorted(r.id for r in tx_read(spark, t).collect()) == [1, 2, 3]
+    tx_truncate_log(t)
+    assert sorted(r.id for r in tx_read(spark, t).collect()) == [1, 2, 3]
+
+
+def test_tx_merge_conflict_detection(spark, tmp_path):
+    """ADVICE r6: a commit published by another writer between
+    tx_merge's snapshot read and its overwrite publish raises
+    TxConflict instead of being silently discarded."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.merge import (
+        merge_upsert,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        TxConflict, tx_latest_id,
+    )
+
+    t = str(tmp_path / "t")
+    kv = lambda rows: spark.createDataFrame(rows, "id long, v string")  # noqa: E731
+    tx_write(kv([(1, "a"), (2, "b")]), t, mode="overwrite")
+
+    # manual read-modify-write with a racer in the middle
+    base = tx_latest_id(t)
+    merged = merge_upsert(tx_read(spark, t, as_of=base),
+                          kv([(2, "B"), (3, "c")]), ["id"])
+    tx_write(kv([(9, "racer")]), t)          # another writer commits
+    with pytest.raises(TxConflict):
+        tx_write(merged, t, mode="overwrite", expect_latest=base)
+    # the racer's commit survives; re-running the merge sees it
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2, 9}
+    tx_merge(spark, t, kv([(2, "B"), (3, "c")]), ["id"])
+    assert {r.id for r in tx_read(spark, t).collect()} == {1, 2, 3, 9}
+
+
+def test_curation_stop_after_validated_before_any_stage(spark, tmp_path):
+    """ADVICE r6: an invalid stop_after must fail BEFORE the first
+    stage executes/commits anything."""
+    from library_data_warehouse_and_business_analytics_system_spark.pipelines import (
+        curate_corpus_durable,
+    )
+
+    docs = spark.createDataFrame([("d1", "hello world")],
+                                 "doc_id string, text string")
+    root = str(tmp_path / "cur")
+    with pytest.raises(ValueError, match="unknown stage"):
+        curate_corpus_durable(spark, docs, root, stop_after="not_a_stage")
+    assert not (Path(root) / "exact_kept").exists()
