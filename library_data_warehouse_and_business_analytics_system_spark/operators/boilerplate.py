@@ -7,9 +7,12 @@ Scale shape: the global line-frequency table groups on a 16-byte md5
 of the line — the shuffle carries (hash, doc_id) pairs, never line
 text — and the per-doc reassembly is a single groupBy whose payload
 is the document's own kept lines. Both aggregations are two-phase
-(map-side partial), and the boilerplate set (lines above the
-document-frequency threshold) is small by construction, so the
-filter join broadcasts it.
+(map-side partial). The boilerplate set (lines above the
+document-frequency threshold) is NOT broadcast (VERDICT r6): on a
+web corpus, cross-site chrome lines appearing in ≥3 documents number
+in the hundreds of millions — the set grows with the corpus, so the
+anti-join shuffles on the fixed-width 16-byte line_hash instead
+(AQE may still pick broadcast at small scale from real stats).
 
 Deterministic end to end (hash + position ordering), hence
 oracle-checkable: the driver gate `boilerplate_line_scrub` matches a
@@ -55,7 +58,7 @@ def remove_boilerplate_lines(docs: DataFrame, text_col: str = "text",
               .filter(F.col("n_docs") >= min_docs)
               .select("line_hash"))
     kept = (lines.withColumn("line_hash", F.md5("line"))
-            .join(F.broadcast(boiler), "line_hash", "left_anti"))
+            .join(boiler, "line_hash", "left_anti"))
     rebuilt = (
         kept.groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_kept"),

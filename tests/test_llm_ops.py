@@ -823,3 +823,47 @@ def test_temperature_mixture_flattens_shares(spark):
     a = set(out[out.kept].doc_id)
     b = set(again[again.kept].doc_id)
     assert a == b
+
+
+def test_temperature_mixture_two_phase_cumsum_matches_single_window(spark):
+    """VERDICT r6: the per-source running sum is two-phase (range
+    shuffle + per-partition window + driver offsets), so a dominant
+    source no longer serializes on one reducer. The selection must
+    equal the single-window formulation bit-for-bit even when one
+    source spans many range partitions."""
+    import hashlib
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.mixture import (
+        temperature_mixture,
+    )
+
+    # one giant source (spans many of the 8 range partitions) + a tail
+    rows = ([(i, "giant", f"tok{i} " * (5 + i % 7)) for i in range(600)]
+            + [(10_000 + i, "tail", "w " * 10) for i in range(30)])
+    docs = spark.createDataFrame(rows,
+                                 "doc_id long, source string, text string")
+    out = temperature_mixture(docs, total_budget=1500, alpha=0.5,
+                              n_partitions=8).toPandas()
+
+    # ground truth: per-source budget-cut in salted-md5 order (the
+    # single-window semantics, computed driver-side)
+    df = out.copy()
+    df["ok"] = df.doc_id.map(
+        lambda i: hashlib.md5(f"mix:{i}".encode()).hexdigest())
+    want_kept = set()
+    for s, grp in df.groupby("source"):
+        grp = grp.sort_values(["ok", "doc_id"])
+        budget = int(grp.src_budget.iloc[0])
+        cum = 0
+        for r in grp.itertuples():
+            if cum < budget:
+                want_kept.add(r.doc_id)
+            cum += r.n_tokens
+    assert set(out[out.kept].doc_id) == want_kept
+
+    # plan contract: the cumsum window partitions on (_pid, source) —
+    # never on source alone (that's the single-reducer shape)
+    plan = (temperature_mixture(docs, 1500, n_partitions=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    windows = [ln for ln in plan.splitlines() if "Window " in ln]
+    assert windows and all("_pid" in ln for ln in windows), windows

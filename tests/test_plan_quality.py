@@ -191,3 +191,29 @@ def test_round5_pipeline_plan_contracts(plans):
     contam = plans["benchmark_contamination"]
     assert "BroadcastHashJoin" in contam
     assert "CartesianProduct" not in contam
+
+
+def test_corpus_growing_sets_are_not_force_broadcast(spark, sf_dir):
+    """VERDICT r6: the familiarity vocabulary and the boilerplate set
+    both grow with the corpus (Heaps-law vocabulary / cross-site
+    chrome), so neither may carry a broadcast HINT — at 100 TB that
+    broadcast OOMs every executor. Catalyst may still choose broadcast
+    at small scale from real stats; what must hold is (a) no
+    ResolvedHint in the analyzed plan and (b) with auto-broadcast
+    disabled the joins degrade to shuffled joins — proving the
+    strategy is stats-driven, not forced."""
+    names = ("doc_token_familiarity", "boilerplate_line_scrub")
+    for name in names:
+        analyzed = (QUERIES[name].fn(spark, sf_dir)
+                    ._jdf.queryExecution().analyzed().toString())
+        assert "ResolvedHint" not in analyzed, name
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in names:
+            p = (QUERIES[name].fn(spark, sf_dir)
+                 ._jdf.queryExecution().executedPlan().toString())
+            assert "BroadcastHashJoin" not in p, name
+            assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
