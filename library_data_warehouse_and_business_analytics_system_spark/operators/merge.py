@@ -32,6 +32,11 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
     """MERGE: WHEN MATCHED THEN UPDATE (source wins on ``update_cols``,
     all non-key columns by default), WHEN NOT MATCHED THEN INSERT.
 
+    ``update_cols`` scopes only the MATCHED branch; inserted rows
+    always take every source column (Oracle MERGE's INSERT clause /
+    Delta's ``whenNotMatchedInsertAll`` — a column excluded from the
+    update set must not come out NULL on brand-new rows).
+
     ``condition`` optionally guards the update branch (matched rows
     failing it keep target values).
     """
@@ -49,13 +54,18 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str],
     for c in cols:
         if c in keys:
             out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
-        elif c in update_cols and c in source.columns:
+        elif c not in source.columns:
+            out_cols.append(F.col(f"t.{c}").alias(c))
+        elif c in update_cols:
             out_cols.append(
                 F.when(take_source | t_absent, F.col(f"s.{c}"))
                 .otherwise(F.col(f"t.{c}")).alias(c)
             )
-        else:
-            out_cols.append(F.col(f"t.{c}").alias(c))
+        else:  # not updated on match, still inserted on not-matched
+            out_cols.append(
+                F.when(t_absent, F.col(f"s.{c}"))
+                .otherwise(F.col(f"t.{c}")).alias(c)
+            )
     return joined.select(*out_cols)
 
 

@@ -94,17 +94,16 @@ class TxConflict(RuntimeError):
     what Delta raises as ConcurrentAppendException)."""
 
 
-def _replay(cp: dict | None, entries: list[dict], table: str,
-            as_of: int | None = None) -> list[str]:
-    """Visible data dirs from a covering checkpoint plus log entries.
+def _replay_fold(base_id: int, state, entries: list[dict], table: str,
+                 as_of: int | None, apply):
+    """Fold ``apply(state, entry)`` over the log in id order.
 
     Replay must be CONTIGUOUS from the checkpoint (ADVICE r6): each
     applied entry's id must be exactly predecessor+1. A gap means
     ``tx_truncate_log`` removed commits this snapshot needs — silently
     skipping them would drop history (an overwrite inside the gap
     would even resurrect pre-overwrite data), so any gap raises."""
-    dirs: list[str] = list(cp["dirs"]) if cp else []
-    prev = cp["id"] if cp else 0
+    prev = base_id
     for e in sorted(entries, key=lambda e: e["id"]):
         if e["id"] <= prev:
             continue
@@ -116,10 +115,7 @@ def _replay(cp: dict | None, entries: list[dict], table: str,
                 f"and {e['id'] - 1} was truncated and no checkpoint "
                 "covers "
                 + (f"as_of={as_of}" if as_of is not None else "this read"))
-        if e["mode"] == "overwrite":
-            dirs = [e["dir"]]
-        else:
-            dirs.append(e["dir"])
+        state = apply(state, e)
         prev = e["id"]
     if as_of is not None and prev < as_of:
         # Replay stopped short of as_of. Fine when history simply ends
@@ -134,7 +130,51 @@ def _replay(cp: dict | None, entries: list[dict], table: str,
                 f"txlog history of {table} between commits {prev + 1} "
                 f"and {min(newest['id'], as_of)} was truncated; "
                 f"as_of={as_of} is unanswerable")
-    return dirs
+    return state
+
+
+def _replay(cp: dict | None, entries: list[dict], table: str,
+            as_of: int | None = None) -> list[str]:
+    """Visible data dirs of an UNPARTITIONED table (checkpoint state
+    plus contiguous log replay)."""
+    def apply(dirs: list[str], e: dict) -> list[str]:
+        if "parts" in e:
+            raise ValueError(
+                f"{table}: partitioned commit {e['id']} in an "
+                "unpartitioned replay — read it with tx_read_parts")
+        return [e["dir"]] if e["mode"] == "overwrite" else dirs + [e["dir"]]
+    return _replay_fold(cp["id"] if cp else 0,
+                        list(cp["dirs"]) if cp else [],
+                        entries, table, as_of, apply)
+
+
+def _replay_parts(cp: dict | None, entries: list[dict], table: str,
+                  as_of: int | None = None) -> dict[str, list[str]]:
+    """Visible state of a PARTITIONED table: partition value → list of
+    data dirs. Entry modes: ``overwrite_parts`` resets the whole
+    table to the entry's partitions, ``append_parts`` appends each
+    partition's dir, ``replace_parts`` swaps ONLY the named
+    partitions' dirs and carries every other partition forward by
+    reference — the copy-on-write granularity a partition-scoped
+    MERGE needs (VERDICT r6 item 3)."""
+    def apply(parts: dict[str, list[str]], e: dict):
+        if "parts" not in e:
+            raise ValueError(
+                f"{table}: unpartitioned commit {e['id']} in a "
+                "partitioned replay — read it with tx_read")
+        if e["mode"] == "overwrite_parts":
+            return {v: [d] for v, d in e["parts"].items()}
+        out = dict(parts)
+        for v, d in e["parts"].items():
+            if e["mode"] == "append_parts":
+                out[v] = out.get(v, []) + [d]
+            else:                      # replace_parts
+                out[v] = [d]
+        return out
+    base_parts = ({v: list(ds) for v, ds in cp["parts"].items()}
+                  if cp else {})
+    return _replay_fold(cp["id"] if cp else 0, base_parts,
+                        entries, table, as_of, apply)
 
 
 def _visible_dirs(table: str, as_of: int | None = None) -> list[str]:
@@ -186,6 +226,14 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
             f"not the expected snapshot {expect_latest}")
     stage = f"{_DATA}/{uuid.uuid4().hex}"
     df.write.parquet(str(Path(table) / stage))
+    return _publish(table, {"mode": mode, "dir": stage},
+                    max_retries, txn_id, expect_latest)
+
+
+def _publish(table: str, payload: dict, max_retries: int,
+             txn_id: str | None, expect_latest: int | None) -> int:
+    """Allocate the next commit id and atomically link the entry
+    (shared by the plain and partitioned write paths)."""
     log = _log_dir(table)
     log.mkdir(parents=True, exist_ok=True)
     for _ in range(max_retries):
@@ -205,7 +253,7 @@ def tx_write(df: DataFrame, table: str, mode: str = "append",
             for e in _entries(table):
                 if e.get("txn") == txn_id:  # racer published our txn
                     return e["id"]
-        entry = {"id": cid, "mode": mode, "dir": stage}
+        entry = {"id": cid, **payload}
         if txn_id is not None:
             entry["txn"] = txn_id
         # Publish = atomic link of a fully-written temp file. A bare
@@ -275,8 +323,12 @@ def tx_checkpoint(table: str) -> int:
     # `last`, and later reads would replay that commit AGAIN on top —
     # duplicated appends / resurrected overwrites (ADVICE r6).
     cp = _latest_checkpoint(table, last)
-    dirs = _replay(cp, entries, table, as_of=last)
-    payload = json.dumps({"id": last, "dirs": dirs})
+    if any("parts" in e for e in entries) or (cp and "parts" in cp):
+        parts = _replay_parts(cp, entries, table, as_of=last)
+        payload = json.dumps({"id": last, "parts": parts})
+    else:
+        dirs = _replay(cp, entries, table, as_of=last)
+        payload = json.dumps({"id": last, "dirs": dirs})
     tmp = d / f".{uuid.uuid4().hex}.tmp"
     tmp.write_text(payload)
     try:
@@ -391,13 +443,28 @@ def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
     active (e.g. tests).
     """
     import time
-    referenced = {e["dir"].split("/", 1)[1] for e in _entries(table)}
+
+    def _tops(obj: dict):
+        # "data/<uuid>" (plain) or "data/<uuid>/_part=v" (partitioned)
+        # → the top-level staged dir name "<uuid>"
+        if "parts" in obj:
+            for ds in obj["parts"].values():
+                for d in (ds if isinstance(ds, list) else [ds]):
+                    yield d.split("/")[1]
+        elif "dirs" in obj:
+            for d in obj["dirs"]:
+                yield d.split("/")[1]
+        elif "dir" in obj:
+            yield obj["dir"].split("/")[1]
+
+    referenced = set()
+    for e in _entries(table):
+        referenced.update(_tops(e))
     # checkpoints reference dirs whose log entries may be truncated
     cp_d = _cp_dir(table)
     if cp_d.is_dir():
         for f in cp_d.glob("*.json"):
-            for d in json.loads(f.read_text())["dirs"]:
-                referenced.add(d.split("/", 1)[1])
+            referenced.update(_tops(json.loads(f.read_text())))
     now = time.time()
     removed = []
     data = Path(table) / _DATA
@@ -408,3 +475,147 @@ def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
                 shutil.rmtree(d)
                 removed.append(d.name)
     return sorted(removed)
+
+
+# ---------------------------------------------------------------------------
+# Partitioned tables: commit entries carry a {partition value → data
+# dir} map, so a MERGE rewrites ONLY the partitions its source keys
+# touch and carries every other partition forward BY REFERENCE —
+# Delta/Iceberg's copy-on-write granularity, and the format-level
+# analogue of the reference's key-scoped incremental MERGE
+# (07_SubsequentLoading.sql:331-355), which probes/updates only the
+# delta's keys instead of reloading the target (VERDICT r6 item 3:
+# a daily 0.1% delta must not rewrite a 100 TB fact).
+
+_PART = "_part"
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _stage_parts(df: DataFrame, table: str, part_col: str) -> dict[str, str]:
+    """Stage ``df`` split by ``part_col`` into one data dir per
+    partition value (single write job via ``partitionBy`` on a
+    duplicated ``_part`` column, so the real column stays IN the
+    files and reads need no partition-value reconstruction).
+    Returns {partition value: staged dir (relative to table root)}."""
+    from urllib.parse import unquote
+
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    (df.withColumn(_PART, df[part_col].cast("string"))
+       .write.partitionBy(_PART).parquet(str(Path(table) / stage)))
+    out: dict[str, str] = {}
+    for d in (Path(table) / stage).iterdir():
+        if not d.name.startswith(f"{_PART}="):
+            continue
+        value = unquote(d.name.split("=", 1)[1])
+        if value == _HIVE_NULL:
+            raise ValueError(
+                f"tx_write_parts: NULL in partition column "
+                f"{part_col!r}; partition values must be non-null")
+        out[value] = f"{stage}/{d.name}"
+    return out
+
+
+def tx_write_parts(df: DataFrame, table: str, part_col: str,
+                   mode: str = "append", max_retries: int = 10,
+                   txn_id: str | None = None,
+                   expect_latest: int | None = None) -> int:
+    """Atomically publish ``df`` into a PARTITIONED table as one
+    commit. ``mode``: ``append`` adds each partition's dir,
+    ``overwrite`` resets the whole table, ``replace`` swaps only the
+    partitions present in ``df`` (dynamic partition overwrite —
+    Spark's ``partitionOverwriteMode=dynamic``, made atomic).
+    ``txn_id`` / ``expect_latest`` behave as in :func:`tx_write`."""
+    modes = {"append": "append_parts", "overwrite": "overwrite_parts",
+             "replace": "replace_parts"}
+    if mode not in modes:
+        raise ValueError(f"tx_write_parts: unknown mode {mode!r}")
+    if txn_id is not None:
+        for e in _entries(table):
+            if e.get("txn") == txn_id:
+                return e["id"]
+    if expect_latest is not None and tx_latest_id(table) != expect_latest:
+        raise TxConflict(
+            f"tx_write_parts: {table} is at commit {tx_latest_id(table)}, "
+            f"not the expected snapshot {expect_latest}")
+    parts = _stage_parts(df, table, part_col)
+    return _publish(table,
+                    {"mode": modes[mode], "pcol": part_col, "parts": parts},
+                    max_retries, txn_id, expect_latest)
+
+
+def _visible_parts(table: str,
+                   as_of: int | None = None) -> dict[str, list[str]]:
+    cp = _latest_checkpoint(table, as_of)
+    base = cp["id"] if cp else 0
+    entries = [e for e in _entries(table) if e["id"] > base]
+    return _replay_parts(cp, entries, table, as_of)
+
+
+def tx_read_parts(spark: SparkSession, table: str,
+                  as_of: int | None = None,
+                  part_values: list[str] | None = None) -> DataFrame:
+    """Snapshot read of a partitioned table; ``part_values`` prunes
+    the read to those partitions' dirs — metadata-only partition
+    pruning (no scan, no listing of other partitions), which is what
+    keeps the merge's read cost proportional to the DELTA."""
+    state = _visible_parts(table, as_of)
+    if part_values is not None:
+        state = {v: ds for v, ds in state.items() if v in part_values}
+    dirs = [d for ds in state.values() for d in ds]
+    if not dirs:
+        raise FileNotFoundError(
+            f"tx_read_parts: no visible partitions in {table}"
+            + (f" for {part_values}" if part_values is not None else ""))
+    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+
+
+def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
+                   keys: list[str], part_col: str,
+                   update_cols: list[str] | None = None,
+                   condition: Column | None = None) -> int:
+    """Partition-scoped MERGE: read ONLY the partitions containing
+    the source's partition values, merge, and publish the result as
+    ONE atomic ``replace_parts`` commit — untouched partitions'
+    parquet files are never read, never rewritten, and stay visible
+    by reference. Same crash contract and optimistic-concurrency
+    check as :func:`tx_merge`.
+
+    The partition column must be immutable under the merge: an update
+    that MOVED a row across partitions would write it into a partition
+    this merge doesn't replace, silently duplicating it. With
+    ``update_cols=None`` the partition column is therefore
+    auto-excluded from the updated set (matched rows stay in their
+    partition); explicitly listing it in ``update_cols`` raises unless
+    it is also a merge key. Source rows are assumed to carry their
+    target row's CURRENT partition value — the same contract Delta's
+    partition-pruned MERGE puts on its source."""
+    from ..operators.merge import merge_upsert
+
+    if update_cols is None:
+        update_cols = [c for c in source.columns
+                       if c not in keys and c != part_col]
+    elif part_col in update_cols and part_col not in keys:
+        raise ValueError(
+            f"tx_merge_parts: partition column {part_col!r} must not "
+            "be in update_cols — a merge that changes a row's "
+            "partition would corrupt the table")
+    if not tx_exists(table):
+        return tx_write_parts(source, table, part_col, mode="overwrite",
+                              expect_latest=0)
+    base = tx_latest_id(table)
+    state = _visible_parts(table, as_of=base)
+    touched = sorted({
+        str(r[0]) for r in
+        source.select(source[part_col].cast("string")).distinct().collect()})
+    existing_dirs = [d for v in touched for d in state.get(v, [])]
+    if existing_dirs:
+        current = spark.read.parquet(
+            *[str(Path(table) / d) for d in existing_dirs])
+        merged = merge_upsert(current, source, keys,
+                              update_cols=update_cols, condition=condition)
+    else:
+        merged = source          # all-new partitions: pure insert
+    parts = _stage_parts(merged, table, part_col)
+    return _publish(table, {"mode": "replace_parts", "pcol": part_col,
+                            "parts": parts},
+                    max_retries=10, txn_id=None, expect_latest=base)
