@@ -50,7 +50,7 @@ from __future__ import annotations
 import json
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.txlog import tx_read, tx_write
@@ -99,7 +99,8 @@ def _meta(index_root: str) -> dict:
 
 def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
                     index_root: str, *, text_col: str = "text",
-                    threshold: float = 0.8) -> DataFrame:
+                    threshold: float = 0.8,
+                    max_candidates: int | None = None) -> DataFrame:
     """Near-dup pairs (a, b, jaccard), a < b, where at least one side
     is in ``new_docs`` — batch-vs-corpus AND batch-vs-batch — without
     recomputing anything about the corpus.
@@ -108,7 +109,16 @@ def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
     and index can never disagree. Batch ids are assumed disjoint from
     corpus ids (re-ingesting an already-indexed id is the caller's
     upstream exact-dedup's job).
-    """
+
+    ``max_candidates`` bounds the verify set PER PROBE DOCUMENT to the
+    top-M partners by band-collision count (the ANN side's multi-probe
+    bound, similarity.py lsh_topk) — a skew-adversarial batch (one hot
+    band bucket: identical spam, boilerplate-heavy docs) can otherwise
+    inflate the candidate set quadratically and blow the broadcast
+    (VERDICT r6 nit). Collision count is the blocking-quality signal:
+    true near-dups collide in many bands (that is LSH's guarantee), so
+    the dropped tail is the least-similar candidates. Unset = exact
+    (the identity with the full-corpus pair set holds only then)."""
     m = _meta(index_root)
     id_col = m["id_col"]
     bands_t, sh_t, _ = _paths(index_root)
@@ -123,13 +133,21 @@ def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
     # once and never shuffled
     all_bb = bb_idx.unionByName(bb_new).alias("a")
     probe = F.broadcast(bb_new).alias("b")
-    cand = (
+    hits = (
         all_bb.join(probe, ["band", "bucket"])
         .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
-        .select(F.least(f"a.{id_col}", f"b.{id_col}").alias("a"),
+        .select(F.col(f"b.{id_col}").alias("_probe"),
+                F.least(f"a.{id_col}", f"b.{id_col}").alias("a"),
                 F.greatest(f"a.{id_col}", f"b.{id_col}").alias("b"))
-        .distinct()
     )
+    if max_candidates is not None:
+        counted = (hits.groupBy("_probe", "a", "b")
+                   .agg(F.count(F.lit(1)).alias("_ncoll")))
+        wc = Window.partitionBy("_probe").orderBy(
+            F.col("_ncoll").desc(), "a", "b")
+        hits = (counted.withColumn("_crank", F.row_number().over(wc))
+                .filter(F.col("_crank") <= max_candidates))
+    cand = hits.select("a", "b").distinct()
 
     # verify with exact shingle Jaccard; corpus shingles are fetched
     # for CANDIDATE ids only — the broadcast semi-join prunes the
@@ -170,3 +188,66 @@ def append_to_index(new_docs: DataFrame, index_root: str, *,
                            m["num_hashes"], m["bands"], m["shingle_n"])
     tx_write(bb, bands_t, mode="append", txn_id=txn_id)
     tx_write(sh, sh_t, mode="append", txn_id=txn_id)
+
+
+def maintain_index(spark: SparkSession, index_root: str, *,
+                   target_mb: int = 64,
+                   expire_history: bool = True,
+                   vacuum_retention_sec: float = 3600.0) -> dict:
+    """Maintenance cycle for the persisted index (VERDICT r6 item 4):
+    ``append_to_index`` adds one commit (two small parquet dirs) per
+    batch forever, so after a year a probe's posting-list read is 365
+    dir listings — the checkpoint bounds the LOG replay, not the
+    data-dir count. This compacts each table's visible state into ONE
+    right-sized generation and bounds the metadata:
+
+    1. compact: rewrite the visible rows into ceil(bytes/target_mb)
+       files, published as one atomic overwrite commit (probes running
+       concurrently keep reading the old generation until the publish
+       instant — the same contract every txlog write has);
+    2. ``tx_checkpoint`` + ``tx_truncate_log``: replay cost back to
+       O(1);
+    3. with ``expire_history`` (default), drop pre-compaction
+       checkpoints and vacuum — the old generations' dirs are
+       reclaimed, so DISK is bounded too, at the price of time travel
+       into pre-compaction snapshots (which raises, never silently
+       misreads). ``vacuum_retention_sec`` keeps just-replaced dirs
+       alive long enough for probes that resolved their snapshot
+       before the compaction published (pass 0 only when no probes
+       are running — tests).
+
+    Probe results are bit-identical before/after (same rows, fewer
+    files) — pinned by tests/test_dedup_index.py. Run it every N
+    appends or when ``plan_compaction`` reports fragmentation, like
+    Delta OPTIMIZE.
+    """
+    from ..sources.compaction import _list_parquet_files
+    from ..sources.txlog import (
+        _visible_dirs, tx_checkpoint, tx_expire_checkpoints,
+        tx_truncate_log, tx_vacuum,
+    )
+
+    bands_t, sh_t, _ = _paths(index_root)
+    out: dict = {}
+    for t in (bands_t, sh_t):
+        dirs = _visible_dirs(t)
+        n_files = total = 0
+        for d in dirs:
+            nf, nb = _list_parquet_files(spark, str(Path(t) / d))
+            n_files += nf
+            total += nb
+        n_out = max(1, -(-total // (target_mb * 1024 * 1024)))  # ceil
+        df = tx_read(spark, t)
+        tx_write(df.repartition(int(n_out)), t, mode="overwrite")
+        tx_checkpoint(t)
+        tx_truncate_log(t)
+        removed_dirs = []
+        if expire_history:
+            tx_expire_checkpoints(t, keep=1)
+            removed_dirs = tx_vacuum(t, retention_sec=vacuum_retention_sec)
+        out[Path(t).name] = {
+            "before_dirs": len(dirs), "before_files": n_files,
+            "bytes": total, "after_dirs": 1,
+            "target_files": int(n_out),
+            "reclaimed_dirs": len(removed_dirs)}
+    return out

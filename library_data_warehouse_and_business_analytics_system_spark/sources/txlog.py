@@ -362,6 +362,26 @@ def tx_truncate_log(table: str) -> list[str]:
     return sorted(removed)
 
 
+def tx_expire_checkpoints(table: str, keep: int = 1) -> list[str]:
+    """Delete all but the newest ``keep`` checkpoints — the final step
+    of a maintenance cycle (compact → checkpoint → truncate log →
+    expire old checkpoints → vacuum). Time travel to snapshots only
+    reachable through an expired checkpoint stops working (``tx_read``
+    raises on the gap, never silently degrades), and the data dirs
+    those checkpoints referenced become vacuum-eligible — this is the
+    step that actually BOUNDS DISK after compaction rewrites a table,
+    mirroring Delta's checkpoint retention. Returns removed files."""
+    d = _cp_dir(table)
+    if not d.is_dir():
+        return []
+    files = sorted(d.glob("*.json"), key=lambda f: int(f.stem))
+    removed = []
+    for f in files[:-keep] if keep > 0 else files:
+        f.unlink()
+        removed.append(f.name)
+    return sorted(removed)
+
+
 def tx_exists(table: str) -> bool:
     """True if the table has at least one committed entry (or a
     checkpoint covering truncated ones) — the restart predicate for
