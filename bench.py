@@ -37,6 +37,10 @@ def main() -> None:
     # the cross-round comparable).
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
     t_begin = time.perf_counter()
+    try:  # load BEFORE our own JVM spins up = the external contention
+        load1_start = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        load1_start = None
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -67,9 +71,12 @@ def main() -> None:
     # the queries whose r5 triples actually showed spread — pinning
     # the whole stable pair family tripled ~50s of work and pushed
     # the library section past the wall-clock budget on a slow host.
+    # Round-7 additions (VERDICT r6 item 5): the iterative-convergence
+    # family (dedup_clusters swung 7.9s committed vs 22.4s in the
+    # judge's re-run) and its pair-generation sibling.
     PIN_MEDIAN = {
         "embedding_near_dups", "embedding_near_dups_strict",
-        "dedup_incremental",
+        "dedup_incremental", "dedup_clusters", "dedup_kept_corpus",
     }
 
     timings: dict[str, float] = {}
@@ -224,8 +231,21 @@ def main() -> None:
     except Exception as exc:  # pragma: no cover - defensive
         errors["pipeline_section"] = str(exc)[:200]
 
-    # Breadth tail: everything not already timed, single-run,
-    # budget-gated per query (skips are recorded, never silent).
+    # Breadth tail: everything not already timed. Warm first-touch
+    # with one limit(1) pass (VERDICT r6 item 5: single-run tail
+    # numbers carried first-touch JIT/footer noise across rounds),
+    # then time single-run, budget-gated per query (skips are
+    # recorded, never silent).
+    for spec in specs:
+        if spec.bench or spec.name in PIN_MEDIAN:
+            continue  # pinned queries warm themselves (3 timed runs)
+        if time.perf_counter() - t_begin > budget * 0.95:
+            break
+        try:
+            spec.fn(spark, sf_dir).limit(1).collect()
+        except Exception:
+            errors.setdefault(spec.name,
+                              traceback.format_exc(limit=2)[-400:])
     for spec in specs:
         if spec.bench:
             continue
@@ -233,6 +253,18 @@ def main() -> None:
             skipped.append(spec.name)
             continue
         time_spec(spec)
+
+    # Host stamp (VERDICT r6 item 8): round-6's committed numbers were
+    # contention artifacts of a busy driver host; recording load lets
+    # the next reader tell host noise from a real regression without
+    # re-running.
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover - non-POSIX
+        load1 = None
+    host = {"cpus": os.cpu_count(), "load1_at_start": load1_start,
+            "load1_at_exit": load1,
+            "wall_sec": round(time.perf_counter() - t_begin, 1)}
 
     all_timings = {**timings, **extra}
     full = {
@@ -246,6 +278,7 @@ def main() -> None:
         "n_queries": len(timings),
         "skipped": skipped,
         "errors": errors,
+        "host": host,
         "sf": float(sf),
     }
     try:
@@ -267,6 +300,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_skipped": len(skipped),
         "n_errors": len(errors),
+        "host": host,
         "sf": float(sf),
     }), flush=True)
 
