@@ -19,79 +19,68 @@ from . import library_gate  # noqa: E402,F401
 # families have several other oracle-green rows go last, so a
 # truncation only drops redundant signal. The union of green rows per
 # query across rounds is tracked in COVERAGE.md.
-# Round-6 rotation (the documented reservoir plan, executed): the 28
-# queries whose freshest green row is r04 — last round's tail — move
-# back INTO the 50-row window together with this round's new
-# registrations; everything that went green in r5 AND is multiply
-# green overall rotates OUT. Invariant the rotation keeps: after r6,
+# Round-7 rotation (the documented reservoir plan, continued): the 40
+# queries whose freshest green row is r5 — round 6's tail — move back
+# INTO the 50-row window, together with (a) this round's new
+# registration (merge_parts_orders), (b) the three queries whose
+# PLANS changed this round and therefore need fresh green rows under
+# the new shapes (doc_token_familiarity / boilerplate_line_scrub:
+# broadcast hints removed; temperature_mixture_sample: two-phase
+# cumsum), (c) the two whose underlying operators were edited
+# (merge_upsert insert semantics; dedup_new_batch candidate path),
+# and (d) two single-green r6 rows to fill the window. Everything
+# else went green in r6 and rotates to the tail. Invariant: after r7,
 # no registry query's freshest green row is older than two rounds.
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
-          "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
-          "media_video_stats",
-          # freshest green row is r4 (the full r5 tail, rotated in):
-          "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
-          "market_share", "rollup_year_quarter", "top_orders_global",
-          "customers_without_orders", "region_status_universe",
-          "date_spine_daily_orders", "order_price_bands",
-          "param_filter_orders", "string_function_surface",
-          "surrogate_keys_customers", "cosine_topk",
-          "doc_fingerprint_dedup", "doc_token_stats",
-          "lang_id_confusion", "events_tumbling_hourly",
-          "events_session_windows", "nation_set_ops",
-          "events_json_extract", "dedup_exact", "text_quality_scores",
-          "ngram_jaccard_dups", "embedding_near_dups",
-          "top_customers_per_nation", "doc_bpe_token_counts",
-          "orders_scalar_subquery",
-          # single green row so far (first gated r5):
-          "lsh_ann_topk_forced", "doc_repetition_scores",
-          "benchmark_contamination", "events_json_props",
-          "stratified_doc_sample", "doc_chunk_packing",
-          "quality_topn_per_source",
-          "pii_scrub_stats",
-          # never gated (registered mid-round-6):
-          "boilerplate_line_scrub", "matryoshka_topk",
-          "temperature_mixture_sample", "lqy_query2_suppliers",
-          "scd2_dimbook_apply", "merge_upsert_orders",
-          "borrowing_not_exists_append", "doc_token_familiarity"]
-_LATE = [  # all green r5 and 2-5× green overall; families covered by
-         # in-window mates.
-         "orders_data_profile",   # r4+r5 green; yielded its window slot
-                                  # to the never-gated boilerplate scrub
-         "events_funnel",         # r4+r5 green; yielded its slot to the
-                                  # never-gated matryoshka_topk
-         "dedup_kept_corpus",     # r4+r5 green; yielded its slot to the
-                                  # never-gated temperature mix sample
-         "fact_surrogate_keys_audit",  # r4+r5 green; yielded its slot to
-                                       # the never-gated lqy_query2_suppliers
-         "media_audio_stats",     # r5 green; media family keeps 3 other
-                                  # in-window rows — yielded its slot to
-                                  # the never-gated scd2_dimbook_apply
-         "lqy_query1",            # r5 green; its parameter twin
-                                  # lqy_query1_f (same plan, gender branch
-                                  # active) is in-window — yielded its
-                                  # slot to merge_upsert_orders
-         "lqy_query3",            # r5 green; its states twin is in-window
-                                  # — yielded its slot to the NOT-EXISTS
-                                  # append gate
-         "lqy_query2",            # r5 green; its suppliers twin is
-                                  # in-window — yielded its slot to the
-                                  # never-gated token-familiarity query
-         "cube_order_stats", "grouping_sets_orders",
-         "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
-         "order_size_distribution", "suppliers_of_large_shipments",
-         "nation_customer_counts", "events_sliding_1h30m",
-         "regexp_function_surface", "date_function_surface",
-         "order_quantity_arrays", "daily_order_window_frames",
-         "order_price_percentiles", "math_function_surface",
-         "nation_list_per_region", "events_sessionize",
-         "customer_spend_scd2_versions", "salted_event_type_counts",
-         "approx_distinct_check", "approx_quantile_check",
-         "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
-         "ivf_ann_topk", "embedding_near_dups_strict",
-         "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
-         "source_token_budget", "events_interval_join",
-         "events_asof_purchase_view"]
+          "merge_parts_orders",
+          # plans changed this round — must re-gate under the new shape:
+          "doc_token_familiarity", "temperature_mixture_sample",
+          "boilerplate_line_scrub",
+          # operator code touched this round:
+          "merge_upsert_orders", "dedup_incremental",
+          # freshest green row is r5 (the full r6 tail, rotated in):
+          "orders_data_profile", "events_funnel", "dedup_kept_corpus",
+          "fact_surrogate_keys_audit", "media_audio_stats",
+          "lqy_query1", "lqy_query2", "lqy_query3",
+          "cube_order_stats", "grouping_sets_orders",
+          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
+          "order_size_distribution", "suppliers_of_large_shipments",
+          "nation_customer_counts", "events_sliding_1h30m",
+          "regexp_function_surface", "date_function_surface",
+          "order_quantity_arrays", "daily_order_window_frames",
+          "order_price_percentiles", "math_function_surface",
+          "nation_list_per_region", "events_sessionize",
+          "customer_spend_scd2_versions", "salted_event_type_counts",
+          "approx_distinct_check", "approx_quantile_check",
+          "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
+          "ivf_ann_topk", "embedding_near_dups_strict",
+          "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
+          "source_token_budget", "events_interval_join",
+          "events_asof_purchase_view",
+          # single green row overall (first gated r6) — fill to 50:
+          "scd2_dimbook_apply", "matryoshka_topk"]
+_LATE = [  # all green r6 (most multiply green overall); families
+         # covered by in-window mates. They rotate back in r8.
+         "lqy_query1_f", "lqy_query3_states", "lqy_query2_suppliers",
+         "media_video_stats", "borrowing_not_exists_append",
+         "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
+         "market_share", "rollup_year_quarter", "top_orders_global",
+         "customers_without_orders", "region_status_universe",
+         "date_spine_daily_orders", "order_price_bands",
+         "param_filter_orders", "string_function_surface",
+         "surrogate_keys_customers", "cosine_topk",
+         "doc_fingerprint_dedup", "doc_token_stats",
+         "lang_id_confusion", "events_tumbling_hourly",
+         "events_session_windows", "nation_set_ops",
+         "events_json_extract", "dedup_exact", "text_quality_scores",
+         "ngram_jaccard_dups", "embedding_near_dups",
+         "top_customers_per_nation", "doc_bpe_token_counts",
+         "orders_scalar_subquery",
+         "lsh_ann_topk_forced", "doc_repetition_scores",
+         "benchmark_contamination", "events_json_props",
+         "stratified_doc_sample", "doc_chunk_packing",
+         "quality_topn_per_source", "pii_scrub_stats"]
 
 
 def _reorder() -> None:

@@ -114,50 +114,47 @@ def test_registry_gate_ordering():
     names = list(QUERIES)
     assert names.index("media_decode_stats") <= 2
     assert names.index("media_frame_counts") <= 2
-    # Round-6 window: the entire r5 tail (freshest green row = r4)
-    # rotates back in, plus this round's new registrations, plus every
-    # query whose only green row is r5 — so after r6 no query's
+    # Round-7 window: the entire r6 tail (freshest green row = r5)
+    # rotates back in, plus the new merge_parts_orders, plus the three
+    # changed-plan queries and two touched-operator queries that need
+    # fresh green rows under their new shapes — so after r7 no query's
     # freshest green row is older than two rounds.
     for must_gate in (
-            # new this round:
-            "dedup_incremental", "lqy_query1_f", "lqy_query3_states",
-            "boilerplate_line_scrub", "matryoshka_topk",
-            "temperature_mixture_sample", "lqy_query2_suppliers",
-            "scd2_dimbook_apply", "merge_upsert_orders",
-            "borrowing_not_exists_append", "doc_token_familiarity",
-            # freshest green = r4 (the full r5 tail):
-            "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
-            "market_share", "rollup_year_quarter", "top_orders_global",
-            "customers_without_orders", "region_status_universe",
-            "date_spine_daily_orders", "order_price_bands",
-            "param_filter_orders", "string_function_surface",
-            "surrogate_keys_customers", "cosine_topk",
-            "doc_fingerprint_dedup", "doc_token_stats",
-            "lang_id_confusion", "events_tumbling_hourly",
-            "events_session_windows", "nation_set_ops",
-            "events_json_extract", "dedup_exact", "text_quality_scores",
-            "ngram_jaccard_dups", "embedding_near_dups",
-            "top_customers_per_nation", "doc_bpe_token_counts",
-            "orders_scalar_subquery",
-            # single green row (first gated r5); lqy_query1/2/3 rotated
-            # out (their parameter twins are in-window)
-            "lsh_ann_topk_forced", "doc_repetition_scores",
-            "benchmark_contamination", "events_json_props",
-            "stratified_doc_sample", "doc_chunk_packing",
-            "quality_topn_per_source",
-            # media_audio_stats (r5 green) rotated out — the media
-            # family keeps three other in-window rows
-            "pii_scrub_stats"):
+            # new / plan-changed / operator-touched this round:
+            "merge_parts_orders", "doc_token_familiarity",
+            "temperature_mixture_sample", "boilerplate_line_scrub",
+            "merge_upsert_orders", "dedup_incremental",
+            # freshest green = r5 (the full r6 tail):
+            "orders_data_profile", "events_funnel", "dedup_kept_corpus",
+            "fact_surrogate_keys_audit", "media_audio_stats",
+            "lqy_query1", "lqy_query2", "lqy_query3",
+            "cube_order_stats", "grouping_sets_orders",
+            "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
+            "order_size_distribution", "suppliers_of_large_shipments",
+            "nation_customer_counts", "events_sliding_1h30m",
+            "regexp_function_surface", "date_function_surface",
+            "order_quantity_arrays", "daily_order_window_frames",
+            "order_price_percentiles", "math_function_surface",
+            "nation_list_per_region", "events_sessionize",
+            "customer_spend_scd2_versions", "salted_event_type_counts",
+            "approx_distinct_check", "approx_quantile_check",
+            "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
+            "ivf_ann_topk", "embedding_near_dups_strict",
+            "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
+            "source_token_budget", "events_interval_join",
+            "events_asof_purchase_view",
+            # single-green r6 fillers:
+            "scd2_dimbook_apply", "matryoshka_topk"):
         assert names.index(must_gate) < 50, must_gate
-    # multiply-green r5 queries rotate to the tail
-    redundant_tail = {"cube_order_stats", "grouping_sets_orders",
-                      "brand_revenue_share", "quarterly_pivot",
-                      "events_sessionize", "customer_spend_scd2_versions",
-                      "minhash_lsh_pairs", "simhash_pairs",
-                      "lsh_ann_topk", "ivf_ann_topk", "dedup_clusters",
-                      "doc_hash_split", "events_interval_join",
-                      "events_asof_purchase_view"}
-    assert redundant_tail <= set(names[-32:])
+    # r6-green queries rotate to the tail (back in for r8)
+    redundant_tail = {"pricing_summary", "revenue_by_nation",
+                      "yoy_nation_revenue", "market_share",
+                      "lqy_query1_f", "lqy_query3_states",
+                      "lqy_query2_suppliers", "media_video_stats",
+                      "borrowing_not_exists_append", "dedup_exact",
+                      "ngram_jaccard_dups", "embedding_near_dups",
+                      "lsh_ann_topk_forced", "pii_scrub_stats"}
+    assert redundant_tail <= set(names[-41:])
 
 
 def test_broadcast_joins_for_dimensions(plans):
