@@ -323,3 +323,46 @@ def matryoshka_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
                                                "neighbor_id")
     return (rescored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+def srp_diverse_sample(corpus: DataFrame, vec_col: str, id_col: str,
+                       n_bits: int = 8, per_bucket: int = 5,
+                       salt: str = "div:") -> DataFrame:
+    """Diversity sampling over embedding space: bucket every vector by
+    the SIGN PATTERN of its first ``n_bits`` components (axis-aligned
+    sign-random-projection — the SRP-LSH cell, deterministic so the
+    DuckDB oracle reproduces it), then keep ``per_bucket`` documents
+    per cell in salted-hash order. Sampling uniformly across SRP cells
+    instead of uniformly across rows counters mode collapse in
+    training mixes: dense regions (near-duplicate semantics) stop
+    dominating the sample, sparse regions keep representation — the
+    embedding-space analogue of per-source temperature mixing.
+
+    Returns ``(bucket, id_col, rank)`` for the kept rows.
+
+    Scale shape: the bucket is a map-side expression; the per-cell
+    top-N is TWO-PHASE — each input partition emits its own top
+    ``per_bucket`` per cell first (a per-(partition, cell) window),
+    and only that bounded candidate set (≤ partitions × cells × N
+    rows) enters the global per-cell window. Any row in the global
+    top-N of its cell is necessarily in its partition's top-N, so the
+    refinement is lossless and the output is partitioning-independent
+    — no cell's full membership is ever sorted on one reducer (the
+    same shape as lsh_topk's candidate bound; a plain
+    Window.partitionBy(bucket) would serialize the densest cell)."""
+    bucket = None
+    for i in range(n_bits):
+        bit = F.when(F.element_at(F.col(vec_col), i + 1) >= 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    order_key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    scored = corpus.select(
+        F.col(id_col), bucket.alias("bucket"), order_key.alias("_ok"),
+        F.spark_partition_id().alias("_pid"))
+    wp = Window.partitionBy("_pid", "bucket").orderBy("_ok", id_col)
+    cand = (scored.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= per_bucket))
+    wg = Window.partitionBy("bucket").orderBy("_ok", id_col)
+    return (cand.withColumn("rank", F.row_number().over(wg))
+            .filter(F.col("rank") <= per_bucket)
+            .select("bucket", id_col, F.col("rank").cast("int").alias("rank")))

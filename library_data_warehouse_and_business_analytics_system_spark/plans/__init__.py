@@ -33,7 +33,8 @@ from . import library_gate  # noqa: E402,F401
 # no registry query's freshest green row is older than two rounds.
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
-          "merge_parts_orders",
+          "merge_parts_orders", "doc_ngram_novelty",
+          "srp_diverse_sample",
           # plans changed this round — must re-gate under the new shape:
           "doc_token_familiarity", "temperature_mixture_sample",
           "boilerplate_line_scrub",
@@ -57,11 +58,11 @@ _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           "ivf_ann_topk", "embedding_near_dups_strict",
           "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
           "source_token_budget", "events_interval_join",
-          "events_asof_purchase_view",
-          # single green row overall (first gated r6) — fill to 50:
-          "scd2_dimbook_apply", "matryoshka_topk"]
+          "events_asof_purchase_view"]
 _LATE = [  # all green r6 (most multiply green overall); families
          # covered by in-window mates. They rotate back in r8.
+         "scd2_dimbook_apply", "matryoshka_topk",  # single-green r6 —
+         # yielded their filler slots to the two NEW registrations
          "lqy_query1_f", "lqy_query3_states", "lqy_query2_suppliers",
          "media_video_stats", "borrowing_not_exists_append",
          "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",

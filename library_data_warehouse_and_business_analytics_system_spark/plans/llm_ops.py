@@ -1465,3 +1465,103 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_pii_hits"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    r"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(lower(trim(text)), '\s+') AS ts
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             md5(ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS g
+      FROM tok, UNNEST(range(1, len(ts) - 1)) AS t(i)
+    ), df AS (
+      SELECT g, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY g
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN nd = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novel_frac
+    FROM grams JOIN df USING (g)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    operators=("TEXT-NOVELTY", "A1", "A3", "J1"),
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram novelty: per document, how many distinct
+    token 3-grams it contains and what fraction of them appear in NO
+    other document — the self-BLEU-style redundancy signal (low
+    novelty = templated/boilerplate text worth downweighting; the
+    n-gram sibling of doc_token_familiarity's unigram view). Docs with
+    fewer than 3 tokens have no grams and are excluded (both engines).
+
+    Scale shape: grams travel as 16-byte md5 hashes from the map side
+    on; the document-frequency table is a two-phase count on the gram
+    hash, and — like the familiarity query after VERDICT r6 — the
+    gram⋈frequency join is SHUFFLED on the hash key, never a forced
+    broadcast (the distinct-gram universe grows with the corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ts = TX.tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", ts.alias("ts"))
+    n = F.size("ts")
+    idx = F.when(n >= 3, F.sequence(F.lit(1), n - 2)) \
+        .otherwise(F.array().cast("array<int>"))
+    gram = F.md5(F.concat_ws(
+        " ", F.element_at("ts", F.col("i")),
+        F.element_at("ts", F.col("i") + 1),
+        F.element_at("ts", F.col("i") + 2)))
+    grams = (base.select("doc_id", F.explode(idx).alias("i"), "ts")
+             .select("doc_id", gram.alias("g"))
+             .dropDuplicates(["doc_id", "g"]))
+    df_tab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        grams.join(df_tab, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+             (F.sum((F.col("nd") == 1).cast("int")).cast("double")
+              / F.count(F.lit(1))).alias("novel_frac"))
+        .orderBy("doc_id")
+    )
+
+
+_SRP_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(8))
+
+
+@register(
+    "srp_diverse_sample",
+    rf"""
+    WITH b AS (
+      SELECT vec_id, CAST({_SRP_BUCKET} AS INTEGER) AS bucket,
+             md5('div:' || CAST(vec_id AS VARCHAR)) AS ok
+      FROM embeddings
+    ), r AS (
+      SELECT bucket, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY bucket
+                                ORDER BY ok, vec_id) AS rank
+      FROM b
+    )
+    SELECT bucket, vec_id, CAST(rank AS INTEGER) AS rank
+    FROM r WHERE rank <= 5
+    ORDER BY bucket, rank
+    """,
+    operators=("SAMPLE-DIVERSITY", "W2", "O3"),
+)
+def srp_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space diversity sample: bucket by the sign pattern of
+    the first 8 components (a deterministic SRP-LSH cell both engines
+    reproduce bit-for-bit) and keep 5 docs per cell in salted-hash
+    order — uniform-over-cells instead of uniform-over-rows, so dense
+    semantic regions stop dominating the mix. The oracle brute-forces
+    the per-cell ranking with one global window; the Spark plan is the
+    TWO-PHASE top-N (per-partition prefilter, then a window over the
+    bounded candidate set — operators/similarity.srp_diverse_sample),
+    and a green row proves the refinement is lossless."""
+    from ..operators.similarity import srp_diverse_sample as srp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (srp(emb, "embedding", "vec_id", n_bits=8, per_bucket=5)
+            .orderBy("bucket", "rank"))

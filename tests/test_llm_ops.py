@@ -867,3 +867,78 @@ def test_temperature_mixture_two_phase_cumsum_matches_single_window(spark):
             ._jdf.queryExecution().executedPlan().toString())
     windows = [ln for ln in plan.splitlines() if "Window " in ln]
     assert windows and all("_pid" in ln for ln in windows), windows
+
+
+def test_srp_diverse_sample_partitioning_independent(spark):
+    """The two-phase per-cell top-N must equal the single-window
+    ranking regardless of input partitioning, including when one cell
+    dominates (the case the two-phase shape exists for)."""
+    import hashlib
+    import random
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.similarity import (
+        srp_diverse_sample,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(400):
+        # 300 vectors in one sign-cell (all-positive prefix), 100 spread
+        if i < 300:
+            v = [rng.uniform(0.1, 1.0) for _ in range(8)]
+        else:
+            v = [rng.uniform(-1.0, 1.0) for _ in range(8)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run(df):
+        return {(r.bucket, r.vec_id, r.rank)
+                for r in srp_diverse_sample(df, "embedding", "vec_id",
+                                            n_bits=8, per_bucket=3)
+                .collect()}
+
+    got = run(emb)
+    assert got == run(emb.repartition(13)) == run(emb.coalesce(1))
+    # ground truth: per-bucket rank over the salted md5 order
+    import pandas as pd
+    pdf = emb.toPandas()
+    pdf["bucket"] = pdf.embedding.map(
+        lambda v: sum((1 << i) for i in range(8) if v[i] >= 0))
+    pdf["ok"] = pdf.vec_id.map(
+        lambda i: hashlib.md5(f"div:{i}".encode()).hexdigest())
+    want = set()
+    for b, grp in pdf.groupby("bucket"):
+        for rk, r in enumerate(
+                grp.sort_values(["ok", "vec_id"]).itertuples(), start=1):
+            if rk <= 3:
+                want.add((b, r.vec_id, rk))
+    assert got == want
+    # dominant cell contributes exactly per_bucket rows
+    assert sum(1 for b, _, _ in got if b == 255) == 3
+
+
+def test_doc_ngram_novelty_edges(spark):
+    """Docs under 3 tokens produce no grams (excluded); duplicate
+    grams within one doc count once; a gram shared across docs is
+    non-novel for both."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.llm_ops import (
+        doc_ngram_novelty,
+    )
+    import os
+    import tempfile
+
+    rows = [(1, "a b c d"),          # grams: abc, bcd (both unique)
+            (2, "a b c x a b c x a b c"),  # 'a b c' repeats -> once
+            (3, "too short"),        # no grams
+            (4, "")]                 # no grams
+    d = tempfile.mkdtemp(prefix="novelty_")
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: (r.n_grams, round(r.novel_frac, 6))
+           for r in doc_ngram_novelty(spark, d).collect()}
+    assert set(out) == {1, 2}
+    # doc1: grams {abc, bcd}; 'a b c' also in doc2 -> novel only bcd
+    assert out[1] == (2, 0.5)
+    # doc2 distinct grams: abc, bcx, cxa, xab (abc appears 3x -> once);
+    # abc shared with doc1 -> 3/4 novel
+    assert out[2] == (4, 0.75)

@@ -121,7 +121,8 @@ def test_registry_gate_ordering():
     # freshest green row is older than two rounds.
     for must_gate in (
             # new / plan-changed / operator-touched this round:
-            "merge_parts_orders", "doc_token_familiarity",
+            "merge_parts_orders", "doc_ngram_novelty",
+            "srp_diverse_sample", "doc_token_familiarity",
             "temperature_mixture_sample", "boilerplate_line_scrub",
             "merge_upsert_orders", "dedup_incremental",
             # freshest green = r5 (the full r6 tail):
@@ -142,9 +143,7 @@ def test_registry_gate_ordering():
             "ivf_ann_topk", "embedding_near_dups_strict",
             "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
             "source_token_budget", "events_interval_join",
-            "events_asof_purchase_view",
-            # single-green r6 fillers:
-            "scd2_dimbook_apply", "matryoshka_topk"):
+            "events_asof_purchase_view"):
         assert names.index(must_gate) < 50, must_gate
     # r6-green queries rotate to the tail (back in for r8)
     redundant_tail = {"pricing_summary", "revenue_by_nation",
