@@ -592,7 +592,8 @@ def tx_read_parts(spark: SparkSession, table: str,
 def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
                    keys: list[str], part_col: str,
                    update_cols: list[str] | None = None,
-                   condition: Column | None = None) -> int:
+                   condition: Column | None = None,
+                   merge_fn=None) -> int:
     """Partition-scoped MERGE: read ONLY the partitions containing
     the source's partition values, merge, and publish the result as
     ONE atomic ``replace_parts`` commit — untouched partitions'
@@ -608,10 +609,24 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
     partition); explicitly listing it in ``update_cols`` raises unless
     it is also a merge key. Source rows are assumed to carry their
     target row's CURRENT partition value — the same contract Delta's
-    partition-pruned MERGE puts on its source."""
+    partition-pruned MERGE puts on its source.
+
+    ``merge_fn(current, source) -> DataFrame`` swaps the combine step
+    while keeping the partition-scoped staging/publish machinery —
+    e.g. a NOT-EXISTS append with a retro-correction
+    (``lambda cur, src: cap(insert_not_exists(cur, src, keys))``).
+    It runs over the TOUCHED partitions' rows only and must keep every
+    row's ``part_col`` unchanged; with ``merge_fn`` set, ``update_cols``
+    and ``condition`` must be None. On a first merge into an empty
+    table it receives ``source.limit(0)`` as ``current``."""
     from ..operators.merge import merge_upsert
 
-    if update_cols is None:
+    if merge_fn is not None:
+        if update_cols is not None or condition is not None:
+            raise ValueError(
+                "tx_merge_parts: merge_fn replaces the combine step — "
+                "update_cols/condition must be None alongside it")
+    elif update_cols is None:
         update_cols = [c for c in source.columns
                        if c not in keys and c != part_col]
     elif part_col in update_cols and part_col not in keys:
@@ -619,8 +634,16 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
             f"tx_merge_parts: partition column {part_col!r} must not "
             "be in update_cols — a merge that changes a row's "
             "partition would corrupt the table")
+
+    def combine(current: DataFrame) -> DataFrame:
+        if merge_fn is not None:
+            return merge_fn(current, source)
+        return merge_upsert(current, source, keys,
+                            update_cols=update_cols, condition=condition)
+
     if not tx_exists(table):
-        return tx_write_parts(source, table, part_col, mode="overwrite",
+        merged = combine(source.limit(0)) if merge_fn is not None else source
+        return tx_write_parts(merged, table, part_col, mode="overwrite",
                               expect_latest=0)
     base = tx_latest_id(table)
     state = _visible_parts(table, as_of=base)
@@ -629,10 +652,10 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
         source.select(source[part_col].cast("string")).distinct().collect()})
     existing_dirs = [d for v in touched for d in state.get(v, [])]
     if existing_dirs:
-        current = spark.read.parquet(
-            *[str(Path(table) / d) for d in existing_dirs])
-        merged = merge_upsert(current, source, keys,
-                              update_cols=update_cols, condition=condition)
+        merged = combine(spark.read.parquet(
+            *[str(Path(table) / d) for d in existing_dirs]))
+    elif merge_fn is not None:
+        merged = combine(source.limit(0))
     else:
         merged = source          # all-new partitions: pure insert
     parts = _stage_parts(merged, table, part_col)

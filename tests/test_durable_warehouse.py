@@ -1,0 +1,145 @@
+"""Durable warehouse twin (EP2/EP3 over partitioned txlog tables):
+the persisted pipeline must produce the exact same warehouse as the
+in-memory subsequent_load, while rewriting ONLY the fact partitions
+the delta's years touch."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark import schema as S
+from library_data_warehouse_and_business_analytics_system_spark.generators.library_data import (
+    AS_OF, generate,
+)
+from library_data_warehouse_and_business_analytics_system_spark.plans.library import (
+    incremental as INC, initial_load,
+)
+from library_data_warehouse_and_business_analytics_system_spark.plans.library.durable import (
+    publish_warehouse, read_warehouse, subsequent_load_durable,
+)
+
+
+@pytest.fixture(scope="module")
+def oltp(spark):
+    return {k: v.cache()
+            for k, v in generate(seed=42, scale=0.02).to_spark(spark).items()}
+
+
+@pytest.fixture(scope="module")
+def dw(spark, oltp):
+    return {k: v.cache() for k, v in initial_load(spark, oltp, AS_OF).items()}
+
+
+def _same(a, b):
+    assert a.count() == b.count()
+    assert a.select(sorted(a.columns)) \
+        .exceptAll(b.select(sorted(a.columns))).count() == 0
+    assert b.select(sorted(a.columns)) \
+        .exceptAll(a.select(sorted(a.columns))).count() == 0
+
+
+def _fact_digests(root, name):
+    base = Path(root) / name
+    return {str(f.relative_to(base)): hashlib.md5(f.read_bytes()).hexdigest()
+            for f in base.rglob("*.parquet")}
+
+
+def _delta(spark, oltp):
+    an_order = oltp["book_orders"].limit(1).collect()[0]
+    a_book = oltp["book_titles"].limit(1).collect()[0]
+    sales = spark.createDataFrame(
+        [("SD99991", an_order["orderId"], a_book["bookId"], 2, 0.0, 50.0)],
+        S.OLTP_SCHEMAS["sales_details"])
+    member = spark.createDataFrame(
+        [("M9002", "ANOTHER NEW", "011-2", "a@b.c", "male", 40,
+          "2 Road, Beta Town, Perak, Malaysia", "active",
+          dt.date(2024, 6, 1), dt.date(2025, 5, 31))],
+        S.OLTP_SCHEMAS["members"])
+    return {"sales_details": sales, "members": member}
+
+
+def test_durable_roundtrip_and_partition_scoped_load(spark, oltp, dw,
+                                                     tmp_path):
+    root = str(tmp_path / "wh")
+    publish_warehouse(spark, dw, root)
+
+    # round-trip: persisted snapshot == in-memory warehouse (borrowing
+    # is published capped — the invariant the partition-scoped
+    # NOT-EXISTS merge relies on)
+    back = read_warehouse(spark, root)
+    for name in ("dim_date", "dim_book", "dim_members", "dim_suppliers",
+                 "fact_sales", "fact_purchase"):
+        _same(back[name], dw[name])
+    _same(back["fact_borrowing"], INC.cap_overdue_days(dw["fact_borrowing"]))
+
+    delta = _delta(spark, oltp)
+    before = _fact_digests(root, "fact_sales")
+    before_borrow = _fact_digests(root, "fact_borrowing")
+
+    subsequent_load_durable(spark, root, oltp, delta, AS_OF)
+
+    # equivalence with the in-memory pipeline on the same inputs
+    want = INC.subsequent_load(spark, dw, oltp, delta, AS_OF)
+    got = read_warehouse(spark, root)
+    for name in ("dim_book", "dim_members", "dim_suppliers",
+                 "fact_sales", "fact_purchase", "fact_borrowing"):
+        _same(got[name], want[name])
+
+    # partition scope: the sales delta touches exactly one year — every
+    # pre-load fact_sales file survives byte-identical, and the new
+    # staged dir holds a single year partition
+    after = _fact_digests(root, "fact_sales")
+    for path, digest in before.items():
+        assert after.get(path) == digest, f"{path} was rewritten"
+    new_files = set(after) - set(before)
+    assert new_files
+    new_years = {p.split("/")[2] for p in new_files}  # data/<uuid>/_part=Y
+    assert len(new_years) == 1
+    # fact_borrowing had no delta: nothing about it changed at all
+    assert _fact_digests(root, "fact_borrowing") == before_borrow
+
+    # idempotence: replaying the same delta converges (same end state)
+    subsequent_load_durable(spark, root, oltp, delta, AS_OF)
+    again = read_warehouse(spark, root)
+    for name in ("fact_sales", "dim_members"):
+        _same(again[name], want[name])
+
+
+def test_durable_borrowing_merge_caps_touched_partitions(spark, oltp, dw,
+                                                         tmp_path):
+    """The borrowing fact's custom merge_fn (NOT-EXISTS append + cap)
+    runs partition-scoped: a borrowing delta appends exactly its new
+    keys, recoded by the overdue cap, without rewriting other years."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.library.etl import (
+        load_fact_borrowing,
+    )
+
+    root = str(tmp_path / "wh")
+    publish_warehouse(spark, dw, root)
+
+    bb = oltp["borrowed_books"].limit(1).collect()[0]
+    delta_bb = spark.createDataFrame(
+        [("BR99991", bb["memberId"], bb["copyId"], bb["borrowDate"],
+          bb["dueDate"], None, "borrowed", None)],
+        S.OLTP_SCHEMAS["borrowed_books"])
+    before = _fact_digests(root, "fact_borrowing")
+    n0 = read_warehouse(spark, root)["fact_borrowing"].count()
+
+    subsequent_load_durable(spark, root, oltp,
+                            {"borrowed_books": delta_bb}, AS_OF)
+    got = read_warehouse(spark, root)["fact_borrowing"]
+    assert got.count() >= n0                      # append-only
+    assert got.filter(F.col("overdueDays") > 15).count() == 0
+    after = _fact_digests(root, "fact_borrowing")
+    for path, digest in before.items():
+        assert after.get(path) == digest, f"{path} was rewritten"
+
+    # in-memory equivalence for the same borrowing delta
+    want = INC.subsequent_load(spark, dw, oltp,
+                               {"borrowed_books": delta_bb}, AS_OF)
+    _same(got, want["fact_borrowing"])
