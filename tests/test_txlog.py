@@ -401,3 +401,28 @@ def test_curation_stop_after_validated_before_any_stage(spark, tmp_path):
     with pytest.raises(ValueError, match="unknown stage"):
         curate_corpus_durable(spark, docs, root, stop_after="not_a_stage")
     assert not (Path(root) / "exact_kept").exists()
+
+
+def test_expire_checkpoints_bounds_history(spark, tmp_path):
+    """tx_expire_checkpoints keeps the newest checkpoint: current
+    reads keep working, time travel into history only reachable via
+    an expired checkpoint raises, and the expired generations' dirs
+    become vacuum-eligible."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_checkpoint, tx_expire_checkpoints, tx_truncate_log,
+    )
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t, mode="overwrite")   # 1
+    tx_checkpoint(t)
+    tx_write(_df(spark, [2]), t, mode="overwrite")   # 2
+    tx_checkpoint(t)
+    tx_truncate_log(t)
+    removed = tx_expire_checkpoints(t, keep=1)
+    assert removed == ["00000001.json"]
+    assert {r.id for r in tx_read(spark, t).collect()} == {2}
+    with pytest.raises(ValueError, match="truncated"):
+        tx_read(spark, t, as_of=1)
+    # commit-1's generation is now unreferenced -> reclaimable
+    assert len(tx_vacuum(t, retention_sec=0)) == 1
+    assert {r.id for r in tx_read(spark, t).collect()} == {2}
