@@ -244,15 +244,15 @@ def _publish(table: str, payload: dict, max_retries: int,
         if cp:
             existing.append(cp["id"])
         cid = (max(existing) + 1) if existing else 1
+        if txn_id is not None:  # before the conflict check: a racer
+            for e in _entries(table):  # publishing OUR txn is success,
+                if e.get("txn") == txn_id:  # not a conflict
+                    return e["id"]
         if expect_latest is not None and cid != expect_latest + 1:
             raise TxConflict(
                 f"tx_write: {table} advanced to commit {cid - 1} past "
                 f"the expected snapshot {expect_latest}; the pending "
                 "write was derived from a stale snapshot")
-        if txn_id is not None:
-            for e in _entries(table):
-                if e.get("txn") == txn_id:  # racer published our txn
-                    return e["id"]
         entry = {"id": cid, **payload}
         if txn_id is not None:
             entry["txn"] = txn_id
@@ -593,7 +593,7 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
                    keys: list[str], part_col: str,
                    update_cols: list[str] | None = None,
                    condition: Column | None = None,
-                   merge_fn=None) -> int:
+                   merge_fn=None, txn_id: str | None = None) -> int:
     """Partition-scoped MERGE: read ONLY the partitions containing
     the source's partition values, merge, and publish the result as
     ONE atomic ``replace_parts`` commit — untouched partitions'
@@ -618,9 +618,18 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
     It runs over the TOUCHED partitions' rows only and must keep every
     row's ``part_col`` unchanged; with ``merge_fn`` set, ``update_cols``
     and ``condition`` must be None. On a first merge into an empty
-    table it receives ``source.limit(0)`` as ``current``."""
+    table it receives ``source.limit(0)`` as ``current``.
+
+    ``txn_id`` makes the merge IDEMPOTENT under redelivery (the
+    ``tx_write`` txnAppId pattern): a micro-batch replayed after a
+    crash re-commits nothing — checked cheaply before the read-merge
+    work AND again inside the publish loop."""
     from ..operators.merge import merge_upsert
 
+    if txn_id is not None:
+        for e in _entries(table):
+            if e.get("txn") == txn_id:
+                return e["id"]
     if merge_fn is not None:
         if update_cols is not None or condition is not None:
             raise ValueError(
@@ -644,7 +653,7 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
     if not tx_exists(table):
         merged = combine(source.limit(0)) if merge_fn is not None else source
         return tx_write_parts(merged, table, part_col, mode="overwrite",
-                              expect_latest=0)
+                              expect_latest=0, txn_id=txn_id)
     base = tx_latest_id(table)
     state = _visible_parts(table, as_of=base)
     touched = sorted({
@@ -661,4 +670,4 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
     parts = _stage_parts(merged, table, part_col)
     return _publish(table, {"mode": "replace_parts", "pcol": part_col,
                             "parts": parts},
-                    max_retries=10, txn_id=None, expect_latest=base)
+                    max_retries=10, txn_id=txn_id, expect_latest=base)

@@ -143,3 +143,84 @@ def test_durable_borrowing_merge_caps_touched_partitions(spark, oltp, dw,
     want = INC.subsequent_load(spark, dw, oltp,
                                {"borrowed_books": delta_bb}, AS_OF)
     _same(got, want["fact_borrowing"])
+
+
+def _chunk_borrowing(oltp, n=3):
+    from library_data_warehouse_and_business_analytics_system_spark.functions import (
+        text as TX,
+    )
+    day = TX.md5_bucket(F.col("borrowId"), n, salt="wday:")
+    return [oltp["borrowed_books"].where(day == i) for i in range(n)]
+
+
+def test_streaming_borrowing_ingest_equals_batch(spark, oltp, dw,
+                                                 tmp_path):
+    """Streaming the borrowing feed through micro-batches ≡ the
+    partition-scoped batch merge over the same chunks ≡ the in-memory
+    subsequent_load on their union — and a redelivered batch_id
+    re-commits nothing."""
+    import os
+    import time as _t
+
+    from library_data_warehouse_and_business_analytics_system_spark.plans.library.durable import (
+        FACT_KEYS,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_latest_id,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.streaming.warehouse_ingest import (
+        ingest_borrowing_batch, start_borrowing_ingest,
+    )
+
+    # warehouse seeded WITHOUT borrowing history for 1/3 of rows: the
+    # held-out chunks arrive via the stream
+    chunks = _chunk_borrowing(oltp)
+    base_oltp = dict(oltp)
+    base_oltp["borrowed_books"] = chunks[0]
+    base_dw = initial_load(spark, base_oltp, AS_OF)
+
+    root_s = str(tmp_path / "wh_s")
+    publish_warehouse(spark, base_dw, root_s)
+
+    # stream chunks 1..2 as parquet day-files
+    src = str(tmp_path / "src")
+    base_t = _t.time()
+    seen = set()
+    for k, chunk in enumerate(chunks[1:], start=1):
+        chunk.coalesce(1).write.mode("append").parquet(src)
+        fresh = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(os.path.join(src, f),
+                     (base_t + k * 10, base_t + k * 10))
+    stream = (spark.readStream.schema(oltp["borrowed_books"].schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = start_borrowing_ingest(stream, root_s, oltp,
+                               str(tmp_path / "ck"), AS_OF)
+    q.awaitTermination()
+    got = read_warehouse(spark, root_s)["fact_borrowing"]
+
+    # batch reference: same chunks merged sequentially
+    root_b = str(tmp_path / "wh_b")
+    publish_warehouse(spark, base_dw, root_b)
+    for i, chunk in enumerate(chunks[1:]):
+        ingest_borrowing_batch(chunk, i, root_b, oltp, AS_OF)
+    _same(got, read_warehouse(spark, root_b)["fact_borrowing"])
+
+    # in-memory reference: subsequent_load applied chunk-by-chunk in
+    # arrival order (returnRate is a BATCH-RELATIVE measure — per-book
+    # totals over the arriving batch — so the reference must see the
+    # same batch boundaries the stream did; a union-load reference
+    # would aggregate across chunks and legitimately differ)
+    want = base_dw
+    for chunk in chunks[1:]:
+        want = INC.subsequent_load(spark, want, oltp,
+                                   {"borrowed_books": chunk}, AS_OF)
+    _same(got, want["fact_borrowing"])
+
+    # redelivery: replaying a committed batch_id is a no-op
+    n_commits = tx_latest_id(f"{root_b}/fact_borrowing")
+    n_rows = read_warehouse(spark, root_b)["fact_borrowing"].count()
+    ingest_borrowing_batch(chunks[1], 0, root_b, oltp, AS_OF)
+    assert tx_latest_id(f"{root_b}/fact_borrowing") == n_commits
+    assert read_warehouse(spark, root_b)["fact_borrowing"].count() == n_rows
