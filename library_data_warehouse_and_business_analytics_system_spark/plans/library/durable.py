@@ -148,3 +148,33 @@ def subsequent_load_durable(spark: SparkSession, root: str,
             dim_date, dims["dim_book"], dims["dim_suppliers"]), dim_date)
         tx_merge_parts(spark, f"{root}/fact_purchase", delta,
                        keys=FACT_KEYS["fact_purchase"], part_col=YEAR_KEY)
+
+
+def maintain_warehouse(spark: SparkSession, root: str, *,
+                       vacuum_retention_sec: float = 3600.0,
+                       keep_checkpoints: int = 1) -> dict:
+    """Metadata/disk maintenance after N daily loads (the warehouse
+    analogue of the dedup index's ``maintain_index``): per table,
+    checkpoint the current state, truncate the replayed log, expire
+    old checkpoints, and vacuum unreferenced generations — so a year
+    of daily loads leaves O(1) log files and only the LIVE partition
+    generations on disk, at the price of time travel into
+    pre-maintenance snapshots (which raises, never misreads).
+
+    Fact DATA is untouched: partition dirs referenced by the current
+    state survive vacuum byte-identical (a maintenance pass is a pure
+    metadata operation here because partition-scoped merges already
+    keep one live generation per touched partition). Returns
+    {table: reclaimed dir count}."""
+    from ...sources.txlog import (
+        tx_checkpoint, tx_expire_checkpoints, tx_truncate_log, tx_vacuum,
+    )
+
+    out: dict[str, int] = {}
+    for name in (*DIMS, *FACT_KEYS):
+        t = f"{root}/{name}"
+        tx_checkpoint(t)
+        tx_truncate_log(t)
+        tx_expire_checkpoints(t, keep=keep_checkpoints)
+        out[name] = len(tx_vacuum(t, retention_sec=vacuum_retention_sec))
+    return out

@@ -461,39 +461,63 @@ def tx_vacuum(table: str, retention_sec: float = 3600.0) -> list[str]:
     it would let that writer commit a log entry pointing at nothing
     (ADVICE r5). Pass ``retention_sec=0`` only when no writers are
     active (e.g. tests).
+
+    Partitioned tables vacuum at PARTITION-SUBDIR granularity: a
+    ``replace_parts`` merge leaves the replaced year's old subdir
+    dead inside a staged dir whose OTHER partitions are still live —
+    that subdir is reclaimed individually (once its referencing log
+    entries/checkpoints are gone), and the staged dir itself goes
+    when its last live partition is replaced. Without this, the
+    initial whole-table publish would pin every superseded partition
+    generation forever.
     """
     import time
 
-    def _tops(obj: dict):
-        # "data/<uuid>" (plain) or "data/<uuid>/_part=v" (partitioned)
-        # → the top-level staged dir name "<uuid>"
+    def _refs(obj: dict):
+        # yields references relative to data/: "uuid" (plain) or
+        # "uuid/_part=v" (partitioned)
         if "parts" in obj:
             for ds in obj["parts"].values():
                 for d in (ds if isinstance(ds, list) else [ds]):
-                    yield d.split("/")[1]
+                    yield d.split("/", 1)[1]
         elif "dirs" in obj:
             for d in obj["dirs"]:
-                yield d.split("/")[1]
+                yield d.split("/", 1)[1]
         elif "dir" in obj:
-            yield obj["dir"].split("/")[1]
+            yield obj["dir"].split("/", 1)[1]
 
-    referenced = set()
+    referenced: set[str] = set()
     for e in _entries(table):
-        referenced.update(_tops(e))
+        referenced.update(_refs(e))
     # checkpoints reference dirs whose log entries may be truncated
     cp_d = _cp_dir(table)
     if cp_d.is_dir():
         for f in cp_d.glob("*.json"):
-            referenced.update(_tops(json.loads(f.read_text())))
+            referenced.update(_refs(json.loads(f.read_text())))
+    referenced_tops = {r.split("/")[0] for r in referenced}
     now = time.time()
     removed = []
     data = Path(table) / _DATA
     if data.is_dir():
         for d in data.iterdir():
-            if (d.is_dir() and d.name not in referenced
-                    and now - d.stat().st_mtime >= retention_sec):
-                shutil.rmtree(d)
-                removed.append(d.name)
+            if not d.is_dir():
+                continue
+            aged = now - d.stat().st_mtime >= retention_sec
+            if d.name in referenced:
+                continue                 # plain dir, live
+            if d.name not in referenced_tops:
+                if aged:                 # orphan or fully-dead dir
+                    shutil.rmtree(d)
+                    removed.append(d.name)
+                continue
+            # partitioned staged dir with SOME live partitions: reap
+            # the individually-dead subdirs
+            for sub in d.iterdir():
+                if (sub.is_dir() and sub.name.startswith(f"{_PART}=")
+                        and f"{d.name}/{sub.name}" not in referenced
+                        and now - sub.stat().st_mtime >= retention_sec):
+                    shutil.rmtree(sub)
+                    removed.append(f"{d.name}/{sub.name}")
     return sorted(removed)
 
 

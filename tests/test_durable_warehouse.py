@@ -224,3 +224,45 @@ def test_streaming_borrowing_ingest_equals_batch(spark, oltp, dw,
     ingest_borrowing_batch(chunks[1], 0, root_b, oltp, AS_OF)
     assert tx_latest_id(f"{root_b}/fact_borrowing") == n_commits
     assert read_warehouse(spark, root_b)["fact_borrowing"].count() == n_rows
+
+
+def test_maintain_warehouse_bounds_metadata_keeps_data(spark, oltp, dw,
+                                                       tmp_path):
+    """After several loads, maintenance bounds the per-table log to
+    O(1) files and reclaims dead generations, while the current
+    snapshot stays bit-identical and live partition files survive
+    byte-for-byte."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.library.durable import (
+        maintain_warehouse,
+    )
+
+    root = str(tmp_path / "wh")
+    publish_warehouse(spark, dw, root)
+    subsequent_load_durable(spark, root, oltp, _delta(spark, oltp), AS_OF)
+
+    before = read_warehouse(spark, root)
+    snap = {n: before[n].count() for n in before}
+    live_sales = _fact_digests(root, "fact_sales")
+
+    reclaimed = maintain_warehouse(spark, root, vacuum_retention_sec=0)
+    # the merged fact's pre-merge generation for the touched year is
+    # the one reclaimable dir; dims were overwritten (old gens too)
+    assert reclaimed["fact_sales"] >= 1
+    assert reclaimed["dim_members"] >= 1
+
+    after = read_warehouse(spark, root)
+    for n in snap:
+        assert after[n].count() == snap[n], n
+    _same(after["fact_sales"], before["fact_sales"])
+    # live files byte-identical minus the reclaimed dead generation
+    live_after = _fact_digests(root, "fact_sales")
+    assert set(live_after) <= set(live_sales)
+    for p, d in live_after.items():
+        assert live_sales[p] == d
+    # log bounded: at most the checkpoint remains per table
+    assert len(list((Path(root) / "fact_sales" / "_txlog")
+                    .glob("*.json"))) == 0
+    # loads continue cleanly after maintenance
+    subsequent_load_durable(spark, root, oltp, _delta(spark, oltp), AS_OF)
+    _same(read_warehouse(spark, root)["fact_sales"],
+          before["fact_sales"])
