@@ -309,3 +309,69 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum("k").cast("double") / F.count("k")).alias("avg_k"))
     )
     return per_type.orderBy("event_type")
+
+
+@register(
+    "events_gapfill_interpolate",
+    r"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+               AS d
+      FROM bounds
+    ), fullsp AS (
+      SELECT s.user_id, s.d, dl.v
+      FROM spine s LEFT JOIN daily dl USING (user_id, d)
+    ), marked AS (
+      SELECT user_id, d, v,
+        LAST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+        FIRST_VALUE(v IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      FROM fullsp
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS d,
+      CAST(CASE WHEN v IS NOT NULL THEN v
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv)
+                     * (CAST(datediff('day', pd, d) AS DOUBLE)
+                        / CAST(datediff('day', pd, nd) AS DOUBLE))
+           END AS DOUBLE) AS v_filled,
+      (v IS NULL) AS was_gap
+    FROM marked ORDER BY user_id, d
+    """,
+    operators=("TS-GAPFILL", "W1", "J2", "S9"),
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Series regularization over the event log: per user, the dense
+    day spine from first to last activity with daily event counts,
+    holes filled by linear interpolation between the nearest observed
+    days (flat at the edges). The count series is integer-derived, so
+    interpolation is the only floating arithmetic and both engines
+    evaluate the IDENTICAL expression — bit-exact.
+    (operators/timeseries.gapfill_interpolate)"""
+    from pyspark.sql import functions as F
+
+    from ..operators.timeseries import gapfill_interpolate
+
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.groupBy("user_id", F.to_date("ts").alias("d"))
+             .agg(F.count(F.lit(1)).cast("double").alias("v")))
+    return (gapfill_interpolate(daily, "user_id", "d", "v")
+            .withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+            .orderBy("user_id", "d"))

@@ -152,3 +152,41 @@ def test_bucketed_windows_partition_by_bucket(spark):
     assert row_grain, "expected (key, bucket)-partitioned windows"
     # the only key-grain window is the bucket-spine carry pass
     assert len(spine_grain) <= 1, plan
+
+
+def test_gapfill_interpolate_known_values(spark):
+    """Known series: holes take the linear interpolation between the
+    nearest observations; edges extrapolate flat; dense rows pass
+    through; result is partitioning-independent."""
+    import datetime as dt
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (
+        gapfill_interpolate,
+    )
+
+    d = dt.date
+    rows = [
+        # user 1: 10 .. hole .. hole .. 40  -> 20, 30 interpolated
+        (1, d(2024, 1, 1), 10.0), (1, d(2024, 1, 4), 40.0),
+        # user 2: leading edge hole impossible (spine starts at first
+        # obs); single point -> single dense row
+        (2, d(2024, 2, 1), 5.0),
+        # user 3: uneven gap: 0 .. hole .. 3 -> 1.5 at the midpoint? no:
+        # 3-day span, hole at day 2 of [1..3]: 0 + 3 * (1/2) = 1.5
+        (3, d(2024, 3, 1), 0.0), (3, d(2024, 3, 3), 3.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, d date, v double")
+
+    def run(frame):
+        out = gapfill_interpolate(frame, "k", "d", "v").collect()
+        return {(r.k, str(r.d)): (r.v_filled, r.was_gap) for r in out}
+
+    got = run(df)
+    assert got[(1, "2024-01-01")] == (10.0, False)
+    assert got[(1, "2024-01-02")] == (20.0, True)
+    assert got[(1, "2024-01-03")] == (30.0, True)
+    assert got[(1, "2024-01-04")] == (40.0, False)
+    assert got[(2, "2024-02-01")] == (5.0, False)
+    assert got[(3, "2024-03-02")] == (1.5, True)
+    assert len(got) == 4 + 1 + 3
+    assert got == run(df.repartition(7))
