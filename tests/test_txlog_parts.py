@@ -240,3 +240,48 @@ def test_null_partition_value_rejected(spark, tmp_path):
         tx_write_parts(df, t, "o_year")
     # the staged dir is an invisible orphan — nothing committed
     assert not txlog.tx_exists(t)
+
+
+def test_diff_parts_change_feed_reads_only_changed_partitions(spark,
+                                                              tmp_path):
+    """tx_diff_parts derives the insert/delete feed between snapshots
+    from dir identity: an update = delete(old)+insert(new), a new
+    partition = inserts, and partitions untouched between the
+    snapshots are never read."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_diff_parts,
+    )
+
+    t = str(tmp_path / "orders")
+    v1 = tx_write_parts(
+        _orders(spark, [(1, 2019, 10.0), (2, 2020, 20.0),
+                        (3, 2021, 30.0)]), t, "o_year", mode="overwrite")
+    v2 = tx_merge_parts(spark, t,
+                        _orders(spark, [(2, 2020, 99.0), (9, 2022, 90.0)]),
+                        keys=["o_orderkey"], part_col="o_year")
+
+    seen = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        got = {(r.op, r.o_orderkey, r.o_year, r.o_total)
+               for r in tx_diff_parts(spark, t, v1, v2).collect()}
+    assert got == {("delete", 2, 2020, 20.0),
+                   ("insert", 2, 2020, 99.0),
+                   ("insert", 9, 2022, 90.0)}
+    # only the 2020/2022 partitions' dirs entered any read
+    data_reads = [p for p in seen if "/data/" in p]
+    assert data_reads and all(
+        "_part=2020" in p or "_part=2022" in p for p in data_reads)
+
+    # identical snapshots -> empty feed, no data read at all
+    seen.clear()
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        n = tx_diff_parts(spark, t, v2, v2).count()
+    assert n == 0
