@@ -658,3 +658,115 @@ def orders_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_distinct").cast("long"))
         .orderBy("col_name")
     )
+
+
+@register(
+    "user_retention_cohorts",
+    r"""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+               AS day_offset
+      FROM events e JOIN firsts f USING (user_id)
+    ), sizes AS (
+      SELECT cohort_day, COUNT(DISTINCT user_id) AS cohort_size
+      FROM firsts GROUP BY cohort_day
+    )
+    SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day_offset AS INTEGER) AS day_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size
+             AS retention
+    FROM activity a JOIN sizes s USING (cohort_day)
+    GROUP BY a.cohort_day, a.day_offset, s.cohort_size
+    ORDER BY cohort_day, day_offset
+    """,
+    operators=("COHORT-RETENTION", "A1", "A3", "W1", "J1"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention matrix (daily grain — the testdata's
+    events span one month): users grouped by first-activity day; for
+    each cohort and day offset, how many distinct users were active
+    and what fraction of the cohort that is. Scale shape: the cohort
+    assignment is one groupBy(user); the matrix is a two-phase
+    distinct-count on (cohort, offset) — no window, no per-user
+    state; retention = bigint/bigint division, IEEE-exact."""
+    events = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = (events.groupBy("user_id")
+              .agg(F.min(day).alias("cohort_day")))
+    activity = (events.join(firsts, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(day, "cohort_day")
+                        .cast("int").alias("day_offset"))
+                .distinct())
+    sizes = (firsts.groupBy("cohort_day")
+             .agg(F.countDistinct("user_id").alias("cohort_size")))
+    return (
+        activity.join(sizes, "cohort_day")
+        .groupBy("cohort_day", "day_offset", "cohort_size")
+        .agg(F.countDistinct("user_id").cast("bigint")
+             .alias("active_users"))
+        .select(F.date_format("cohort_day", "yyyy-MM-dd")
+                .alias("cohort_day"),
+                "day_offset", "active_users",
+                F.col("cohort_size").cast("bigint").alias("cohort_size"),
+                (F.col("active_users").cast("double")
+                 / F.col("cohort_size")).alias("retention"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+@register(
+    "parts_ordered_together",
+    r"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), counted AS (
+      SELECT part_a, part_b, COUNT(*) AS n_orders FROM pairs
+      GROUP BY part_a, part_b
+    ), ranked AS (
+      SELECT part_a, part_b, CAST(n_orders AS BIGINT) AS n_orders,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, part_a, part_b)
+               AS rk
+      FROM counted
+    )
+    SELECT part_a, part_b, n_orders, CAST(rk AS INTEGER) AS rk
+    FROM ranked WHERE rk <= 20 ORDER BY rk
+    """,
+    operators=("MARKET-BASKET", "J1", "A1", "O2"),
+)
+def parts_ordered_together(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the 20 part pairs appearing
+    together in the most orders (the library analogue: books borrowed
+    together — the recommendation-seed report). Scale shape: the pair
+    self-join is keyed on l_orderkey, so each order only pairs with
+    itself (basket-bounded fan-out, ~k² per order for k-item baskets,
+    never a global cross join); the count is a two-phase hash
+    aggregate on the fixed-width pair key, and only the global top-20
+    passes the final single-partition rank (WindowGroupLimit prunes
+    per partition first)."""
+    from pyspark.sql import Window
+
+    items = (load_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .select(F.col("a.l_partkey").alias("part_a"),
+                     F.col("b.l_partkey").alias("part_b")))
+    counted = (pairs.groupBy("part_a", "part_b")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    w = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (counted.withColumn("rk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rk") <= 20)
+            .orderBy("rk"))
