@@ -285,3 +285,63 @@ def test_diff_parts_change_feed_reads_only_changed_partitions(spark,
         mp.setattr(type(spark.read), "parquet", spy)
         n = tx_diff_parts(spark, t, v2, v2).count()
     assert n == 0
+
+
+def test_incremental_aggregate_refresh_equals_recompute(spark, tmp_path):
+    """SUM/COUNT aggregate maintained from the change feed ≡ a full
+    recompute after every merge — including group disappearance when
+    an update moves a key's rows out of a group."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.incremental_agg import (
+        build_sum_aggregate, refresh_sum_aggregate,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read,
+    )
+
+    def rows(spark, data):
+        return spark.createDataFrame(
+            data, "o_orderkey long, o_year int, o_cust long, o_total double")
+
+    t = str(tmp_path / "fact")
+    agg = str(tmp_path / "agg")
+    tx_write_parts(rows(spark, [(1, 2019, 10, 5.0), (2, 2019, 10, 7.0),
+                                (3, 2020, 11, 9.0)]),
+                   t, "o_year", mode="overwrite")
+    v0 = build_sum_aggregate(spark, t, agg, ["o_cust"], ["o_total"])
+
+    # merge 1: update key 2's total AND move it to customer 12 (group
+    # 10 loses a row), insert key 9 into a new partition/customer
+    tx_merge_parts(spark, t, rows(spark, [(2, 2019, 12, 70.0),
+                                          (9, 2022, 13, 1.0)]),
+                   keys=["o_orderkey"], part_col="o_year")
+    # merge 2: update key 1 away from customer 10 entirely — group 10
+    # must DISAPPEAR from the aggregate
+    tx_merge_parts(spark, t, rows(spark, [(1, 2019, 14, 5.5)]),
+                   keys=["o_orderkey"], part_col="o_year")
+
+    v1 = refresh_sum_aggregate(spark, t, agg, ["o_cust"], ["o_total"], v0)
+    got = {(r.o_cust, r.sum_o_total, r.n_rows)
+           for r in tx_read(spark, agg).collect()}
+
+    fact = tx_read_parts(spark, t)
+    want = {(r.o_cust, r.s, r.n) for r in
+            fact.groupBy("o_cust")
+            .agg(F_sum("o_total").alias("s"),
+                 F_count().alias("n")).collect()}
+    assert got == want
+    assert not any(c == 10 for c, _, _ in got)      # group dropped
+    # idempotent: refreshing again from the new version is a no-op
+    assert refresh_sum_aggregate(spark, t, agg, ["o_cust"], ["o_total"],
+                                 v1) == v1
+    assert {(r.o_cust, r.sum_o_total, r.n_rows)
+            for r in tx_read(spark, agg).collect()} == want
+
+
+def F_sum(c):
+    from pyspark.sql import functions as F
+    return F.sum(c)
+
+
+def F_count():
+    from pyspark.sql import functions as F
+    return F.count(F.lit(1)).cast("long")
