@@ -597,11 +597,16 @@ def _visible_parts(table: str,
 
 def tx_read_parts(spark: SparkSession, table: str,
                   as_of: int | None = None,
-                  part_values: list[str] | None = None) -> DataFrame:
+                  part_values: list[str] | None = None,
+                  merge_schema: bool = False) -> DataFrame:
     """Snapshot read of a partitioned table; ``part_values`` prunes
     the read to those partitions' dirs — metadata-only partition
     pruning (no scan, no listing of other partitions), which is what
-    keeps the merge's read cost proportional to the DELTA."""
+    keeps the merge's read cost proportional to the DELTA.
+    ``merge_schema=True`` unions the visible generations' schemas
+    (columns added by later appends/replaces surface as NULL on older
+    generations), the partitioned twin of ``tx_read``'s evolution
+    read."""
     state = _visible_parts(table, as_of)
     if part_values is not None:
         state = {v: ds for v, ds in state.items() if v in part_values}
@@ -610,7 +615,10 @@ def tx_read_parts(spark: SparkSession, table: str,
         raise FileNotFoundError(
             f"tx_read_parts: no visible partitions in {table}"
             + (f" for {part_values}" if part_values is not None else ""))
-    return spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[str(Path(table) / d) for d in dirs])
 
 
 def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,

@@ -345,3 +345,21 @@ def F_sum(c):
 def F_count():
     from pyspark.sql import functions as F
     return F.count(F.lit(1)).cast("long")
+
+
+def test_read_parts_schema_evolution(spark, tmp_path):
+    """An append commit may add columns; merge_schema=True surfaces
+    them (NULL on pre-evolution partitions) like the plain-table
+    read."""
+    t = str(tmp_path / "t")
+    tx_write_parts(_orders(spark, [(1, 2019, 1.0)]), t, "o_year")
+    evolved = spark.createDataFrame(
+        [(2, 2020, 2.0, "x")],
+        "o_orderkey long, o_year int, o_total double, note string")
+    tx_write_parts(evolved, t, "o_year", mode="append")
+    merged = tx_read_parts(spark, t, merge_schema=True)
+    assert set(merged.columns) == {"o_orderkey", "o_year", "o_total",
+                                   "note"}
+    rows = {r.o_orderkey: r for r in merged.collect()}
+    assert rows[1].note is None and rows[2].note == "x"
+    assert tx_read_parts(spark, t).count() == 2
