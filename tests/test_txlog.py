@@ -426,3 +426,35 @@ def test_expire_checkpoints_bounds_history(spark, tmp_path):
     # commit-1's generation is now unreferenced -> reclaimable
     assert len(tx_vacuum(t, retention_sec=0)) == 1
     assert {r.id for r in tx_read(spark, t).collect()} == {2}
+
+
+def test_concurrent_appenders_all_commit(spark, tmp_path):
+    """Eight threads appending concurrently: the optimistic retry loop
+    serializes them into eight distinct commits with no lost rows and
+    a contiguous id sequence (the multi-writer contract the two-party
+    race test approximates)."""
+    import threading
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_latest_id,
+    )
+
+    t = str(tmp_path / "t")
+    ids, errs = [], []
+
+    def worker(k: int) -> None:
+        try:
+            ids.append(tx_write(_df(spark, [k]), t, max_retries=50))
+        except Exception as exc:  # pragma: no cover - diagnostic
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker, args=(k,))
+               for k in range(8)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert sorted(ids) == list(range(1, 9))      # distinct, contiguous
+    assert tx_latest_id(t) == 8
+    assert {r.id for r in tx_read(spark, t).collect()} == set(range(8))
