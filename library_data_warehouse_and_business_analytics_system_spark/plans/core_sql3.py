@@ -770,3 +770,45 @@ def parts_ordered_together(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (counted.withColumn("rk", F.row_number().over(w).cast("int"))
             .filter(F.col("rk") <= 20)
             .orderBy("rk"))
+
+
+@register(
+    "weekly_active_users",
+    r"""
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ), contrib AS (
+      SELECT DISTINCT d + CAST(i AS INTEGER) AS wd, user_id
+      FROM daily, UNNEST(range(0, 7)) AS t(i)
+    ), days AS (
+      SELECT DISTINCT d FROM daily
+    )
+    SELECT strftime(c.wd, '%Y-%m-%d') AS d,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS wau
+    FROM contrib c JOIN days dy ON c.wd = dy.d
+    GROUP BY c.wd ORDER BY d
+    """,
+    operators=("ROLLING-DISTINCT", "A3", "J1", "S9"),
+)
+def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per observed day (WAU) —
+    the rolling-distinct aggregate windows can't express. The
+    scale-right shape is CONTRIBUTION EXPLODE: each (day, user) row
+    contributes to the 7 window-end days it falls in (bounded 7×
+    fan-out, map-side), then one two-phase distinct count per day on
+    an EQUI-join — no range join, no per-day rescans, no window over
+    user sets."""
+    events = load_table(spark, sf_dir, "events")
+    daily = (events.select(F.to_date("ts").alias("d"), "user_id")
+             .distinct())
+    contrib = (daily.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("wd"),
+        "user_id").distinct())
+    days = daily.select("d").distinct()
+    return (
+        contrib.join(days, contrib.wd == days.d)
+        .groupBy("wd")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.date_format("wd", "yyyy-MM-dd").alias("d"), "wau")
+        .orderBy("d")
+    )
