@@ -266,3 +266,26 @@ def test_maintain_warehouse_bounds_metadata_keeps_data(spark, oltp, dw,
     subsequent_load_durable(spark, root, oltp, _delta(spark, oltp), AS_OF)
     _same(read_warehouse(spark, root)["fact_sales"],
           before["fact_sales"])
+
+
+def test_lqy_reports_identical_off_durable_warehouse(spark, oltp, dw,
+                                                     tmp_path):
+    """The three flagship LQY reports produce bit-identical results
+    whether served from the in-memory warehouse or the persisted
+    partitioned one — a user can switch storage without touching a
+    report."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.library import (
+        query1, query2, query3,
+    )
+
+    root = str(tmp_path / "wh")
+    publish_warehouse(spark, dw, root)
+    served = read_warehouse(spark, root)
+    # reports read the same warehouse dict shape; borrowing is capped
+    # at publish, so cap the in-memory side identically
+    mem = dict(dw)
+    mem["fact_borrowing"] = INC.cap_overdue_days(dw["fact_borrowing"])
+    for q in (query1, query2, query3):
+        a = q(mem, 2019, 2024)
+        b = q(served, 2019, 2024)
+        _same(a, b)
