@@ -189,3 +189,45 @@ def test_corpus_layout_prunes_language_partitions(spark, sf_dir, tmp_path):
     assert m, "lang filter must become a partition filter"
     expected = docs.filter(F.col("lang") == "en").count()
     assert en.count() == expected
+
+
+def test_zorder_layout_shrinks_bounding_boxes_both_dims(spark, tmp_path):
+    """Z-ordered files must carry small footer [min,max] ranges in
+    BOTH clustered columns (the information file skipping consumes);
+    a lexicographic sort only clusters the leading column. Content is
+    preserved exactly."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.zorder import (
+        file_bounds, write_zordered,
+    )
+
+    n = 40_000
+    df = (spark.range(n)
+          .select((F.col("id") % 200).cast("long").alias("x"),
+                  F.floor(F.col("id") / 200).cast("long").alias("y"),
+                  F.col("id").alias("payload")))
+
+    z_path = str(tmp_path / "z")
+    s_path = str(tmp_path / "s")
+    write_zordered(df, z_path, ["x", "y"], n_files=16)
+    (df.repartitionByRange(16, "x")      # single-column sort layout
+     .sortWithinPartitions("x")
+     .write.mode("overwrite").parquet(s_path))
+
+    def mean_frac_range(path, col, span):
+        bounds = file_bounds(path, ["x", "y"])
+        fr = [(b[col][1] - b[col][0]) / span for b in bounds if col in b]
+        return sum(fr) / len(fr)
+
+    # x: both layouts cluster it
+    assert mean_frac_range(z_path, "x", 199) < 0.6
+    # y: the sorted layout's files span ~the whole y range; z-order
+    # must shrink it by >2x
+    y_sorted = mean_frac_range(s_path, "y", n / 200 - 1)
+    y_z = mean_frac_range(z_path, "y", n / 200 - 1)
+    assert y_sorted > 0.8
+    assert y_z < y_sorted / 2, (y_z, y_sorted)
+
+    # pure layout rewrite: content identical
+    back = spark.read.parquet(z_path)
+    assert back.count() == n
+    assert back.exceptAll(df).count() == 0
