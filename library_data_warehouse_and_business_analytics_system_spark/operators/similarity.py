@@ -366,3 +366,35 @@ def srp_diverse_sample(corpus: DataFrame, vec_col: str, id_col: str,
     return (cand.withColumn("rank", F.row_number().over(wg))
             .filter(F.col("rank") <= per_bucket)
             .select("bucket", id_col, F.col("rank").cast("int").alias("rank")))
+
+
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame,
+                       vec_col: str, id_col: str, label_col: str,
+                       k: int = 5) -> DataFrame:
+    """Hard-negative mining: for every query, the top-k most similar
+    corpus vectors with a DIFFERENT label — the highest-value
+    negatives for contrastive training (easy negatives are far away
+    and teach nothing; same-label neighbors are positives, not
+    negatives). Same scale shape as :func:`brute_force_topk` —
+    broadcast query side, one corpus scan, per-query WindowGroupLimit
+    rank — with the label inequality applied BEFORE scoring, so
+    excluded pairs never pay the dot product."""
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("qlabel"),
+        F.col(vec_col).alias("qv"), l2_norm_sq(F.col(vec_col)).alias("nq")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("nlabel"),
+        F.col(vec_col).alias("cv"), l2_norm_sq(F.col(vec_col)).alias("nc"))
+    scored = (
+        q.crossJoin(c)
+        .filter((F.col("query_id") != F.col("neighbor_id"))
+                & (F.col("qlabel") != F.col("nlabel")))
+        .select("query_id", "neighbor_id",
+                cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                                  F.col("nq"), F.col("nc")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

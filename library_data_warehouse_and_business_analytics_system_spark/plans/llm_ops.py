@@ -1565,3 +1565,43 @@ def srp_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return (srp(emb, "embedding", "vec_id", n_bits=8, per_bucket=5)
             .orderBy("bucket", "rank"))
+
+
+@register(
+    "hard_negative_topk",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, label AS qlabel, embedding AS qv
+      FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='e.embedding')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}), 0)
+               AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id AND e.label <> q.qlabel
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-HARD-NEGATIVES", "W2", "J5"),
+)
+def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining over the labeled embedding
+    table: per query, the 5 nearest neighbors whose label differs —
+    the mining pass that feeds contrastive/metric training. Label
+    inequality filters BEFORE the dot product (excluded pairs never
+    score); otherwise the brute tier's shape (broadcast queries, one
+    corpus scan, WindowGroupLimit per-query rank)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (similarity.hard_negative_topk(emb, queries, "embedding",
+                                          "vec_id", "label", k=5)
+            .orderBy("query_id", "rank"))

@@ -16,10 +16,11 @@ row-group/file pruning consumes.
 Normalization: each column maps to a 16-bit integer position via
 uniform binning between its global min/max (one tiny agg; the
 width_bucket expression stays JVM-side). Heavily skewed columns
-cluster better with quantile bins — pass ``bins`` from
-``approxQuantile`` edges for that; uniform is the zero-knowledge
-default, and the layout is an OPTIMIZATION ONLY: content is
-preserved exactly under any binning.
+cluster better on their RANK — pre-map such a column (e.g. an ntile
+or a percentile bucket computed at write time) and z-order on the
+mapped column; uniform is the zero-knowledge default, and the layout
+is an OPTIMIZATION ONLY: content is preserved exactly under any
+binning.
 
 The result is measurable locally: ``file_bounds`` reads each output
 file's parquet footer min/max (no data scan), and the pytest asserts

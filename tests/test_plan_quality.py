@@ -17,6 +17,7 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 #: cartesian (or broadcast nested loop) stage is the intended shape.
 CARTESIAN_OK = {
     "cosine_topk",          # query × corpus scoring
+    "hard_negative_topk",   # query × corpus scoring, label-filtered
     "matryoshka_topk",      # stage 1 IS query × corpus scoring (on
                             # prefix dims); stage 2 is candidate-bounded
                             # broadcast joins
