@@ -82,3 +82,46 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column],
                 f"{sorted(refold)} to define its refold")
         finals.append(refold[kind](name).alias(name))
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def count_min_sketch(df: DataFrame, col: str, depth: int = 4,
+                     width: int = 1024, salt: str = "cms:") -> DataFrame:
+    """Count-min sketch of ``col``'s frequencies: ``(s, bucket, cnt)``
+    for ``depth`` independent md5-derived hash rows of ``width``
+    buckets — depth×width integers summarizing an unbounded key
+    domain. Build is one explode(depth) + a two-phase integer count
+    on (row, bucket): fully mergeable across partitions/batches
+    (sketches of shards ADD), deterministic (md5 buckets), and
+    exactly reproducible by any engine that can md5 — which is what
+    lets the driver gate check the sketch itself, not just its
+    estimates."""
+    from ..functions.text import md5_bucket
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("s")
+    tagged = df.select(F.col(col).alias("_k"), rows)
+    bucket = md5_bucket(
+        F.concat(F.col("s").cast("string"), F.lit(":"),
+                 F.col("_k").cast("string")), width, salt=salt)
+    return (tagged.withColumn("bucket", bucket)
+            .groupBy("s", "bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+
+
+def cms_estimate(sketch: DataFrame, keys: DataFrame, col: str,
+                 depth: int = 4, width: int = 1024,
+                 salt: str = "cms:") -> DataFrame:
+    """Point-estimate each key's frequency from the sketch: min over
+    the depth rows of the key's bucket count (the classic CM upper
+    bound — never below the true count; collisions only inflate).
+    ``keys`` is small (the candidate set); its (row, bucket) probes
+    broadcast against the sketch."""
+    from ..functions.text import md5_bucket
+    rows = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("s")
+    probes = keys.select(F.col(col), rows)
+    bucket = md5_bucket(
+        F.concat(F.col("s").cast("string"), F.lit(":"),
+                 F.col(col).cast("string")), width, salt=salt)
+    probes = probes.withColumn("bucket", bucket)
+    return (F.broadcast(probes).join(sketch, ["s", "bucket"], "left")
+            .groupBy(col)
+            .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint")
+                 .alias("cms_count")))

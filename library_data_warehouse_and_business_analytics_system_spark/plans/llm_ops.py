@@ -1605,3 +1605,70 @@ def hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (similarity.hard_negative_topk(emb, queries, "embedding",
                                           "vec_id", "label", k=5)
             .orderBy("query_id", "rank"))
+
+
+@register(
+    "token_cms_estimates",
+    r"""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+      FROM documents
+    ), exact AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM tok GROUP BY t
+    ), top AS (
+      SELECT t, exact_count FROM (
+        SELECT t, exact_count,
+               ROW_NUMBER() OVER (ORDER BY exact_count DESC, t) AS rk
+        FROM exact
+      ) WHERE rk <= 20
+    ), probes AS (
+      SELECT t, s,
+             CAST('0x' || substr(md5('cms:' || CAST(s AS VARCHAR) || ':'
+                                  || t), 1, 6) AS INTEGER) % 1024 AS bucket
+      FROM tok, UNNEST(range(0, 4)) AS r(s)
+    ), sketch AS (
+      SELECT s, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM probes GROUP BY s, bucket
+    ), top_probes AS (
+      SELECT tp.t, r.s,
+             CAST('0x' || substr(md5('cms:' || CAST(r.s AS VARCHAR) || ':'
+                                  || tp.t), 1, 6) AS INTEGER) % 1024
+               AS bucket
+      FROM top tp, UNNEST(range(0, 4)) AS r(s)
+    )
+    SELECT p.t AS token, MIN(sk.cnt) AS cms_count, tp.exact_count,
+           MIN(sk.cnt) >= tp.exact_count AS never_undercounts
+    FROM top_probes p
+    JOIN sketch sk USING (s, bucket)
+    JOIN top tp ON tp.t = p.t
+    GROUP BY p.t, tp.exact_count
+    ORDER BY exact_count DESC, token
+    """,
+    operators=("SKETCH-CMS", "A1", "O2"),
+)
+def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, checked against
+    exact counts for the 20 most frequent tokens. Integer counts with
+    md5-derived buckets make the WHOLE sketch deterministic, so the
+    oracle rebuilds it bit-for-bit — certifying the mergeable-sketch
+    machinery itself, with the CM guarantee (estimates never
+    undercount) surfaced as a column. (operators/skew.py
+    count_min_sketch / cms_estimate)"""
+    from ..operators.skew import cms_estimate, count_min_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(TX.tokens(F.lower(F.col("text"))))
+                      .alias("t"))
+    exact = tok.groupBy("t").agg(F.count(F.lit(1)).cast("bigint")
+                                 .alias("exact_count"))
+    w = Window.orderBy(F.col("exact_count").desc(), "t")
+    top = (exact.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") <= 20).drop("rk"))
+    sketch = count_min_sketch(tok, "t")
+    est = cms_estimate(sketch, top.select("t"), "t")
+    return (est.join(top, "t")
+            .select(F.col("t").alias("token"), "cms_count", "exact_count",
+                    (F.col("cms_count") >= F.col("exact_count"))
+                    .alias("never_undercounts"))
+            .orderBy(F.col("exact_count").desc(), "token"))
