@@ -1672,3 +1672,44 @@ def token_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("cms_count") >= F.col("exact_count"))
                     .alias("never_undercounts"))
             .orderBy(F.col("exact_count").desc(), "token"))
+
+
+@register(
+    "dedup_rate_by_source",
+    r"""
+    WITH h AS (
+      SELECT doc_id, source, md5(text) AS th FROM documents
+    ), c AS (
+      SELECT th, COUNT(*) AS n FROM h GROUP BY th
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM h JOIN c USING (th)
+    GROUP BY source ORDER BY source
+    """,
+    operators=("DEDUP-TELEMETRY", "A1", "J1"),
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication telemetry: how many of each source's
+    documents share their exact text (16-byte hash) with ANY other
+    document corpus-wide — the dashboard number that tells a curation
+    operator which feed is flooding the corpus. Cross-source aware by
+    construction (the hash count is global, then rolled up per
+    source); fixed-width hash shuffle keys, two-phase counts,
+    integer-derived rate — bit-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("doc_id", "source", F.md5("text").alias("th"))
+    c = h.groupBy("th").agg(F.count(F.lit(1)).alias("n"))
+    dup = (F.col("n") > 1).cast("int")
+    return (
+        h.join(c, "th")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum(dup).cast("bigint").alias("n_dup_docs"),
+             (F.sum(dup).cast("double") / F.count(F.lit(1)))
+             .alias("dup_rate"))
+        .orderBy("source")
+    )

@@ -6,7 +6,11 @@
 2. boilerplate removal with the shuffled anti-join — same contract;
 3. probe cost against the band index after 30 daily appends vs after
    maintain_index compaction — maintenance must not slow the probe
-   (it should help: 30+ dir listings collapse to one generation).
+   (it should help: 30+ dir listings collapse to one generation);
+4. tx_merge_parts with a FIXED single-partition delta into a table 8x
+   larger (8x the partitions) — merge wall time must stay ~flat,
+   because only the touched partition is read and rewritten (the
+   whole-table tx_merge this replaces scales with the table).
 
 Replicates the sf0.1 documents table in memory with disjoint ids (the
 technique tests/test_dedup_index.py uses). Prints one JSON line per
@@ -125,6 +129,41 @@ def main() -> None:
                       "bands_before_files": stats["bands"]["before_files"],
                       "bands_target_files": stats["bands"]["target_files"]}),
           flush=True)
+
+    # 4) partition-scoped merge: fixed delta, 8x table
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (  # noqa: E402,E501
+        tx_merge_parts, tx_write_parts,
+    )
+    orders = (load_table(spark, SF_DIR, "orders")
+              .select("o_orderkey", F.year("o_orderdate").alias("o_year"),
+                      "o_custkey", F.col("o_totalprice").cast("double")
+                      .alias("o_totalprice"))
+              .localCheckpoint())
+    # 8x = 8 disjoint key ranges in 8 disjoint year bands (more rows
+    # AND more partitions, like eight more loaded years of history)
+    copies = [orders.withColumn("o_orderkey",
+                                F.col("o_orderkey") + F.lit(i * 10_000_000))
+              .withColumn("o_year", F.col("o_year") + F.lit(10 * i))
+              for i in range(8)]
+    big = copies[0]
+    for c in copies[1:]:
+        big = big.unionByName(c)
+    delta = (orders.filter(F.col("o_year") == 1995).limit(500)
+             .withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+             .localCheckpoint())
+
+    def merge_time(df, tag):
+        root = tempfile.mkdtemp(prefix=f"probe7_merge_{tag}_")
+        t = f"{root}/orders"
+        tx_write_parts(df, t, "o_year", mode="overwrite")
+        t0 = time.perf_counter()
+        tx_merge_parts(spark, t, delta, keys=["o_orderkey"],
+                       part_col="o_year")
+        return time.perf_counter() - t0
+
+    t1 = merge_time(orders, "x1")
+    t8 = merge_time(big.localCheckpoint(), "x8")
+    emit("partition_scoped_merge_table_growth", t1, t8, 8)
 
 
 if __name__ == "__main__":
