@@ -1,0 +1,122 @@
+"""Distributed k-means over embedding columns.
+
+The assignment step — the part that touches every row — is pure
+DataFrame algebra: squared L2 distance folded in index order with
+``F.aggregate``/``F.zip_with`` (JVM codegen, no Python), argmin via
+``array_min`` over (distance, centroid) structs so ties break to the
+lowest centroid id. Centroid re-estimation is a posexplode +
+two-level hash aggregate keyed (cluster, dim): the 16× map-side
+fan-out collapses in the partial phase, so the shuffle carries
+k × dims rows — constant in the corpus.
+
+Only the k × dims centroid table ever reaches the driver (Lloyd's
+iteration needs the new centroids as literals for the next
+assignment pass); the corpus itself never moves. That is the
+standard distributed k-means shape — at 100 TB each iteration is
+one scan + one tiny shuffle.
+
+Determinism: distances accumulate in index order (both here and in
+the DuckDB oracle), so assignment with FIXED centroids is bit-exact
+across engines. Re-estimated centroids involve an order-dependent
+float mean, so the oracle-gated query covers the assignment step
+and the iterative fit is pinned against numpy in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, folded in index order (deterministic)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(emb: DataFrame, centroids: DataFrame,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    centroid_id: str = "cluster_id",
+                    centroid_vec: str = "centroid") -> DataFrame:
+    """Assign each vector to its nearest centroid.
+
+    ``centroids`` is a k-row frame — broadcast-crossed into the
+    corpus (k × N scoring is the semantics; the small side is the
+    centroid table, same shape as ``cosine_topk``'s query side).
+    Returns (id, cluster_id, dist) with dist the squared L2
+    distance; ties go to the lowest cluster_id via struct ordering.
+    """
+    scored = emb.crossJoin(F.broadcast(
+        centroids.select(F.col(centroid_id).alias("_cid"),
+                         F.col(centroid_vec).alias("_cvec"))))
+    dist = sq_dist(F.col(vec_col), F.col("_cvec"))
+    best = (
+        scored.select(F.col(id_col), F.struct(dist.alias("d"),
+                                              F.col("_cid").alias("cid"))
+                      .alias("cand"))
+        .groupBy(id_col)
+        .agg(F.min("cand").alias("best"))
+    )
+    return best.select(
+        F.col(id_col),
+        F.col("best.cid").alias("cluster_id"),
+        F.col("best.d").alias("dist"),
+    )
+
+
+def recompute_centroids(assigned: DataFrame, emb: DataFrame,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Mean vector per cluster via posexplode + (cluster, dim) agg.
+
+    Shuffle output is k × dims rows regardless of corpus size; the
+    per-dim partial sums combine map-side.
+    """
+    exploded = (
+        assigned.join(emb.select(id_col, vec_col), id_col)
+        .select("cluster_id",
+                F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    )
+    per_dim = exploded.groupBy("cluster_id", "dim").agg(
+        F.avg(F.col("x").cast("double")).alias("m"))
+    return (
+        per_dim.groupBy("cluster_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+             .alias("pairs"))
+        .select("cluster_id",
+                F.transform(F.col("pairs"), lambda p: p["m"])
+                .alias("centroid"))
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               ) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's algorithm: init from the k lowest-id vectors, then
+    ``iters`` rounds of assign → re-estimate. Returns
+    (assignments, centroids). Each iteration collects only the
+    k × dims centroid table to the driver.
+    """
+    init = (
+        emb.orderBy(id_col).limit(k)
+        .select(F.col(id_col).alias("cluster_id"),
+                F.col(vec_col).alias("centroid"))
+    )
+    # Renumber centroids 0..k-1 so cluster ids are stable labels.
+    rows = init.collect()
+    spark = emb.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in r["centroid"]])
+         for i, r in enumerate(rows)],
+        "cluster_id int, centroid array<double>")
+    assigned = assign_clusters(emb, centroids, vec_col, id_col)
+    for _ in range(iters):
+        centroids = spark.createDataFrame(
+            recompute_centroids(assigned, emb, vec_col, id_col).collect(),
+            "cluster_id int, centroid array<double>")
+        assigned = assign_clusters(emb, centroids, vec_col, id_col)
+    return assigned, centroids

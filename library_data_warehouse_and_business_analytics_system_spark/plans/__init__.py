@@ -8,6 +8,7 @@ from . import multimodal_ops  # noqa: E402,F401
 from . import llm_ops  # noqa: E402,F401
 from . import streaming_ops  # noqa: E402,F401
 from . import library_gate  # noqa: E402,F401
+from . import search_ops  # noqa: E402,F401
 
 # Explicit gate ordering. Round 1's driver correctness gate recorded
 # exactly 50 rows and silently dropped the two queries registered last

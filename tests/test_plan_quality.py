@@ -47,6 +47,14 @@ CARTESIAN_OK = {
     "orders_scalar_subquery",
     "market_share",
     "order_price_bands",    # J7 non-equi range join vs 3-row broadcast bands
+    "bm25_search_topk",     # 1-row (N, avgdl) scalar frame crossed into
+                            # the query-term postings
+    "tfidf_top_terms",      # 1-row corpus-count scalar crossed into the
+                            # (term-keyed, shuffled) df join
+    "kmeans_assign_sizes",  # k × N assignment scoring — the broadcast
+                            # side is the k-row centroid table
+    "dq_expectations_summary",  # 1-row × 1-row (n_checked × orphans)
+                                # scalar joins inside fk_report
 }
 
 

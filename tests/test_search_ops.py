@@ -1,0 +1,209 @@
+"""Unit tests for the round-7 search / clustering / CDC / DQ
+operators. The registry differential (test_correctness.py) already
+gates the six new queries bit-exactly against DuckDB; these tests pin
+the operator-level properties the oracle can't express: the iterative
+k-means fit vs numpy, changelog-apply semantics, NULL-pass CHECK
+rules, and the scale contracts (vocabulary join not force-broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark.operators import (
+    cdc,
+    clustering,
+    search,
+    validate,
+)
+from library_data_warehouse_and_business_analytics_system_spark.plans import QUERIES
+from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import (
+    load_table,
+)
+
+# ---------------------------------------------------------------------------
+# k-means
+
+
+def _numpy_lloyd(X: np.ndarray, k: int, iters: int) -> np.ndarray:
+    """Reference Lloyd's: init = first k rows (lowest ids), ties to
+    the lowest cluster id, empty clusters keep their centroid."""
+    C = X[:k].astype(np.float64).copy()
+    assign = None
+    for _ in range(iters + 1):  # initial assign + iters re-estimates
+        d = ((X[:, None, :].astype(np.float64) - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # argmin ties -> lowest index
+        if _ == iters:
+            break
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.astype(np.float64).mean(axis=0)
+    return assign
+
+
+def test_kmeans_fit_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pdf = emb.orderBy("vec_id").toPandas()
+    X = np.array([list(v) for v in pdf["embedding"]], dtype=np.float32)
+    ids = pdf["vec_id"].to_numpy()
+
+    assigned, centroids = clustering.kmeans_fit(emb, k=4, iters=3)
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    want = _numpy_lloyd(X, k=4, iters=3)
+    mismatches = [i for i, v in zip(ids, want) if got[int(i)] != int(v)]
+    # Float means differ between Spark's agg order and numpy's only in
+    # the last ulp; allow boundary flips on at most 1% of points.
+    assert len(mismatches) <= max(1, len(ids) // 100), mismatches[:10]
+
+    # Centroids: k rows, full dimensionality, finite.
+    crows = centroids.collect()
+    assert len(crows) == 4
+    assert all(len(r["centroid"]) == len(X[0]) for r in crows)
+    assert all(np.isfinite(r["centroid"]).all() for r in crows)
+
+
+def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a0, _ = clustering.kmeans_fit(emb, k=4, iters=0)
+    a3, _ = clustering.kmeans_fit(emb, k=4, iters=3)
+    i0 = a0.agg(F.sum("dist")).collect()[0][0]
+    i3 = a3.agg(F.sum("dist")).collect()[0][0]
+    assert i3 <= i0 + 1e-9
+
+
+def test_assign_ties_break_to_lowest_cluster(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "vec_id int, embedding array<float>")
+    cent = spark.createDataFrame(
+        [(5, [1.0, 0.0]), (2, [0.0, 1.0]), (9, [-1.0, 0.0])],
+        "cluster_id int, centroid array<float>")
+    row = clustering.assign_clusters(emb, cent).collect()[0]
+    assert row["cluster_id"] == 2 and row["dist"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog apply
+
+
+def _log(spark, rows):
+    return spark.createDataFrame(
+        rows, "k int, v string, seq int, op string")
+
+
+def test_changelog_latest_wins_and_delete_drops(spark):
+    log = _log(spark, [
+        (1, "a", 1, "I"), (1, "b", 2, "U"),
+        (2, "x", 1, "I"), (2, "x", 2, "D"),
+        (3, "q", 1, "I"),
+    ])
+    snap = {r["k"]: r["v"] for r in cdc.apply_changelog(log, ["k"]).collect()}
+    assert snap == {1: "b", 3: "q"}
+
+
+def test_changelog_reinsert_after_delete_survives(spark):
+    log = _log(spark, [
+        (1, "a", 1, "I"), (1, "a", 2, "D"), (1, "c", 3, "I"),
+    ])
+    snap = cdc.apply_changelog(log, ["k"]).collect()
+    assert [(r["k"], r["v"]) for r in snap] == [(1, "c")]
+
+
+def test_changelog_apply_is_idempotent_over_snapshot(spark):
+    """Re-applying a snapshot (as all-I at a later seq) is a no-op."""
+    log = _log(spark, [(1, "a", 1, "I"), (2, "b", 1, "I"), (2, "b", 2, "D")])
+    snap = cdc.apply_changelog(log, ["k"])
+    replay = snap.select(
+        "k", "v", F.lit(10).alias("seq"), F.lit("I").alias("op"))
+    again = cdc.apply_changelog(log.unionByName(replay), ["k"])
+    assert sorted((r["k"], r["v"]) for r in again.collect()) == \
+        sorted((r["k"], r["v"]) for r in snap.collect())
+
+
+# ---------------------------------------------------------------------------
+# BM25 / TF-IDF
+
+
+def test_bm25_only_matching_docs_score(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark joins data"), (2, "nothing relevant here"),
+         (3, "spark spark spark")],
+        "doc_id int, text string")
+    out = search.bm25_topk(docs, ["spark"], k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 3]
+    assert all(r["score"] > 0 for r in out)
+    # Higher tf on same-length docs... doc 3 (tf=3) outranks doc 1 (tf=1).
+    best = min(out, key=lambda r: r["rank"])
+    assert best["doc_id"] == 3
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    rows = [(i, "common filler words") for i in range(20)]
+    rows += [(100, "common rare filler"), (101, "rare things only")]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r["score"]
+           for r in search.bm25_topk(docs, ["rare", "common"], k=30).collect()}
+    # doc 100 matches both terms; the 'rare' contribution must
+    # dominate a common-only doc's score.
+    assert out[100] > out[0]
+    assert out[101] > out[0]
+
+
+def test_tfidf_rare_term_tops_each_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "shared shared unique1"), (2, "shared shared unique2"),
+         (3, "shared shared unique3")],
+        "doc_id int, text string")
+    top = search.tfidf_top_terms(docs, per_doc=1).collect()
+    assert {r["doc_id"]: r["term"] for r in top} == {
+        1: "unique1", 2: "unique2", 3: "unique3"}
+
+
+def test_tfidf_vocabulary_join_is_not_force_broadcast(spark, sf_dir):
+    """Same contract as doc_token_familiarity (VERDICT r6): the df
+    side spans the Heaps-law vocabulary, so with auto-broadcast off
+    the term join must degrade to a shuffled join — only the 1-row
+    scalar frame is allowed to stay a broadcast (nested-loop)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = (QUERIES["tfidf_top_terms"].fn(spark, sf_dir)
+             ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert "BroadcastHashJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# DQ expectations
+
+
+def test_expectation_report_null_predicate_passes(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (-3, "y")], "a int, b string")
+    rows = {r["check_name"]: r for r in validate.expectation_report(
+        df, "t", [("a_positive", "a > 0"),
+                  ("b_is_x", "b = 'x'")]).collect()}
+    assert rows["t.a_positive"]["n_violations"] == 1  # only -3
+    # NULL predicate (b = 'x' on NULL b) passes -> violations are the
+    # definite 'y' row only.
+    assert rows["t.b_is_x"]["n_violations"] == 1
+    assert all(r["n_checked"] == 3 for r in rows.values())
+
+
+def test_fk_report_counts_orphans_and_passes_nulls(spark):
+    child = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, None)], "id int, fk int")
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+    r = validate.fk_report(child, "fk", parent, "pk", "child.fk").collect()[0]
+    assert (r["n_checked"], r["n_violations"], r["passed"]) == (3, 1, False)
+
+
+def test_dq_summary_all_green_on_testdata(spark, sf_dir):
+    rows = QUERIES["dq_expectations_summary"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert all(r["passed"] for r in rows), [
+        (r["check_name"], r["n_violations"]) for r in rows]
