@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def sq_dist(a: Column, b: Column) -> Column:
@@ -90,6 +91,65 @@ def recompute_centroids(assigned: DataFrame, emb: DataFrame,
         .select("cluster_id",
                 F.transform(F.col("pairs"), lambda p: p["m"])
                 .alias("centroid"))
+    )
+
+
+def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
+                         threshold: float,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then search for near-duplicate pairs only
+    WITHIN each cluster — the clustering bounds the quadratic
+    pairwise stage to per-cluster work.
+
+    Returns (cluster_id, a, b, cos) for within-cluster pairs with
+    cosine ≥ ``threshold``. The pair join is an equi-join on
+    cluster_id (never a global cartesian); with k ≈ √N centroids
+    the expected per-cluster size is √N, so total pair work is
+    ~N^1.5 instead of N² — and each cluster's pairs land on one
+    reducer keyed by cluster_id, so clusters process in parallel.
+    """
+    assigned = assign_clusters(emb, centroids, vec_col, id_col)
+    side = assigned.join(emb.select(id_col, vec_col), id_col)
+    a = side.select(F.col("cluster_id"),
+                    F.col(id_col).alias("a"),
+                    F.col(vec_col).alias("_va"))
+    b = side.select(F.col("cluster_id"),
+                    F.col(id_col).alias("b"),
+                    F.col(vec_col).alias("_vb"))
+    from ..functions.vectors import cosine
+    return (
+        a.join(b, "cluster_id")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("cluster_id", "a", "b", "cos")
+    )
+
+
+def prototype_prune(emb: DataFrame, centroids: DataFrame,
+                    per_cluster: int,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """D4-style prototypicality ranking (Tirumala et al. 2023,
+    arXiv:2308.12284): within each cluster, the points CLOSEST to
+    the centroid are the most prototypical — dense-region redundancy
+    that D4 prunes after semantic dedup. Returns the ``per_cluster``
+    most prototypical points per cluster as (cluster_id, vec_id,
+    dist, proto_rank), rank 1 = closest.
+
+    The window partitions on cluster_id; per-partition size is the
+    cluster population, bounded by the same k ≈ √N sizing that keeps
+    SemDeDup's pairwise stage tractable.
+    """
+    assigned = assign_clusters(emb, centroids, vec_col, id_col)
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("dist").asc(), F.col(id_col)))
+    return (
+        assigned.withColumn("proto_rank", F.row_number().over(w))
+        .filter(F.col("proto_rank") <= per_cluster)
+        .select("cluster_id", id_col, "dist", "proto_rank")
     )
 
 

@@ -190,6 +190,97 @@ def kmeans_assign_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): k-means clusters bound the quadratic
+# near-dup pairwise stage to within-cluster equi-joins; and the
+# D4-style prototypicality ranking (Tirumala et al. 2023) over the
+# same assignment. Both oracles replicate BOTH stages — assignment
+# distances and cosines fold in index order, so everything is
+# bit-exact including the raw doubles.
+
+_DOT64 = ("list_reduce(list_prepend(0.0::DOUBLE, "
+          "list_transform(range(1, 65), "
+          "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)")
+
+_ASSIGN_CTE = f"""
+    c AS (
+      SELECT vec_id AS cluster_id, embedding FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cluster_id, {_SQDIST} AS dist
+      FROM embeddings e, c
+    ), assigned AS (
+      SELECT vec_id, cluster_id, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY dist, cluster_id) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "semantic_dedup_pairs",
+    f"""
+    WITH {_ASSIGN_CTE},
+    pairs AS (
+      SELECT a.cluster_id, a.vec_id AS a, b.vec_id AS b,
+             {_DOT64.format(a='ea.embedding', b='eb.embedding')}
+               / nullif(sqrt({_DOT64.format(a='ea.embedding', b='ea.embedding')})
+                        * sqrt({_DOT64.format(a='eb.embedding', b='eb.embedding')}),
+                        0) AS cos
+      FROM assigned a
+      JOIN assigned b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    )
+    SELECT cluster_id, a, b, cos FROM pairs
+    WHERE cos >= 0.4::DOUBLE
+    ORDER BY a, b
+    """,
+    operators=("SEMDEDUP", "KMEANS-ASSIGN", "J1", "J5"),
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cluster_id"),
+                F.col("embedding").alias("centroid"))
+    )
+    return (
+        clustering.semantic_dedup_pairs(emb, centroids, threshold=0.4)
+        .orderBy("a", "b")
+    )
+
+
+@register(
+    "cluster_prototype_prune",
+    f"""
+    WITH {_ASSIGN_CTE}
+    SELECT cluster_id, vec_id, dist, proto_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY dist, vec_id) AS proto_rank
+      FROM assigned
+    )
+    WHERE proto_rank <= 5
+    ORDER BY cluster_id, proto_rank
+    """,
+    operators=("PROTO-PRUNE", "KMEANS-ASSIGN", "W2"),
+)
+def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cluster_id"),
+                F.col("embedding").alias("centroid"))
+    )
+    return (
+        clustering.prototype_prune(emb, centroids, per_cluster=5)
+        .orderBy("cluster_id", "proto_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # CDC changelog apply: a deterministic I/U/D feed derived from
 # orders (insert everything; status-correct every key ≡ 3 mod 10;
 # delete every key ≡ 7 mod 100), collapsed latest-wins per key.

@@ -53,6 +53,9 @@ CARTESIAN_OK = {
                             # (term-keyed, shuffled) df join
     "kmeans_assign_sizes",  # k × N assignment scoring — the broadcast
                             # side is the k-row centroid table
+    "semantic_dedup_pairs",  # same k × N assignment stage; the pair
+                             # stage itself is an equi-join on cluster_id
+    "cluster_prototype_prune",  # same k × N assignment stage
     "dq_expectations_summary",  # 1-row × 1-row (n_checked × orphans)
                                 # scalar joins inside fk_report
 }

@@ -85,6 +85,54 @@ def test_assign_ties_break_to_lowest_cluster(spark):
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup / prototype pruning
+
+
+def _centroids(emb):
+    return (emb.filter(F.col("vec_id") < 8)
+            .select(F.col("vec_id").alias("cluster_id"),
+                    F.col("embedding").alias("centroid")))
+
+
+def test_semdedup_pairs_subset_of_global_pairs(spark, sf_dir):
+    """Within-cluster pairs must be a subset of the global τ-pair
+    set — SemDeDup trades recall (cross-cluster pairs) for the
+    bounded pairwise stage; it must never ADD pairs."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators import (
+        dedup,
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    sem = clustering.semantic_dedup_pairs(emb, _centroids(emb), 0.4)
+    got = {(r["a"], r["b"]) for r in sem.collect()}
+    full = {(r["a"], r["b"])
+            for r in dedup.embedding_near_dup_pairs(
+                emb, "embedding", "vec_id", threshold=0.4).collect()}
+    assert got <= full
+    assert got, "seeded near-dups should produce within-cluster pairs"
+
+
+def test_semdedup_pairs_share_a_cluster(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _centroids(emb)
+    assigned = {r["vec_id"]: r["cluster_id"]
+                for r in clustering.assign_clusters(emb, cents).collect()}
+    for r in clustering.semantic_dedup_pairs(emb, cents, 0.4).collect():
+        assert assigned[r["a"]] == assigned[r["b"]] == r["cluster_id"]
+
+
+def test_prototype_rank1_is_the_centroid_point(spark, sf_dir):
+    """Centroids are drawn from the data (vec_id < 8), so each
+    cluster's most prototypical point is the centroid itself at
+    distance exactly 0."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = clustering.prototype_prune(emb, _centroids(emb), per_cluster=1)
+    rows = top.collect()
+    assert len(rows) == 8
+    assert all(r["vec_id"] == r["cluster_id"] and r["dist"] == 0.0
+               for r in rows)
+
+
+# ---------------------------------------------------------------------------
 # CDC changelog apply
 
 
