@@ -175,8 +175,16 @@ def kmeans_fit(emb: DataFrame, k: int = 8, iters: int = 5,
         "cluster_id int, centroid array<double>")
     assigned = assign_clusters(emb, centroids, vec_col, id_col)
     for _ in range(iters):
+        new = {r["cluster_id"]: [float(x) for x in r["centroid"]]
+               for r in recompute_centroids(assigned, emb,
+                                            vec_col, id_col).collect()}
+        # A cluster that lost every member keeps its previous
+        # centroid (the standard Lloyd's convention) instead of
+        # silently dropping out of the model.
+        prev = {r["cluster_id"]: list(r["centroid"])
+                for r in centroids.collect()}
         centroids = spark.createDataFrame(
-            recompute_centroids(assigned, emb, vec_col, id_col).collect(),
+            [(cid, new.get(cid, c)) for cid, c in sorted(prev.items())],
             "cluster_id int, centroid array<double>")
         assigned = assign_clusters(emb, centroids, vec_col, id_col)
     return assigned, centroids

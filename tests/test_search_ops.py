@@ -74,6 +74,24 @@ def test_kmeans_iterations_reduce_inertia(spark, sf_dir):
     assert i3 <= i0 + 1e-9
 
 
+def test_kmeans_empty_cluster_keeps_its_centroid(spark):
+    """A centroid that captures no points must survive the iteration
+    (standard Lloyd's convention), not vanish from the model."""
+    # Two tight groups near (0,0) and (10,10); the third initial
+    # centroid (0,1) loses all points to centroid 0 after one step.
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.0, 1.0]),
+         (3, [10.0, 10.0]), (4, [10.1, 10.0]), (5, [10.0, 10.1])],
+        "vec_id int, embedding array<float>")
+    assigned, centroids = clustering.kmeans_fit(emb, k=3, iters=2)
+    assert centroids.count() == 3
+    # All six points end in the two real groups; the orphan centroid
+    # persists with its last coordinates.
+    got = {r["vec_id"]: r["cluster_id"] for r in assigned.collect()}
+    assert got[3] == got[4] == got[5]
+    assert got[0] == got[1]
+
+
 def test_assign_ties_break_to_lowest_cluster(spark):
     emb = spark.createDataFrame(
         [(0, [0.0, 0.0])], "vec_id int, embedding array<float>")
