@@ -141,6 +141,42 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 10,
     )
 
 
+def rrf_fuse(ranked_a: DataFrame, ranked_b: DataFrame,
+             id_col: str = "doc_id", rank_col: str = "rank",
+             k: int = 60, topn: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked retrievals (Cormack et
+    al. 2009): score(d) = Σᵢ 1 / (k + rankᵢ(d)), the standard hybrid
+    lexical+vector fusion. Inputs are (id, rank) frames; a document
+    missing from one list simply contributes nothing from it.
+
+    Full outer join on the id, then a FIXED-ORDER two-term sum
+    (a-side + b-side) — deterministic without any sorted fold
+    because the expression tree, not an aggregate, adds the terms.
+    Returns (id, rrf, fused_rank) for the top-``topn``. Scale: the
+    inputs are already top-k lists (bounded), so the join and the
+    global rank window are small by construction.
+    """
+    a = ranked_a.select(F.col(id_col).alias("id"),
+                        F.col(rank_col).alias("_ra"))
+    b = ranked_b.select(F.col(id_col).alias("id"),
+                        F.col(rank_col).alias("_rb"))
+    fused = (
+        a.join(b, "id", "full_outer")
+        .select(
+            "id",
+            (F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_ra")), F.lit(0.0))
+             + F.coalesce(F.lit(1.0) / (F.lit(k) + F.col("_rb")),
+                          F.lit(0.0))).alias("rrf"),
+        )
+    )
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topn)
+        .select(F.col("id").alias(id_col), "rrf", "fused_rank")
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, per_doc: int = 3,
                     log_idf: bool = False,
                     id_col: str = "doc_id", text_col: str = "text",

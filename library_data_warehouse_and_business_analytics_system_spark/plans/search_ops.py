@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import cdc, clustering, search, validate
+from ..operators import cdc, clustering, graph, search, similarity, validate
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -186,6 +186,173 @@ def kmeans_assign_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(F.col("dist").cast("decimal(30,15)")), 6)
              .cast("double").alias("sum_dist"))
         .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 lexical top-100 fused with exact-cosine
+# vector top-100 by reciprocal-rank fusion (Cormack et al. 2009) —
+# the standard hybrid-search composition. documents.doc_id and
+# embeddings.vec_id share an id space, so the fusion joins the two
+# lists directly. Deterministic end-to-end: rational-idf BM25,
+# index-order-folded cosines, and a fixed-order two-term RRF sum.
+
+_QDOT = ("list_reduce(list_prepend(0.0::DOUBLE, "
+         "list_transform(range(1, 65), "
+         "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), (acc, x) -> acc + x)")
+
+
+@register(
+    "hybrid_rrf_search",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term,
+             len(regexp_split_to_array(trim(text), '\s+')) AS dl
+      FROM documents
+    ), post AS (
+      SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+      FROM toks WHERE term IN {_TERMS_SQL}
+      GROUP BY doc_id, term
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs,
+             SUM(len(regexp_split_to_array(trim(text), '\s+')))::DOUBLE
+               / COUNT(*) AS avgdl
+      FROM documents
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM post GROUP BY term
+    ), weighted AS (
+      SELECT p.doc_id, p.term,
+             ((s.n_docs::DOUBLE - d.df + 0.5::DOUBLE)
+                / (d.df + 0.5::DOUBLE))
+               * (p.tf * ({_K1}::DOUBLE + 1.0::DOUBLE))
+               / (p.tf + {_K1}::DOUBLE
+                  * ((1.0::DOUBLE - {_B}::DOUBLE)
+                     + {_B}::DOUBLE * p.dl / s.avgdl))
+               AS w
+      FROM post p JOIN dfq d USING (term) CROSS JOIN stats s
+    ), bscored AS (
+      SELECT doc_id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(w ORDER BY term)),
+                         (acc, x) -> acc + x) AS score
+      FROM weighted GROUP BY doc_id
+    ), bm AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM bscored QUALIFY rank <= 100
+    ), qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), ascored AS (
+      SELECT e.vec_id,
+             {_QDOT.format(a='qv.q', b='e.embedding')}
+               / nullif(sqrt({_QDOT.format(a='qv.q', b='qv.q')})
+                        * sqrt({_QDOT.format(a='e.embedding',
+                                             b='e.embedding')}), 0) AS cos
+      FROM embeddings e, qv WHERE e.vec_id <> 0
+    ), ann AS (
+      SELECT vec_id,
+             ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rank
+      FROM ascored QUALIFY rank <= 100
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, ann.vec_id) AS doc_id,
+             COALESCE(1.0::DOUBLE / (60 + bm.rank), 0.0::DOUBLE)
+               + COALESCE(1.0::DOUBLE / (60 + ann.rank), 0.0::DOUBLE)
+               AS rrf
+      FROM bm FULL JOIN ann ON bm.doc_id = ann.vec_id
+    )
+    SELECT doc_id, rrf,
+           ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+    FROM fused QUALIFY fused_rank <= 20
+    ORDER BY fused_rank
+    """,
+    operators=("SEARCH-HYBRID", "SEARCH-BM25", "ANN-BRUTE", "J2", "W4"),
+)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    bm = (search.bm25_topk(docs, _BM25_TERMS, k=100, k1=_K1, b=_B)
+          .select("doc_id", "rank"))
+    ann = (
+        similarity.brute_force_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+            k=100)
+        .select(F.col("neighbor_id").alias("doc_id"), "rank")
+    )
+    return search.rrf_fuse(bm, ann, topn=20).orderBy("fused_rank")
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the part co-purchase graph (parts sharing an order,
+# both directions). The other classic iterative fixpoint next to
+# dedup_clusters' connected components: each iteration is one
+# rank→edge equi-join plus one per-destination sorted fold, so even
+# the iterated rank doubles are bit-exact against the oracle's
+# replicated two iterations.
+
+_PR_EDGES = """
+    edges AS (
+      SELECT DISTINCT l1.l_partkey AS src, l2.l_partkey AS dst
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_partkey <> l2.l_partkey
+    ), nodes AS (
+      SELECT src AS id FROM edges UNION SELECT dst FROM edges
+    ), nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src)
+"""
+
+_PR_ITER = """
+    c{i} AS (
+      SELECT e.dst AS id, e.src, p.pr / o.odeg AS c
+      FROM edges e
+      JOIN pr{prev} p ON p.id = e.src
+      JOIN outdeg o ON o.src = e.src
+    ), s{i} AS (
+      SELECT id,
+             list_reduce(list_prepend(0.0::DOUBLE, list(c ORDER BY src)),
+                         (acc, x) -> acc + x) AS s
+      FROM c{i} GROUP BY id
+    ), pr{i} AS (
+      SELECT nodes.id,
+             ((1.0::DOUBLE - 0.85::DOUBLE) / nn.n)
+               + 0.85::DOUBLE * COALESCE(s{i}.s, 0.0::DOUBLE) AS pr
+      FROM nodes CROSS JOIN nn LEFT JOIN s{i} ON s{i}.id = nodes.id
+    )
+"""
+
+
+@register(
+    "copurchase_pagerank",
+    f"""
+    WITH {_PR_EDGES},
+    pr0 AS (SELECT id, 1.0::DOUBLE / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {_PR_ITER.format(i=1, prev=0)},
+    {_PR_ITER.format(i=2, prev=1)}
+    SELECT id AS part_id, pr,
+           ROW_NUMBER() OVER (ORDER BY pr DESC, id) AS pr_rank
+    FROM pr2 QUALIFY pr_rank <= 25
+    ORDER BY pr_rank
+    """,
+    operators=("GRAPH-PAGERANK", "J1", "A1", "W4"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
+    l2 = li.select(F.col("l_orderkey"),
+                   F.col("l_partkey").alias("p2"))
+    edges = (
+        li.join(l2, "l_orderkey")
+        .filter(F.col("l_partkey") != F.col("p2"))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+    pr = graph.pagerank(edges, iters=2, damping=0.85)
+    w = Window.orderBy(F.col("pr").desc(), F.col("id"))
+    return (
+        pr.withColumn("pr_rank", F.row_number().over(w))
+        .filter(F.col("pr_rank") <= 25)
+        .select(F.col("id").alias("part_id"), "pr", "pr_rank")
+        .orderBy("pr_rank")
     )
 
 

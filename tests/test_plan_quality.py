@@ -56,6 +56,9 @@ CARTESIAN_OK = {
     "semantic_dedup_pairs",  # same k × N assignment stage; the pair
                              # stage itself is an equi-join on cluster_id
     "cluster_prototype_prune",  # same k × N assignment stage
+    "hybrid_rrf_search",    # ANN stage is query × corpus scoring
+                            # (1-row broadcast query side); the fusion
+                            # itself is an equi-join of two top-k lists
     "dq_expectations_summary",  # 1-row × 1-row (n_checked × orphans)
                                 # scalar joins inside fk_report
 }

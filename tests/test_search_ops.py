@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from library_data_warehouse_and_business_analytics_system_spark.operators import (
     cdc,
     clustering,
+    graph,
     search,
     validate,
 )
@@ -241,6 +242,58 @@ def test_tfidf_vocabulary_join_is_not_force_broadcast(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
     assert "BroadcastHashJoin" not in p
+
+
+# ---------------------------------------------------------------------------
+# PageRank / RRF
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src int, dst int")
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    import numpy as np
+    pairs = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2),
+             (4, 1), (5, 1)]  # triangle plus two feeders into node 1
+    got = {r["id"]: r["pr"]
+           for r in graph.pagerank(_edges(spark, pairs),
+                                   iters=3, damping=0.85).collect()}
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s, _ in pairs:
+        out[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(3):
+        new = np.full(n, 0.15 / n)
+        for s, d in pairs:
+            new[idx[d]] += 0.85 * pr[idx[s]] / out[idx[s]]
+        pr = new
+    for v in nodes:
+        assert abs(got[v] - pr[idx[v]]) < 1e-12, v
+    # The fed node dominates; the feeders (no in-edges) sit at base.
+    assert got[1] == max(got.values())
+    assert got[4] == got[5] == min(got.values())
+
+
+def test_pagerank_symmetric_cycle_is_uniform(spark):
+    pairs = [(1, 2), (2, 3), (3, 1)]
+    got = {r["id"]: r["pr"]
+           for r in graph.pagerank(_edges(spark, pairs), iters=5).collect()}
+    assert len(set(got.values())) == 1  # exactly uniform, bit-for-bit
+
+
+def test_rrf_doc_in_both_lists_wins(spark):
+    a = spark.createDataFrame([(10, 1), (11, 2)], "doc_id int, rank int")
+    b = spark.createDataFrame([(10, 1), (12, 2)], "doc_id int, rank int")
+    out = {r["doc_id"]: (r["rrf"], r["fused_rank"])
+           for r in search.rrf_fuse(a, b).collect()}
+    assert out[10][1] == 1
+    assert out[10][0] == 2.0 / 61.0
+    # single-list docs get exactly the one-term score
+    assert out[11][0] == 1.0 / 62.0 and out[12][0] == 1.0 / 62.0
 
 
 # ---------------------------------------------------------------------------
