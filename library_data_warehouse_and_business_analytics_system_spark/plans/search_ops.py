@@ -552,6 +552,122 @@ def events_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Transactional-layer reads under the driver hash: time travel and
+# incremental aggregate maintenance. Like merge_parts_orders, these
+# run the REAL write path against a staged txlog table and gate the
+# OUTCOME bit-exactly — the oracle states what the result must equal
+# in terms of the source table, not a translation of the code.
+
+
+@register(
+    "txlog_time_travel",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) <= 1997
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-TIME-TRAVEL", "S1", "A1"),
+)
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three yearly commits, then a LATER overwrite that perturbs
+    every price and a checkpoint — and an ``as_of`` read back to
+    commit 2 that must still see exactly the first two years'
+    original rows. A green row certifies that historical snapshots
+    survive both subsequent overwrites and checkpointing.
+    Reference parity: Oracle flashback query (AS OF SCN) over the
+    loaded warehouse; format-level the Delta time-travel contract.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import tx_checkpoint, tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txtt_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_tl"
+    tx_write(orders.filter(F.col("o_year") <= 1996), t, mode="append")
+    c2 = tx_write(orders.filter(F.col("o_year") == 1997), t, mode="append")
+    tx_write(orders.filter(F.col("o_year") >= 1998), t, mode="append")
+    # history-rewriting overwrite + checkpoint AFTER the target commit
+    tx_write(orders.withColumn("tp", F.col("tp") + 1), t,
+             mode="overwrite")
+    tx_checkpoint(t)
+    return (
+        tx_read(spark, t, as_of=c2)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "incremental_agg_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS sum_tp,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("INCR-AGG", "TX-CDF", "A1", "S5"),
+)
+def incremental_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance from the change feed: build
+    the per-year rollup on ~6/7 of orders, append the last bucket as
+    a delta commit, then ``refresh_sum_aggregate`` catches the
+    aggregate up from ``tx_diff_parts`` alone (cost ∝ the changed
+    partitions, never a rescan). The oracle is the rollup over ALL
+    orders — a green row proves incremental ≡ full recompute
+    bit-exactly (sums ride DECIMAL, so order-independent).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_bucket
+    from ..operators.incremental_agg import (
+        build_sum_aggregate,
+        refresh_sum_aggregate,
+    )
+    from ..sources.txlog import tx_read, tx_write_parts
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    bkt = md5_bucket(F.col("o_orderkey").cast("string"), 7, salt="ia:")
+    root = tempfile.mkdtemp(prefix="txia_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    fact, aggt = f"{root}/fact_orders", f"{root}/agg_orders"
+    tx_write_parts(orders.where(bkt != 0), fact, "o_year",
+                   mode="overwrite")
+    v0 = build_sum_aggregate(spark, fact, aggt, ["o_year"], ["tp"])
+    tx_write_parts(orders.where(bkt == 0), fact, "o_year", mode="append")
+    refresh_sum_aggregate(spark, fact, aggt, ["o_year"], ["tp"],
+                          since_version=v0)
+    return (
+        tx_read(spark, aggt)
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                F.round(F.col("sum_tp"), 2).cast("double").alias("sum_tp"),
+                F.col("n_rows"))
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-table data-quality expectation report — the audit a warehouse
 # runs after every load: CHECK-style domain rules (one aggregate pass
 # per table) plus referential integrity (anti-join orphan counts),
