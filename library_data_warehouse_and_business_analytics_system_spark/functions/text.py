@@ -214,6 +214,18 @@ def pii_hits(text: Column) -> Column:
     return total
 
 
+def md5_unit_interval(col: Column, salt: str = "") -> Column:
+    """Deterministic uniform in [0, 1): the first 52 bits (13 hex
+    digits) of md5(salt || col), divided by 2^52. Both the
+    integer→double cast and the power-of-two division are exact, so
+    every md5-capable engine reproduces the value bit-for-bit.
+    Shares :func:`md5_bucket`'s salting convention — ONE md5
+    primitive family, so samples and splits can never drift apart."""
+    salted = F.concat(F.lit(salt), col) if salt else col
+    return (F.conv(F.substring(F.md5(salted), 1, 13), 16, 10)
+            .cast("long").cast("double") / F.lit(float(1 << 52)))
+
+
 def md5_bucket(col: Column, n_buckets: int, salt: str = "") -> Column:
     """Deterministic content bucket in [0, n_buckets): the first 6 hex
     digits of md5(salt || col) as an int, mod n_buckets.

@@ -33,8 +33,16 @@ def apply_changelog(log: DataFrame, keys: Sequence[str],
     Kafka offset, batch id). Rows with the highest seq win; if the
     winner is a delete the key vanishes. The op/seq columns are
     dropped from the snapshot.
+
+    Ties on seq (e.g. an update and a delete carrying the same
+    batch id) resolve deterministically by tombstone precedence —
+    the delete wins — with a final lexicographic op tie-break so no
+    ordering is ever left to partition/arrival order.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(seq_col).desc(),
+        (F.col(op_col) == "D").cast("int").desc(),
+        F.col(op_col))
     return (
         log.withColumn("_rn", F.row_number().over(w))
         .filter((F.col("_rn") == 1) & (F.col(op_col) != F.lit("D")))

@@ -23,7 +23,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
-             src: str = "src", dst: str = "dst") -> DataFrame:
+             src: str = "src", dst: str = "dst",
+             exact_fold: bool = True) -> DataFrame:
     """PageRank over a directed edge list (one row per distinct edge).
 
     Returns (id, pr) for every node appearing as a source or
@@ -33,6 +34,17 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     iterations from a uniform start — each is one shuffle join plus
     one grouped fold, so cost is O(iters × |E|) with no growth in
     state.
+
+    ``exact_fold=True`` (the oracle-gating mode) materializes each
+    destination's contributions as a sorted array before summing —
+    bit-reproducible, but the array is in-degree-sized, and on a
+    power-law web graph a hub's in-degree is millions: at 100 TB
+    that array OOMs the reducer. ``exact_fold=False`` is the scale
+    path: a plain two-phase SUM (map-side partial aggregation, state
+    one double per node) whose only cost is addition-order
+    nondeterminism in the last ulp — invisible at any tolerance a
+    ranking consumer uses. The equivalence of the two modes is
+    pinned in tests/test_search_ops.py.
     """
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
@@ -51,14 +63,18 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
             .select(F.col("dst").alias("id"), "src",
                     (F.col("pr") / F.col("odeg")).alias("c"))
         )
-        summed = (
-            contrib.groupBy("id")
-            .agg(F.array_sort(F.collect_list(F.struct("src", "c")))
-                 .alias("cs"))
-            .select("id",
-                    F.aggregate(F.col("cs"), F.lit(0.0),
-                                lambda acc, s: acc + s["c"]).alias("s"))
-        )
+        if exact_fold:
+            summed = (
+                contrib.groupBy("id")
+                .agg(F.array_sort(F.collect_list(F.struct("src", "c")))
+                     .alias("cs"))
+                .select("id",
+                        F.aggregate(F.col("cs"), F.lit(0.0),
+                                    lambda acc, s: acc + s["c"])
+                        .alias("s"))
+            )
+        else:
+            summed = contrib.groupBy("id").agg(F.sum("c").alias("s"))
         pr = (
             nodes.join(summed, "id", "left")
             .select("id",

@@ -32,6 +32,14 @@ from . import search_ops  # noqa: E402,F401
 # and (d) two single-green r6 rows to fill the window. Everything
 # else went green in r6 and rotates to the tail. Invariant: after r7,
 # no registry query's freshest green row is older than two rounds.
+# The 23 late-round-7 registrations (gapfill/retention/co-occurrence/
+# WAU/hard-negatives/CMS/dup-rate, then search/BM25/tfidf, k-means,
+# SemDeDup, prototype-prune, CDC, consecutive-collapse, DQ audit,
+# hybrid RRF, PageRank, time-travel, incremental-agg, weighted
+# sampling) land in the middle group below — after the 50-row r7
+# window, FRONTING the r8 window alongside the r7-green tail
+# rotation. They are pytest-differentially gated (bit-exact vs
+# DuckDB) from day one; the driver row lands in r8.
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
           "merge_parts_orders", "doc_ngram_novelty",

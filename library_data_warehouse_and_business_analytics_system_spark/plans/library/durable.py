@@ -152,27 +152,34 @@ def subsequent_load_durable(spark: SparkSession, root: str,
 
 def maintain_warehouse(spark: SparkSession, root: str, *,
                        vacuum_retention_sec: float = 3600.0,
-                       keep_checkpoints: int = 1) -> dict:
+                       keep_checkpoints: int = 1,
+                       zorder: dict[str, list[str]] | None = None) -> dict:
     """Metadata/disk maintenance after N daily loads (the warehouse
     analogue of the dedup index's ``maintain_index``): per table,
-    checkpoint the current state, truncate the replayed log, expire
-    old checkpoints, and vacuum unreferenced generations — so a year
-    of daily loads leaves O(1) log files and only the LIVE partition
+    optionally OPTIMIZE (``zorder`` maps fact name → clustering
+    columns; each listed fact is rewritten Z-ordered via
+    ``tx_optimize_parts`` before its metadata pass), then checkpoint
+    the current state, truncate the replayed log, expire old
+    checkpoints, and vacuum unreferenced generations — so a year of
+    daily loads leaves O(1) log files and only the LIVE partition
     generations on disk, at the price of time travel into
     pre-maintenance snapshots (which raises, never misreads).
 
-    Fact DATA is untouched: partition dirs referenced by the current
-    state survive vacuum byte-identical (a maintenance pass is a pure
-    metadata operation here because partition-scoped merges already
-    keep one live generation per touched partition). Returns
-    {table: reclaimed dir count}."""
+    Without ``zorder``, fact DATA is untouched: partition dirs
+    referenced by the current state survive vacuum byte-identical (a
+    maintenance pass is then a pure metadata operation because
+    partition-scoped merges already keep one live generation per
+    touched partition). Returns {table: reclaimed dir count}."""
     from ...sources.txlog import (
-        tx_checkpoint, tx_expire_checkpoints, tx_truncate_log, tx_vacuum,
+        tx_checkpoint, tx_expire_checkpoints, tx_optimize_parts,
+        tx_truncate_log, tx_vacuum,
     )
 
     out: dict[str, int] = {}
     for name in (*DIMS, *FACT_KEYS):
         t = f"{root}/{name}"
+        if zorder and name in zorder:
+            tx_optimize_parts(spark, t, YEAR_KEY, zorder[name])
         tx_checkpoint(t)
         tx_truncate_log(t)
         tx_expire_checkpoints(t, keep=keep_checkpoints)

@@ -12,7 +12,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import cdc, clustering, graph, search, similarity, validate
+from ..operators import (
+    cdc,
+    clustering,
+    graph,
+    sampling,
+    search,
+    similarity,
+    validate,
+)
 from ..sources.catalog import load_table
 from .registry import register
 
@@ -552,6 +560,46 @@ def events_collapse_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted sampling without replacement: priority sampling (Duffield
+# et al. 2007) with md5-derived uniforms — u/w priorities need no
+# pow(), so unlike exponential keys the whole draw is bit-exact
+# across engines. Weight = document length in chars (longer docs
+# proportionally likelier).
+
+
+@register(
+    "weighted_doc_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             (CAST('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)),
+                                  1, 13) AS BIGINT)::DOUBLE
+              / 4503599627370496.0::DOUBLE) / n_chars::DOUBLE AS priority
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars, priority, sample_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY priority, doc_id)
+               AS sample_rank
+      FROM keyed
+    )
+    WHERE sample_rank <= 50
+    ORDER BY sample_rank
+    """,
+    operators=("SAMPLE-WEIGHTED", "W4"),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars")
+    return (
+        sampling.priority_sample(docs, F.col("n_chars"), k=50,
+                                 id_col="doc_id")
+        .select("doc_id", "source", "n_chars", "priority", "sample_rank")
+        .orderBy("sample_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Transactional-layer reads under the driver hash: time travel and
 # incremental aggregate maintenance. Like merge_parts_orders, these
 # run the REAL write path against a staged txlog table and gate the
@@ -608,6 +656,58 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
         .select(F.col("o_year").cast("int").alias("o_year"),
                 "n_orders", "total_price")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "optimize_zorder_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-OPTIMIZE", "ZORDER", "A1", "A3"),
+)
+def optimize_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ... ZORDER BY under the driver hash: write orders as
+    a year-partitioned txlog table, rewrite it Z-ordered on
+    (o_custkey, totalprice), and aggregate the optimized snapshot.
+    The oracle is the rollup over the raw table — a green row proves
+    the layout rewrite is row-identical (Delta's OPTIMIZE contract).
+    Footer-stat clustering and time-travel preservation are pinned in
+    tests/test_optimize_parts.py."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import (
+        tx_optimize_parts,
+        tx_read_parts,
+        tx_write_parts,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        "o_custkey", F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txopt_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_opt"
+    tx_write_parts(orders, t, "o_year", mode="overwrite")
+    tx_optimize_parts(spark, t, "o_year", ["o_custkey", "tp"], n_files=8)
+    return (
+        tx_read_parts(spark, t)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.countDistinct("o_custkey").alias("n_custs"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "n_custs", "total_price")
         .orderBy("o_year")
     )
 

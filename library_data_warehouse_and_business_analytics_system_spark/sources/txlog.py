@@ -156,7 +156,10 @@ def _replay_parts(cp: dict | None, entries: list[dict], table: str,
     partition's dir, ``replace_parts`` swaps ONLY the named
     partitions' dirs and carries every other partition forward by
     reference — the copy-on-write granularity a partition-scoped
-    MERGE needs (VERDICT r6 item 3)."""
+    MERGE needs (VERDICT r6 item 3). A ``null`` dir in a
+    ``replace_parts`` payload marks the partition EMPTIED by the
+    commit (every row deleted — a CDC delete batch can do this);
+    replay resets it to no dirs instead of carrying stale ones."""
     def apply(parts: dict[str, list[str]], e: dict):
         if "parts" not in e:
             raise ValueError(
@@ -167,9 +170,13 @@ def _replay_parts(cp: dict | None, entries: list[dict], table: str,
         out = dict(parts)
         for v, d in e["parts"].items():
             if e["mode"] == "append_parts":
+                if d is None:
+                    raise ValueError(
+                        f"{table}: null dir in append_parts commit "
+                        f"{e['id']}")
                 out[v] = out.get(v, []) + [d]
             else:                      # replace_parts
-                out[v] = [d]
+                out[v] = [d] if d is not None else []
         return out
     base_parts = ({v: list(ds) for v, ds in cp["parts"].items()}
                   if cp else {})
@@ -699,7 +706,12 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
         merged = combine(source.limit(0))
     else:
         merged = source          # all-new partitions: pure insert
-    parts = _stage_parts(merged, table, part_col)
+    parts: dict[str, str | None] = dict(_stage_parts(merged, table, part_col))
+    # A touched partition the merge left EMPTY (every row deleted —
+    # possible with a delete-capable merge_fn) stages no dir; mark it
+    # null so replay resets it instead of resurrecting the old rows.
+    for v in touched:
+        parts.setdefault(v, None)
     return _publish(table, {"mode": "replace_parts", "pcol": part_col,
                             "parts": parts},
                     max_retries=10, txn_id=txn_id, expect_latest=base)
@@ -750,3 +762,52 @@ def tx_diff_parts(spark: SparkSession, table: str, v_from: int,
     inserts = new.exceptAll(old).select(F.lit("insert").alias("op"), "*")
     deletes = old.exceptAll(new).select(F.lit("delete").alias("op"), "*")
     return inserts.unionByName(deletes)
+
+
+def tx_optimize_parts(spark: SparkSession, table: str, part_col: str,
+                      zorder_cols: list[str], n_files: int = 16) -> int:
+    """OPTIMIZE ... ZORDER BY for a partitioned txlog table: rewrite
+    every visible partition's rows into fresh dirs clustered on the
+    Morton curve of ``zorder_cols``, published as ONE atomic
+    ``replace_parts`` commit (Delta's OPTIMIZE/ZORDER at this
+    format's level).
+
+    Contract: the visible snapshot is row-identical before and after
+    (only the file layout changes); time travel to pre-optimize
+    commits keeps working because replaced dirs stay on disk until
+    vacuum; a writer racing past the snapshot this rewrite read
+    raises :class:`TxConflict` instead of silently clobbering their
+    commit. ``n_files`` bounds the TOTAL output file count — the
+    range shuffle splits the (partition, zkey) space, so each
+    partition dir gets contiguous, footer-skippable zkey ranges.
+
+    Scale: one read of the table, one range shuffle keyed by 8-byte
+    Morton keys, one write — the same cost profile as Delta's
+    OPTIMIZE, and like it intended for a maintenance window, not the
+    hot path. Follow with ``tx_checkpoint``/``tx_vacuum`` to reclaim
+    the superseded generations once the history window allows.
+    """
+    from .zorder import zorder_key
+
+    base = tx_latest_id(table)
+    state = _visible_parts(table, as_of=base)
+    dirs = [d for ds in state.values() for d in ds]
+    if not dirs:
+        raise FileNotFoundError(f"tx_optimize_parts: {table} is empty")
+    df = spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    (zorder_key(df, zorder_cols)
+     .withColumn(_PART, df[part_col].cast("string"))
+     .repartitionByRange(n_files, _PART, "_zkey")
+     .sortWithinPartitions(_PART, "_zkey")
+     .drop("_zkey")
+     .write.partitionBy(_PART).parquet(str(Path(table) / stage)))
+    from urllib.parse import unquote
+    parts: dict[str, str] = {}
+    for d in (Path(table) / stage).iterdir():
+        if d.name.startswith(f"{_PART}="):
+            parts[unquote(d.name.split("=", 1)[1])] = f"{stage}/{d.name}"
+    return _publish(table, {"mode": "replace_parts", "pcol": part_col,
+                            "parts": parts},
+                    max_retries=10, txn_id=None, expect_latest=base)

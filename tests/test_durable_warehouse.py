@@ -268,6 +268,37 @@ def test_maintain_warehouse_bounds_metadata_keeps_data(spark, oltp, dw,
           before["fact_sales"])
 
 
+def test_maintain_with_zorder_optimizes_then_stays_identical(spark, oltp,
+                                                             dw, tmp_path):
+    """Maintenance with a zorder map OPTIMIZEs the named fact
+    (rewritten generations, snapshot bit-identical) and the cycle's
+    other guarantees still hold; loads continue afterwards."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans.library.durable import (
+        maintain_warehouse,
+    )
+
+    root = str(tmp_path / "whz")
+    publish_warehouse(spark, dw, root)
+    subsequent_load_durable(spark, root, oltp, _delta(spark, oltp), AS_OF)
+    # capture rows EAGERLY: vacuum(retention=0) below reclaims the
+    # pre-optimize generations a lazy plan would still reference
+    want = sorted(tuple(r)
+                  for r in read_warehouse(spark, root)["fact_sales"]
+                  .collect())
+
+    maintain_warehouse(spark, root, vacuum_retention_sec=0,
+                       zorder={"fact_sales": ["memberKey", "line_total"]})
+    after = read_warehouse(spark, root)["fact_sales"]
+    assert sorted(tuple(r) for r in after.collect()) == want
+    # loads continue cleanly on the optimized table; the delta merge
+    # is idempotent (NOT-EXISTS semantics), so rows are unchanged
+    subsequent_load_durable(spark, root, oltp, _delta(spark, oltp), AS_OF)
+    got = sorted(tuple(r)
+                 for r in read_warehouse(spark, root)["fact_sales"]
+                 .collect())
+    assert got == want
+
+
 def test_lqy_reports_identical_off_durable_warehouse(spark, oltp, dw,
                                                      tmp_path):
     """The three flagship LQY reports produce bit-identical results

@@ -178,6 +178,22 @@ def test_changelog_reinsert_after_delete_survives(spark):
     assert [(r["k"], r["v"]) for r in snap] == [(1, "c")]
 
 
+def test_changelog_tied_seq_delete_wins_deterministically(spark):
+    log = _log(spark, [
+        (1, "a", 1, "I"), (1, "b", 2, "U"), (1, "b", 2, "D"),
+        (2, "x", 1, "I"), (2, "y", 1, "U"),
+    ])
+    snap = {r["k"]: r["v"] for r in cdc.apply_changelog(log, ["k"]).collect()}
+    assert 1 not in snap          # tombstone precedence on the tie
+    assert snap == {2: "x"}       # non-delete tie -> lexicographic op
+                                  # ('I' < 'U'), so the insert wins —
+                                  # arbitrary but deterministic
+    # determinism: repeated application gives the same answer
+    again = {r["k"]: r["v"]
+             for r in cdc.apply_changelog(log, ["k"]).collect()}
+    assert snap == again
+
+
 def test_changelog_apply_is_idempotent_over_snapshot(spark):
     """Re-applying a snapshot (as all-I at a later seq) is a no-op."""
     log = _log(spark, [(1, "a", 1, "I"), (2, "b", 1, "I"), (2, "b", 2, "D")])
@@ -278,6 +294,23 @@ def test_pagerank_matches_numpy_reference(spark):
     assert got[4] == got[5] == min(got.values())
 
 
+def test_pagerank_scale_sum_matches_exact_fold(spark):
+    """The plain-SUM scale path (what a power-law graph needs — no
+    in-degree-sized arrays) must agree with the sorted-fold gating
+    path to float tolerance."""
+    pairs = [(s, d) for s in range(1, 30) for d in range(1, 30)
+             if s != d and (s + d) % 3 != 0]
+    exact = {r["id"]: r["pr"]
+             for r in graph.pagerank(_edges(spark, pairs), iters=3,
+                                     exact_fold=True).collect()}
+    fast = {r["id"]: r["pr"]
+            for r in graph.pagerank(_edges(spark, pairs), iters=3,
+                                    exact_fold=False).collect()}
+    assert exact.keys() == fast.keys()
+    for k in exact:
+        assert abs(exact[k] - fast[k]) < 1e-12
+
+
 def test_pagerank_symmetric_cycle_is_uniform(spark):
     pairs = [(1, 2), (2, 3), (3, 1)]
     got = {r["id"]: r["pr"]
@@ -294,6 +327,38 @@ def test_rrf_doc_in_both_lists_wins(spark):
     assert out[10][0] == 2.0 / 61.0
     # single-list docs get exactly the one-term score
     assert out[11][0] == 1.0 / 62.0 and out[12][0] == 1.0 / 62.0
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    from library_data_warehouse_and_business_analytics_system_spark.operators import (
+        sampling,
+    )
+    rows = [(i, 1 if i < 990 else 100_000) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id int, w int")
+    got = sampling.priority_sample(df, F.col("w"), k=10, id_col="id")
+    heavy = sum(1 for r in got.collect() if r["w"] == 100_000)
+    # 10 rows hold ~50% of total weight; the md5 draw is fixed, and
+    # a weighted sampler must pull most of them into a k=10 sample.
+    assert heavy >= 5
+    # deterministic: the same call yields the identical sample
+    again = sampling.priority_sample(df, F.col("w"), k=10, id_col="id")
+    assert sorted(r["id"] for r in got.collect()) == \
+        sorted(r["id"] for r in again.collect())
+
+
+def test_priority_sample_without_replacement_exact_k(spark):
+    from library_data_warehouse_and_business_analytics_system_spark.operators import (
+        sampling,
+    )
+    df = spark.createDataFrame([(i, i + 1) for i in range(100)],
+                               "id int, w int")
+    got = sampling.priority_sample(df, F.col("w"), k=25, id_col="id")
+    ids = [r["id"] for r in got.collect()]
+    assert len(ids) == 25 and len(set(ids)) == 25
 
 
 # ---------------------------------------------------------------------------
