@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 from ...sources.txlog import (
     tx_merge_parts, tx_read, tx_read_parts, tx_write, tx_write_parts,
 )
+from ...sources.txmulti import (
+    publish_manifest, read_consistent, snapshot_current,
+)
 from . import incremental as INC
 from .etl import (load_fact_borrowing, load_fact_purchase, load_fact_sales,
                   screen_oltp)
@@ -82,12 +85,29 @@ def publish_warehouse(spark: SparkSession, dw: dict[str, DataFrame],
             fact = INC.cap_overdue_days(fact)   # publish-capped invariant
         tx_write_parts(fact, t, YEAR_KEY, mode="overwrite")
         out[name] = t
+    # cross-table snapshot: readers of read_warehouse(consistent=True)
+    # can never see a torn state from a later crash mid-load
+    publish_manifest(root, snapshot_current(root, [*DIMS, *FACT_KEYS]))
     return out
 
 
-def read_warehouse(spark: SparkSession, root: str) -> dict[str, DataFrame]:
+def read_warehouse(spark: SparkSession, root: str,
+                   consistent: bool = False,
+                   manifest_id: int | None = None) -> dict[str, DataFrame]:
     """Current snapshot of every table, fact frames stripped of the
-    storage-only partition column."""
+    storage-only partition column.
+
+    ``consistent=True`` pins every table to the commits the newest
+    manifest (or ``manifest_id`` — warehouse-level time travel)
+    recorded, so a load crashing mid-way between per-table commits
+    can never surface as dims-advanced/facts-stale to this reader.
+    The default reads each table's latest commit (what a same-process
+    caller wants right after loading)."""
+    if consistent or manifest_id is not None:
+        got = read_consistent(spark, root, list(DIMS), list(FACT_KEYS),
+                              manifest_id=manifest_id)
+        return {n: (df.drop(YEAR_KEY) if n in FACT_KEYS else df)
+                for n, df in got.items()}
     out: dict[str, DataFrame] = {}
     for name in DIMS:
         out[name] = tx_read(spark, f"{root}/{name}")
@@ -148,6 +168,12 @@ def subsequent_load_durable(spark: SparkSession, root: str,
             dim_date, dims["dim_book"], dims["dim_suppliers"]), dim_date)
         tx_merge_parts(spark, f"{root}/fact_purchase", delta,
                        keys=FACT_KEYS["fact_purchase"], part_col=YEAR_KEY)
+
+    # All tables committed: pin the new consistent snapshot. A crash
+    # ANYWHERE above leaves consistent readers on the previous
+    # manifest; the idempotent re-run converges the tables and the
+    # manifest advances here.
+    publish_manifest(root, snapshot_current(root, [*DIMS, *FACT_KEYS]))
 
 
 def maintain_warehouse(spark: SparkSession, root: str, *,

@@ -65,6 +65,12 @@ def ingest_borrowing_batch(batch: DataFrame, batch_id: int, root: str,
         merge_fn=lambda cur, src: INC.cap_overdue_days(
             insert_not_exists(cur, src, keys)),
         txn_id=f"wh-borrow-{batch_id}")
+    # advance the consistent-reader snapshot to include this batch
+    # (one tiny JSON per micro-batch; a redelivered batch re-commits
+    # nothing above, and the re-pinned ids are then identical)
+    from ..plans.library.durable import DIMS
+    from ..sources.txmulti import publish_manifest, snapshot_current
+    publish_manifest(root, snapshot_current(root, [*DIMS, *FACT_KEYS]))
 
 
 def start_borrowing_ingest(borrow_stream: DataFrame, root: str,
