@@ -89,7 +89,8 @@ def main() -> None:
         "merge_parts_orders", "merge_upsert_orders",
         "borrowing_not_exists_append", "scd2_dimbook_apply",
         "txlog_time_travel", "incremental_agg_orders",
-        "optimize_zorder_orders",
+        "optimize_zorder_orders", "restore_orders_version",
+        "clone_orders_isolated", "warehouse_consistent_read",
     }
 
     timings: dict[str, float] = {}

@@ -812,3 +812,68 @@ def weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("wd", "yyyy-MM-dd").alias("d"), "wau")
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-rank family: NTILE / PERCENT_RANK / CUME_DIST — the
+# Oracle analytic functions the reference's report queries draw from,
+# computed WITHOUT a global single-partition window (two-phase range
+# rank, operators/ranking.py). The strict (spend DESC, custkey)
+# order makes every window double bit-exact cross-engine.
+
+
+@register(
+    "customer_value_deciles",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT o_custkey, spend,
+             ROW_NUMBER()   OVER (ORDER BY spend DESC, o_custkey)
+               AS global_rank,
+             NTILE(10)      OVER (ORDER BY spend DESC, o_custkey)
+               AS decile,
+             PERCENT_RANK() OVER (ORDER BY spend DESC, o_custkey) AS pr,
+             CUME_DIST()    OVER (ORDER BY spend DESC, o_custkey) AS cd
+      FROM spend
+    )
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           MIN(global_rank) AS first_rank,
+           CAST(ROUND(SUM(spend), 2) AS DOUBLE) AS decile_spend,
+           MIN(pr) AS min_pr,
+           MAX(cd) AS max_cd
+    FROM ranked GROUP BY decile ORDER BY decile
+    """,
+    operators=("W-NTILE", "W-DIST", "W3", "O1", "A1"),
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles with the full distribution-rank family.
+    The naive plan is ``ntile(10).over(Window.orderBy(...))`` — an
+    Exchange SinglePartition of every customer. This uses the
+    two-phase range-rank (``operators/ranking.py``): parallel range
+    shuffle, driver prefix offsets, per-partition row_number, and
+    NTILE/PERCENT_RANK/CUME_DIST as closed-form arithmetic over
+    (rank, N) — bit-identical to the window definitions because the
+    order is strict. Oracle-side these are NTILE / PERCENT_RANK /
+    CUME_DIST literally; min/max per decile keep the float outputs
+    order-independent."""
+    from ..operators import ranking
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                  .alias("spend")))
+    ranked = ranking.with_rank_stats(
+        spend, [F.col("spend").desc(), F.col("o_custkey")], n_tiles=10)
+    return (
+        ranked.groupBy(F.col("ntile").alias("decile"))
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.min("global_rank").alias("first_rank"),
+             F.round(F.sum("spend"), 2).cast("double").alias("decile_spend"),
+             F.min("percent_rank").alias("min_pr"),
+             F.max("cume_dist").alias("max_cd"))
+        .orderBy("decile")
+    )

@@ -860,3 +860,190 @@ def dq_expectations_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out.orderBy("check_name")
+
+
+# ---------------------------------------------------------------------------
+# RESTORE / shallow-clone / consistent-read gates: like
+# txlog_time_travel, these run the REAL transactional write paths
+# against staged tables and gate the OUTCOME bit-exactly — the oracle
+# states what the final snapshot must equal in terms of the source
+# table, never a translation of the code.
+
+
+@register(
+    "restore_orders_version",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-RESTORE", "S1", "A1"),
+)
+def restore_orders_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TABLE under the driver hash: two good yearly commits,
+    a price-corrupting overwrite, ``tx_restore`` back past it, then
+    normal appends CONTINUING on the restored table. The final
+    snapshot must equal the original orders in full — the corrupting
+    commit gone, the post-restore appends present. Reference parity:
+    Oracle FLASHBACK TABLE ... TO SCN; format-level Delta's
+    RESTORE ... TO VERSION AS OF (a metadata-only commit — the
+    zero-copy property is pinned in tests/test_restore_clone.py).
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_restore, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txrs_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_rs"
+    tx_write(orders.filter(F.col("o_year") <= 1996), t, mode="append")
+    c2 = tx_write(orders.filter(F.col("o_year") == 1997), t, mode="append")
+    # corrupting overwrite, then roll it back
+    tx_write(orders.filter(F.col("o_year") <= 1997)
+             .withColumn("tp", F.col("tp") + 1), t, mode="overwrite")
+    tx_restore(t, c2)
+    # life goes on after the restore
+    tx_write(orders.filter(F.col("o_year") >= 1998), t, mode="append")
+    return (
+        tx_read(spark, t)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "clone_orders_isolated",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) <= 1997
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-CLONE", "S1", "A1"),
+)
+def clone_orders_isolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow clone under the driver hash: clone a loaded orders
+    table (zero bytes copied — pinned in tests/test_restore_clone.py),
+    then OVERWRITE the source with corrupted prices and append extra
+    years to it. The clone must still read exactly the years-≤1997
+    snapshot it pinned — writes to the source never leak into a
+    clone. Format-level: Delta's CREATE TABLE ... SHALLOW CLONE.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import tx_clone, tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txcl_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    src, dst = f"{root}/orders_src", f"{root}/orders_clone"
+    tx_write(orders.filter(F.col("o_year") <= 1997), src, mode="append")
+    tx_clone(src, dst)
+    # mutate the SOURCE after the clone: overwrite + append
+    tx_write(orders.withColumn("tp", F.col("tp") * 2), src,
+             mode="overwrite")
+    tx_write(orders.filter(F.col("o_year") >= 1998), src, mode="append")
+    return (
+        tx_read(spark, dst)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "warehouse_consistent_read",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS total_price
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE year(o.o_orderdate) <= 1997
+    GROUP BY n.n_name
+    ORDER BY nation
+    """,
+    operators=("TX-MANIFEST", "J1", "A1"),
+)
+def warehouse_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table snapshot isolation under the driver hash: load a
+    two-table mini-warehouse (customer dim + orders fact) and publish
+    a manifest; then run a SECOND load that commits a corrupted dim
+    AND new fact years but CRASHES before its manifest. The
+    consistent read must resolve the first manifest and see the
+    first load exactly — original dim, years ≤1997 — never the torn
+    dims-advanced/facts-stale state the raw per-table reads would
+    show. This is the multi-table transaction layer single-table
+    formats (Delta/Iceberg) lack; sources/txmulti.py.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import tx_write
+    from ..sources.txmulti import (
+        publish_manifest, read_consistent, snapshot_current,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txwc_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    # load 1: complete, manifested
+    tx_write(cust, f"{root}/dim_customer", mode="overwrite")
+    tx_write(orders.filter(F.col("o_year") <= 1997),
+             f"{root}/fact_orders", mode="overwrite")
+    publish_manifest(root, snapshot_current(
+        root, ["dim_customer", "fact_orders"]))
+    # load 2: commits both tables but "crashes" before its manifest
+    tx_write(cust.withColumn("c_nationkey",
+                             (F.col("c_nationkey") + 1) % 25),
+             f"{root}/dim_customer", mode="overwrite")
+    tx_write(orders.filter(F.col("o_year") >= 1998),
+             f"{root}/fact_orders", mode="append")
+    snap = read_consistent(spark, root,
+                           plain=["dim_customer", "fact_orders"],
+                           partitioned=[])
+    return (
+        snap["fact_orders"]
+        .join(snap["dim_customer"],
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .orderBy("nation")
+    )

@@ -142,6 +142,12 @@ def _replay(cp: dict | None, entries: list[dict], table: str,
             raise ValueError(
                 f"{table}: partitioned commit {e['id']} in an "
                 "unpartitioned replay — read it with tx_read_parts")
+        if "dirs" in e:           # multi-dir reset: tx_restore / tx_clone
+            if e["mode"] != "overwrite":
+                raise ValueError(
+                    f"{table}: multi-dir commit {e['id']} must be an "
+                    "overwrite")
+            return list(e["dirs"])
         return [e["dir"]] if e["mode"] == "overwrite" else dirs + [e["dir"]]
     return _replay_fold(cp["id"] if cp else 0,
                         list(cp["dirs"]) if cp else [],
@@ -166,7 +172,11 @@ def _replay_parts(cp: dict | None, entries: list[dict], table: str,
                 f"{table}: unpartitioned commit {e['id']} in a "
                 "partitioned replay — read it with tx_read")
         if e["mode"] == "overwrite_parts":
-            return {v: [d] for v, d in e["parts"].items()}
+            # a value may be a LIST of dirs: tx_restore / tx_clone
+            # reset the table to a prior multi-generation state by
+            # reference instead of rewriting it
+            return {v: (list(d) if isinstance(d, list) else [d])
+                    for v, d in e["parts"].items()}
         out = dict(parts)
         for v, d in e["parts"].items():
             if e["mode"] == "append_parts":
@@ -811,3 +821,134 @@ def tx_optimize_parts(spark: SparkSession, table: str, part_col: str,
     return _publish(table, {"mode": "replace_parts", "pcol": part_col,
                             "parts": parts},
                     max_retries=10, txn_id=None, expect_latest=base)
+
+
+# ---------------------------------------------------------------------------
+# RESTORE and shallow CLONE: metadata-only state operations. Both
+# publish ONE commit that references EXISTING immutable data dirs —
+# no parquet is read or rewritten — which is exactly how Delta's
+# RESTORE TABLE ... TO VERSION AS OF and CREATE TABLE ... SHALLOW
+# CLONE work (a new log entry pointing at old files). Reference
+# parity: Oracle FLASHBACK TABLE ... TO SCN (restore) and a
+# snapshot-consistent CTAS without the copy (clone).
+
+
+def _is_partitioned(table: str) -> bool:
+    es = _entries(table)
+    if es:
+        return "parts" in max(es, key=lambda e: e["id"])
+    cp = _latest_checkpoint(table)
+    if cp:
+        return "parts" in cp
+    raise FileNotFoundError(f"txlog table {table} has no commits")
+
+
+def tx_restore(table: str, to_version: int, max_retries: int = 10) -> int:
+    """Roll the table's CURRENT state back to what it was at commit
+    ``to_version`` — as a NEW commit, so the rollback itself is in
+    the history (time travel to the bad commits still works, and a
+    second restore can undo the restore). Metadata-only: the commit
+    references the historical generation's dirs; nothing is copied.
+
+    Raises the usual truncation ``ValueError`` when ``to_version``
+    is no longer reachable (maintenance truncated it), and
+    :class:`TxConflict` if another writer commits during the restore
+    (the restored state was derived from the pre-restore snapshot).
+    """
+    latest = tx_latest_id(table)
+    if to_version > latest:
+        raise ValueError(
+            f"tx_restore: {table} is at commit {latest}; cannot "
+            f"restore to future version {to_version}")
+    if _is_partitioned(table):
+        state = _visible_parts(table, as_of=to_version)
+        pcol = next((e["pcol"] for e in
+                     sorted(_entries(table), key=lambda e: -e["id"])
+                     if "pcol" in e), None)
+        payload = {"mode": "overwrite_parts",
+                   "parts": {v: list(ds) for v, ds in state.items()},
+                   "restore_of": to_version}
+        if pcol is not None:
+            payload["pcol"] = pcol
+    else:
+        dirs = _visible_dirs(table, as_of=to_version)
+        payload = {"mode": "overwrite", "dirs": dirs,
+                   "restore_of": to_version}
+    return _publish(table, payload, max_retries,
+                    txn_id=None, expect_latest=latest)
+
+
+def tx_clone(src: str, dst: str, as_of: int | None = None,
+             max_retries: int = 10) -> int:
+    """SHALLOW-clone ``src``'s snapshot (current, or ``as_of``) into
+    a new txlog table at ``dst``: one commit whose dir references are
+    ABSOLUTE paths into the source's data — zero bytes copied, reads
+    work immediately, and writes to either table never affect the
+    other (the clone's own commits stage under ``dst/data`` as
+    usual; the source's files are immutable).
+
+    Caveat (the one Delta documents for shallow clones too): a
+    maintenance cycle on the SOURCE (``tx_truncate_log`` +
+    ``tx_expire_checkpoints`` + ``tx_vacuum``) can reclaim data dirs
+    the clone still references. Run ``tx_materialize`` on the clone
+    (or re-clone) before retiring source history it depends on.
+    """
+    if tx_exists(dst):
+        raise FileExistsError(f"tx_clone: {dst} already has commits")
+    src_abs = Path(src).resolve()
+    if _is_partitioned(src):
+        state = _visible_parts(src, as_of=as_of)
+        pcol = next((e["pcol"] for e in
+                     sorted(_entries(src), key=lambda e: -e["id"])
+                     if "pcol" in e), None)
+        payload = {"mode": "overwrite_parts",
+                   "parts": {v: [str(src_abs / d) for d in ds]
+                             for v, ds in state.items()},
+                   "clone_of": str(src_abs)}
+        if pcol is not None:
+            payload["pcol"] = pcol
+    else:
+        dirs = _visible_dirs(src, as_of=as_of)
+        payload = {"mode": "overwrite",
+                   "dirs": [str(src_abs / d) for d in dirs],
+                   "clone_of": str(src_abs)}
+    if as_of is not None:
+        payload["src_version"] = as_of
+    return _publish(dst, payload, max_retries,
+                    txn_id=None, expect_latest=None)
+
+
+def tx_materialize(spark: SparkSession, table: str,
+                   max_retries: int = 10) -> int:
+    """Rewrite the table's visible state into its OWN data directory
+    as one atomic overwrite commit — turns a shallow clone into a
+    self-contained table (Delta's CONVERT-the-clone step), and is a
+    no-op-shaped full compaction for any table. Conflict-checked."""
+    latest = tx_latest_id(table)
+    if _is_partitioned(table):
+        state = _visible_parts(table)
+        stage = f"{_DATA}/{uuid.uuid4().hex}"
+        parts: dict[str, str] = {}
+        for v, ds in sorted(state.items()):
+            if not ds:
+                continue
+            sub = f"{stage}/{_PART}={v}"
+            (spark.read.parquet(*[str(Path(table) / d) for d in ds])
+             .write.parquet(str(Path(table) / sub)))
+            parts[v] = sub
+        pcol = next((e["pcol"] for e in
+                     sorted(_entries(table), key=lambda e: -e["id"])
+                     if "pcol" in e), None)
+        payload = {"mode": "overwrite_parts", "parts": parts,
+                   "materialized": True}
+        if pcol is not None:
+            payload["pcol"] = pcol
+        return _publish(table, payload, max_retries,
+                        txn_id=None, expect_latest=latest)
+    dirs = _visible_dirs(table)
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    (spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+     .write.parquet(str(Path(table) / stage)))
+    return _publish(table, {"mode": "overwrite", "dir": stage,
+                            "materialized": True},
+                    max_retries, txn_id=None, expect_latest=latest)
