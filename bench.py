@@ -91,6 +91,7 @@ def main() -> None:
         "txlog_time_travel", "incremental_agg_orders",
         "optimize_zorder_orders", "restore_orders_version",
         "clone_orders_isolated", "warehouse_consistent_read",
+        "mor_delete_orders",
     }
 
     timings: dict[str, float] = {}

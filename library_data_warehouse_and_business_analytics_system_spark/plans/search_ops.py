@@ -1047,3 +1047,56 @@ def warehouse_consistent_read(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
         .orderBy("nation")
     )
+
+
+@register(
+    "mor_delete_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE (year(o_orderdate) <= 1997 AND o_orderkey % 7 <> 0)
+       OR year(o_orderdate) >= 1998
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-MOR-DELETE", "S6", "A1"),
+)
+def mor_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE under the driver hash: load years ≤1997,
+    issue a DELETE ... WHERE (o_orderkey % 7 = 0) that stages ONLY
+    the deleted keys (Iceberg equality-delete semantics — the
+    no-rewrite property is pinned in tests/test_mor_deletes.py),
+    then APPEND years ≥1998 — whose %7 keys must SURVIVE, because an
+    equality delete applies only to older data commits. The final
+    MoR read must equal the WHERE-filtered source exactly.
+    Reference parity: 02_OLTP_Screens.sql's DELETE screens, at a
+    scale where rewriting the fact is not an option."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.mor import tx_delete_where, tx_read_mor
+    from ..sources.txlog import tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txmd_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_mor"
+    tx_write(orders.filter(F.col("o_year") <= 1997), t, mode="append")
+    tx_delete_where(spark, t, F.col("o_orderkey") % 7 == 0,
+                    ["o_orderkey"])
+    tx_write(orders.filter(F.col("o_year") >= 1998), t, mode="append")
+    return (
+        tx_read_mor(spark, t)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )

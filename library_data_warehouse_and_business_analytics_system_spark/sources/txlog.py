@@ -137,21 +137,40 @@ def _replay(cp: dict | None, entries: list[dict], table: str,
             as_of: int | None = None) -> list[str]:
     """Visible data dirs of an UNPARTITIONED table (checkpoint state
     plus contiguous log replay)."""
+    live_delete = [0]   # id of a delete no later overwrite superseded
+
     def apply(dirs: list[str], e: dict) -> list[str]:
         if "parts" in e:
             raise ValueError(
                 f"{table}: partitioned commit {e['id']} in an "
                 "unpartitioned replay — read it with tx_read_parts")
+        if e["mode"] == "delete":
+            # provisionally skip; poisonous only if still live at the
+            # end of the replay (a later overwrite resets the table,
+            # making the delete irrelevant to this snapshot)
+            live_delete[0] = e["id"]
+            return dirs
         if "dirs" in e:           # multi-dir reset: tx_restore / tx_clone
             if e["mode"] != "overwrite":
                 raise ValueError(
                     f"{table}: multi-dir commit {e['id']} must be an "
                     "overwrite")
+            live_delete[0] = 0
             return list(e["dirs"])
-        return [e["dir"]] if e["mode"] == "overwrite" else dirs + [e["dir"]]
-    return _replay_fold(cp["id"] if cp else 0,
-                        list(cp["dirs"]) if cp else [],
-                        entries, table, as_of, apply)
+        if e["mode"] == "overwrite":
+            live_delete[0] = 0
+            return [e["dir"]]
+        return dirs + [e["dir"]]
+    out = _replay_fold(cp["id"] if cp else 0,
+                       list(cp["dirs"]) if cp else [],
+                       entries, table, as_of, apply)
+    if live_delete[0]:
+        raise ValueError(
+            f"{table}: merge-on-read delete commit {live_delete[0]} is "
+            "live in this snapshot — read with mor.tx_read_mor (or "
+            "tx_compact_deletes first); tx_read/tx_checkpoint would "
+            "resurrect the deleted rows")
+    return out
 
 
 def _replay_parts(cp: dict | None, entries: list[dict], table: str,
