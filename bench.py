@@ -91,7 +91,8 @@ def main() -> None:
         "txlog_time_travel", "incremental_agg_orders",
         "optimize_zorder_orders", "restore_orders_version",
         "clone_orders_isolated", "warehouse_consistent_read",
-        "mor_delete_orders",
+        "mor_delete_orders", "stats_skipping_orders",
+        "bucketed_join_revenue",
     }
 
     timings: dict[str, float] = {}

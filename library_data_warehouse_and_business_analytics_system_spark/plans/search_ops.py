@@ -1100,3 +1100,101 @@ def mor_delete_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_orders", "total_price")
         .orderBy("o_year")
     )
+
+
+@register(
+    "stats_skipping_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1997
+    GROUP BY year(o_orderdate)
+    ORDER BY o_year
+    """,
+    operators=("TX-SKIPPING", "S1", "P2", "A1"),
+)
+def stats_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit-dir data skipping under the driver hash: orders loaded
+    as one commit per year with footer-harvested min/max stats on the
+    year column, then a BETWEEN read that opens ONLY the two
+    overlapping dirs (the open-count contract is spy-pinned in
+    tests/test_skipping.py) plus the residual row filter. Delta's
+    per-file stats skipping at the txlog's commit granularity — what
+    keeps a "last 7 days" query on a 3-year fact from listing 1000
+    dirs. The oracle is the plain filtered rollup."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.skipping import tx_read_pruned, tx_write_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txsk_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_sk"
+    for y in [r["o_year"] for r in
+              orders.select("o_year").distinct().collect()]:
+        tx_write_stats(orders.filter(F.col("o_year") == y), t, ["o_year"])
+    return (
+        tx_read_pruned(spark, t, "o_year", lo=1996, hi=1997)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    operators=("BUCKET-JOIN", "J1", "A1"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join under the driver hash: lineitem and
+    orders persisted bucketed+sorted on the order key, then joined
+    WITHOUT a shuffle — the Exchange was paid once at write time and
+    amortizes over every subsequent join (the zero-Exchange plan is
+    contract-pinned in tests/test_layout_and_skew.py). This is the
+    decision that stops a daily 100 TB fact-fact join from moving
+    100 TB across the network; SURVEY.md §4.1."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..sources import warehouse as WH
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="bkt_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    lt, ot = WH.write_bucketed_pair(spark, li, orders, root,
+                                    n_buckets=8,
+                                    suffix=f"_g{uuid.uuid4().hex[:8]}")
+    return (
+        spark.table(lt)
+        .join(spark.table(ot),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_items"),
+             F.round(F.sum("price"), 2).cast("double").alias("revenue"))
+        .orderBy("o_orderpriority")
+    )

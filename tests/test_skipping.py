@@ -1,0 +1,96 @@
+"""Commit-dir data skipping (sources/skipping.py): per-commit
+min/max stats from parquet footers, pruned reads that never open
+non-overlapping dirs, and never-wrongly-skip guarantees for dirs
+without stats."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark.sources.skipping import (
+    tx_read_pruned, tx_write_stats,
+)
+from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+    tx_checkpoint, tx_read, tx_truncate_log, tx_write,
+)
+
+
+def _year_df(spark, year, n=20):
+    return (spark.range(n)
+            .select((F.lit(year) * 10000 + F.col("id")).alias("k"),
+                    F.lit(year).alias("yr"),
+                    F.to_date(F.lit(f"{year}-06-01")).alias("d")))
+
+
+def _collect(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stats_recorded_in_commit_entry(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write_stats(_year_df(spark, 1995), t, ["yr", "k", "d"])
+    entry = json.loads(next(Path(t, "_txlog").glob("*.json")).read_text())
+    assert entry["stats"]["yr"] == [1995, 1995]
+    assert entry["stats"]["k"] == [19950000, 19950019]
+    assert entry["stats"]["d"] == [{"t": "d", "v": "1995-06-01"},
+                                   {"t": "d", "v": "1995-06-01"}]
+
+
+def test_pruned_read_opens_only_overlapping_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for y in (1995, 1996, 1997, 1998):
+        tx_write_stats(_year_df(spark, y), t, ["yr"])
+    seen = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        got = _collect(tx_read_pruned(spark, t, "yr", lo=1996, hi=1997))
+    assert len(seen) == 2            # two of four dirs opened
+    want = _collect(tx_read(spark, t).where(
+        (F.col("yr") >= 1996) & (F.col("yr") <= 1997)))
+    assert got == want and len(got) == 40
+
+
+def test_open_bounds_and_date_stats(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for y in (1995, 1996, 1997):
+        tx_write_stats(_year_df(spark, y), t, ["d"])
+    got = tx_read_pruned(spark, t, "d", lo=dt.date(1996, 1, 1))
+    assert _collect(got) == _collect(
+        tx_read(spark, t).where(F.col("d") >= F.lit("1996-01-01")))
+    # predicate excluding every dir → empty, schema intact
+    none = tx_read_pruned(spark, t, "d", hi=dt.date(1990, 1, 1))
+    assert none.count() == 0
+    assert none.columns == ["k", "yr", "d"]
+
+
+def test_dirs_without_stats_are_never_skipped(spark, tmp_path):
+    t = str(tmp_path / "t")
+    tx_write_stats(_year_df(spark, 1995), t, ["yr"])
+    tx_write(_year_df(spark, 1996), t)           # plain write: no stats
+    got = _collect(tx_read_pruned(spark, t, "yr", lo=1996))
+    want = _collect(tx_read(spark, t).where(F.col("yr") >= 1996))
+    assert got == want and len(got) == 20
+
+
+def test_pruning_degrades_but_stays_correct_after_truncation(spark,
+                                                             tmp_path):
+    t = str(tmp_path / "t")
+    for y in (1995, 1996):
+        tx_write_stats(_year_df(spark, y), t, ["yr"])
+    tx_checkpoint(t)
+    tx_truncate_log(t)                # stats live in entries → gone
+    tx_write_stats(_year_df(spark, 1997), t, ["yr"])
+    got = _collect(tx_read_pruned(spark, t, "yr", lo=1997))
+    want = _collect(tx_read(spark, t).where(F.col("yr") >= 1997))
+    assert got == want and len(got) == 20
