@@ -1,0 +1,313 @@
+"""Batch 4 relational coverage: the classic hard TPC-H decorrelation
+shapes re-expressed Spark-first, pivot/unpivot round-trip, and the
+window value-function surface (FIRST/LAST/NTH_VALUE, LEAD).
+
+The reference's report SQL leans on correlated EXISTS / NOT EXISTS and
+scalar-subquery-over-aggregate patterns (LQY_query2.txt's supplier
+drill, 02_Trigger.sql:206-212's correlated lookups); these queries gate
+the same shapes at adversarial sizes. Where the textbook formulation
+self-joins the fact twice (Q21's EXISTS + NOT EXISTS over lineitem),
+the Spark plan instead computes one per-order aggregate and derives
+both predicates from it — one extra shuffle of the fact instead of two
+fact-fact joins, the rewrite you want at 100 TB. The DuckDB oracle
+keeps the EXISTS / NOT EXISTS text, so the gate proves the two
+algorithms equivalent, not just one implementation self-consistent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .registry import register
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def _dec(col: str, p: int = 18, s: int = 4):
+    return F.col(col).cast(f"decimal({p},{s})")
+
+
+_REVENUE_SQL = ("CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * (CAST(1 AS DECIMAL(8,6)) - CAST(l_discount AS DECIMAL(8,6)))")
+
+
+def _revenue_expr():
+    return _dec("l_extendedprice") * (F.lit(1).cast("decimal(8,6)")
+                                      - F.col("l_discount").cast("decimal(8,6)"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape — suppliers who alone held up a multi-supplier order.
+# "Late" is adapted to this schema (no commit/receipt dates): shipped
+# more than 60 days after the order date.
+
+
+@register(
+    "waiting_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+    operators=("J1", "J3", "J4", "A1", "O1"),
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 without any fact self-join: lineitem⋈orders is shuffled
+    ONCE on the order key, and a window over that partitioning
+    computes both per-order counts in place — distinct suppliers and
+    distinct LATE suppliers (size(collect_set(...)), nulls dropped). A
+    late line l1 qualifies iff the order has >1 supplier and exactly
+    one late supplier (then necessarily l1's own) — equivalent to the
+    EXISTS + NOT EXISTS the oracle runs, but with one scan and one
+    shuffle of the fact instead of three scans and two self-joins.
+    The per-order window partitions are bounded by lines-per-order
+    (≤7), so the sort is trivially cheap at any scale. supplier is a
+    broadcast dim."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)))
+        .filter(F.col("is_late") & (F.col("n_supp") > 1)
+                & (F.col("n_late_supp") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15 shape — top supplier(s) by quarterly revenue: aggregate,
+# then keep the rows equal to the aggregate's own maximum.
+
+
+@register(
+    "top_revenue_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             SUM({_REVENUE_SQL}) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name,
+           CAST(ROUND(rev_dec, 2) AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    operators=("J8", "A1", "P2", "J1"),
+)
+def top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15's create-view-then-max shape: the quarterly revenue
+    aggregate is computed once and reused for both the max (a 1-row
+    broadcast) and the equality filter — no second scan of lineitem.
+    The max comparison happens on the EXACT decimal sum; the double
+    cast is last, so ties are decided identically on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_expr()).alias("rev_dec"))
+    )
+    mx = rev.agg(F.max("rev_dec").alias("mx"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == mx.mx)
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round("rev_dec", 2).cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape — large-quantity orders: HAVING over the fact, then
+# enrich through orders and customer.
+
+
+@register(
+    "large_quantity_orders",
+    """
+    SELECT c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS total_price,
+           CAST(ROUND(sum_qty_dec, 2) AS DOUBLE) AS sum_qty
+    FROM (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty_dec
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > CAST(250 AS DECIMAL(18,4))
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY sum_qty DESC, o_orderkey
+    """,
+    operators=("A1", "J1", "O1", "P2"),
+)
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 with the IN-subquery folded away: the HAVING aggregate IS
+    the driving table (it already carries sum_qty), so the big-order
+    keys never need a second pass over lineitem. The quantity
+    threshold compares exact decimals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(_dec("l_quantity")).alias("sum_qty_dec"))
+             .filter(F.col("sum_qty_dec") > F.lit(250).cast("decimal(18,4)")))
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_custkey", "o_orderkey",
+                F.col("o_orderdate").cast("date").alias("o_date"),
+                F.round(_dec("o_totalprice"), 2).cast("double")
+                 .alias("total_price"),
+                F.round("sum_qty_dec", 2).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot → UNPIVOT round-trip. The oracle is the plain long-form GROUP
+# BY; the Spark plan pivots year×priority wide and stacks it back —
+# proving the round-trip lossless (pivot's absent combinations surface
+# as NULL counts and are dropped, matching the long form exactly).
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@register(
+    "priority_pivot_unpivot",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           o_orderpriority AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY year(o_orderdate), o_orderpriority
+    ORDER BY o_year, priority
+    """,
+    operators=("A2", "A1", "O1"),
+)
+def priority_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 both directions: groupBy().pivot(values=...) with the value
+    list pinned (no driver-side distinct scan), then stack() back to
+    long form. Registered against the long-form oracle so the gate
+    fails if either direction loses or invents a combination."""
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (orders
+            .withColumn("o_year", F.year("o_orderdate").cast("int"))
+            .groupBy("o_year")
+            .pivot("o_orderpriority", _PRIORITIES)
+            .count())
+    stack_args = ", ".join(f"'{p}', `{p}`" for p in _PRIORITIES)
+    return (
+        wide.select(
+            "o_year",
+            F.expr(f"stack({len(_PRIORITIES)}, {stack_args})")
+             .alias("priority", "n_orders"))
+        .filter(F.col("n_orders").isNotNull())
+        .orderBy("o_year", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window value functions — FIRST_VALUE / LAST_VALUE / NTH_VALUE / LEAD
+# over per-customer order history under a strict (date, key) order.
+
+
+_WINVAL_SQL = """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS o_date,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           CAST(FIRST_VALUE(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS DOUBLE) AS first_price,
+           CAST(LAST_VALUE(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS last_price,
+           CAST(NTH_VALUE(o_totalprice, 2) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                AS DOUBLE) AS second_price,
+           LEAD(o_orderkey) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS next_orderkey
+    FROM orders
+    WHERE o_custkey % 40 = 0
+    ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register("window_value_functions", _WINVAL_SQL,
+          operators=("W1", "W2", "O1", "P2"))
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The value-function window surface under one partition spec, so
+    Catalyst plans a single Window operator (one shuffle on o_custkey,
+    one sort) for all four functions. The values pass through
+    untouched doubles — bit-exact with no rounding discipline needed.
+    Built with the DataFrame API over an explicit full frame for
+    LAST/NTH (the SQL default frame stops at CURRENT ROW, the classic
+    LAST_VALUE trap both engines share)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 40 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing)
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.first("o_totalprice").over(w).cast("double")
+             .alias("first_price"),
+            F.last("o_totalprice").over(w_full).cast("double")
+             .alias("last_price"),
+            F.nth_value("o_totalprice", 2).over(w_full).cast("double")
+             .alias("second_price"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"))
+        .orderBy("o_custkey", "o_orderkey")
+    )

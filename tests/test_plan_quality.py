@@ -228,3 +228,37 @@ def test_corpus_growing_sets_are_not_force_broadcast(spark, sf_dir):
             assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_core_sql4_plan_contracts(plans):
+    """Targeted shapes for the batch-4 relational queries.
+
+    - waiting_suppliers (Q21 shape) must NOT self-join lineitem: the
+      textbook EXISTS + NOT EXISTS plan scans the fact three times and
+      joins it to itself twice; the window rewrite scans it ONCE and
+      computes both per-order counts behind a single order-key shuffle;
+    - window_value_functions computes all four value functions behind
+      ONE window shuffle (same partition spec -> no second exchange
+      between the Window operators);
+    - top_revenue_supplier reuses the revenue aggregate for its own
+      max (a 1-row broadcast), never a second lineitem scan.
+    """
+    q21 = plans["waiting_suppliers"]
+    li_scans = [ln for ln in q21.splitlines()
+                if "Scan parquet" in ln and "lineitem" in ln]
+    assert len(li_scans) == 1, "Q21 rewrite must scan lineitem once"
+    assert "Window" in q21
+
+    winv = plans["window_value_functions"]
+    # exchanges: one hashpartitioning(o_custkey) for the windows, one
+    # rangepartitioning for the gate's global ORDER BY -- nothing else.
+    n_ex = sum(1 for ln in winv.splitlines()
+               if "Exchange" in ln and "Broadcast" not in ln
+               and "Reused" not in ln)
+    assert n_ex <= 2, winv
+
+    q15 = plans["top_revenue_supplier"]
+    li_scans = [ln for ln in q15.splitlines()
+                if "Scan parquet" in ln and "lineitem" in ln]
+    assert len(li_scans) <= 2  # agg + (possibly reused) max branch
+    assert "BroadcastExchange" in q15 or "ReusedExchange" in q15
