@@ -92,7 +92,7 @@ def main() -> None:
         "optimize_zorder_orders", "restore_orders_version",
         "clone_orders_isolated", "warehouse_consistent_read",
         "mor_delete_orders", "stats_skipping_orders",
-        "bucketed_join_revenue",
+        "bucketed_join_revenue", "bloom_point_lookup",
     }
 
     timings: dict[str, float] = {}

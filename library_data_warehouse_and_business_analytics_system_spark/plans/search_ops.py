@@ -1198,3 +1198,63 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("price"), 2).cast("double").alias("revenue"))
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "bloom_point_lookup",
+    """
+    WITH b AS (SELECT MIN(o_orderkey) AS kmin, MAX(o_orderkey) AS kmax
+               FROM orders),
+         mid AS (SELECT MIN(o_orderkey) AS kmid
+                 FROM orders, b WHERE o_orderkey >= (kmin + kmax) // 2)
+    SELECT o_orderkey, o_custkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE)
+             AS total_price
+    FROM orders, b, mid
+    WHERE o_orderkey IN (kmin, kmax, kmid)
+    ORDER BY o_orderkey
+    """,
+    operators=("TX-BLOOM", "S1", "P3"),
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-sidecar point lookups under the driver hash: orders
+    split into four hash-disjoint commits, each with a deterministic
+    md5 bloom filter on the order key (sources/skipping.py
+    tx_write_bloom); three point reads (min / mid / max key) open
+    only the dirs whose bloom admits the key — the open-count
+    contract is spy-pinned in tests/test_skipping.py — and a probe
+    for an absent key returns nothing. The oracle is the plain
+    IN-list filter; bloom false positives cost only I/O, never the
+    hash."""
+    import atexit
+    import functools
+    import shutil
+    import tempfile
+
+    from ..sources.skipping import tx_read_point, tx_write_bloom
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txbl_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_bl"
+    for b in range(4):
+        tx_write_bloom(orders.filter(F.col("o_orderkey") % 4 == b),
+                       t, ["o_orderkey"])
+    row = orders.agg(F.min("o_orderkey").alias("kmin"),
+                     F.max("o_orderkey").alias("kmax")).collect()[0]
+    kmin, kmax = row["kmin"], row["kmax"]
+    kmid = (orders.filter(F.col("o_orderkey") >= (kmin + kmax) // 2)
+            .agg(F.min("o_orderkey")).collect()[0][0])
+    hits = [tx_read_point(spark, t, "o_orderkey", k)
+            for k in (kmin, kmid, kmax)]
+    miss = tx_read_point(spark, t, "o_orderkey", kmax + 1)
+    return (
+        functools.reduce(lambda a, b2: a.unionByName(b2), hits + [miss])
+        .select("o_orderkey", "o_custkey", "o_year",
+                F.round("tp", 2).cast("double").alias("total_price"))
+        .orderBy("o_orderkey")
+    )

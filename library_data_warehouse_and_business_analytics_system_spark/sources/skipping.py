@@ -16,13 +16,33 @@ row-group stats then prune WITHIN the opened dirs (Spark does that
 automatically); this layer prunes the DIR LIST before any file is
 opened — the part Spark cannot do for a multi-dir snapshot.
 
+Bloom sidecars (``tx_write_bloom`` / ``tx_read_point``) extend the
+same idea to POINT lookups, where min/max ranges are useless (a
+hash-distributed key intersects every dir's range): each commit
+writes a deterministic md5-based bloom filter of the key column as a
+small ``_bloom_<col>.json`` sidecar INSIDE the data dir (underscore
+files are invisible to Spark's parquet reader), and a point read
+tests the k bits driver-side before opening any dir. Delta's bloom
+filter index / Iceberg's bloom write-property, at commit-dir
+granularity. The log entry records only {m, k}; the bitset lives in
+the sidecar, so log entries stay O(1) bytes.
+
 Honesty notes:
 - Stats survive in the LOG ENTRIES; a checkpoint summarizes dirs
   only, so after ``tx_truncate_log`` pruning degrades to reading all
   checkpointed dirs (still CORRECT — dirs without known stats are
   never skipped). Re-appending through maintenance restores stats.
+  Bloom sidecars live WITH the data dirs, so they survive
+  checkpoints; a deleted/corrupt sidecar likewise degrades to
+  reading that dir.
 - Only int/float/str/date/timestamp columns carry stats (what
-  parquet footers expose losslessly); others are ignored.
+  parquet footers expose losslessly); others are ignored. Bloom
+  columns are restricted to int/string keys (types whose Spark
+  CAST-to-string is canonical and matches Python's ``str``).
+- At petabyte scale the per-commit bitset OR-aggregation collects
+  ≤ m/64 nonzero words to the driver (the bitset itself, ~180 KB
+  per million keys at 1 % fpp) — bounded by the filter size, never
+  by the data.
 """
 
 from __future__ import annotations
@@ -172,3 +192,163 @@ def tx_read_pruned(spark: SparkSession, table: str, col: str,
         c2 = F.col(col) <= F.lit(hi)
         cond = c2 if cond is None else cond & c2
     return df.where(cond) if cond is not None else df
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter sidecars for point-key skipping.
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing: m = -n ln p / (ln 2)^2 bits (rounded up
+    to whole 64-bit words), k = (m/n) ln 2 hashes."""
+    import math
+
+    n = max(int(n), 1)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, int(k)
+
+
+def _bloom_positions_expr(col: str, m: int, k: int):
+    """k bit positions as a Spark array column. Hash i of value v is
+    the first 48 bits of md5(str(v) + ':' + i) mod m — byte-identical
+    to the Python mirror below for int/string values."""
+    from pyspark.sql import functions as F
+
+    s = F.col(col).cast("string")
+    return F.array(*[
+        F.conv(F.substring(F.md5(F.concat(s, F.lit(f":{i}"))), 1, 12),
+               16, 10).cast("long") % m
+        for i in range(k)])
+
+
+def _bloom_positions_py(value, m: int, k: int) -> list[int]:
+    import hashlib
+
+    s = str(value)
+    return [int(hashlib.md5(f"{s}:{i}".encode()).hexdigest()[:12], 16) % m
+            for i in range(k)]
+
+
+def _build_bloom_sidecar(spark: SparkSession, stage_path: Path,
+                         col: str, n_rows: int, fpp: float) -> dict:
+    """Aggregate the staged dir's bloom bitset distributed (bit-OR of
+    64-bit words, ≤ m/64 rows collected) and write it as
+    ``_bloom_<col>.json`` inside the stage dir. Returns the {m, k}
+    entry for the commit payload."""
+    import base64
+    import json
+
+    from pyspark.sql import functions as F
+
+    m, k = _bloom_params(n_rows, fpp)
+    staged = spark.read.parquet(str(stage_path))
+    words = (
+        staged.select(F.explode(_bloom_positions_expr(col, m, k)).alias("b"))
+        .where(F.col("b").isNotNull())
+        .groupBy(F.floor(F.col("b") / 64).cast("long").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(b % 64 AS INT)))").alias("bits"))
+        .collect()
+    )
+    bitset = bytearray(m // 8)
+    for row in words:
+        word = int(row["bits"]) & 0xFFFFFFFFFFFFFFFF
+        base = int(row["w"]) * 8
+        for byte_i in range(8):
+            bitset[base + byte_i] |= (word >> (8 * byte_i)) & 0xFF
+    sidecar = stage_path / f"_bloom_{col}.json"
+    sidecar.write_text(json.dumps(
+        {"m": m, "k": k,
+         "bits": base64.b64encode(bytes(bitset)).decode()}))
+    return {"m": m, "k": k}
+
+
+def tx_write_bloom(df: DataFrame, table: str, bloom_cols: list[str],
+                   fpp: float = 0.01, mode: str = "append",
+                   stats_cols: list[str] | None = None,
+                   max_retries: int = 10, txn_id: str | None = None,
+                   expect_latest: int | None = None) -> int:
+    """``tx_write`` that additionally builds a per-commit bloom
+    filter sidecar for each of ``bloom_cols`` (int/string key
+    columns), sized for ``fpp`` at the staged row count (row count
+    read from the parquet footers — no extra scan). Composes with
+    min/max stats via ``stats_cols``."""
+    import uuid as _uuid
+
+    import pyarrow.parquet as pq
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"tx_write_bloom: unknown mode {mode!r}")
+    if txn_id is not None:
+        for e in _entries(table):
+            if e.get("txn") == txn_id:
+                return e["id"]
+    stage = f"{_DATA}/{_uuid.uuid4().hex}"
+    stage_path = Path(table) / stage
+    df.write.parquet(str(stage_path))
+    n_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                 for f in stage_path.rglob("*.parquet"))
+    spark = df.sparkSession
+    payload: dict = {"mode": mode, "dir": stage}
+    blooms = {c: _build_bloom_sidecar(spark, stage_path, c, n_rows, fpp)
+              for c in bloom_cols}
+    if blooms:
+        payload["bloom"] = blooms
+    if stats_cols:
+        stats = _footer_stats(stage_path, stats_cols)
+        if stats:
+            payload["stats"] = stats
+    return _publish(table, payload, max_retries, txn_id, expect_latest)
+
+
+def _bloom_might_contain(table: str, d: str, col: str, meta: dict,
+                         value) -> bool:
+    """Test the sidecar's k bits. Any read/parse failure degrades to
+    True (the dir is read; never wrongly skipped)."""
+    import base64
+    import json
+
+    try:
+        raw = json.loads((Path(table) / d / f"_bloom_{col}.json")
+                         .read_text())
+        bits = base64.b64decode(raw["bits"])
+        m, k = int(raw["m"]), int(raw["k"])
+        if (m, k) != (int(meta["m"]), int(meta["k"])):
+            return True
+    except (OSError, ValueError, KeyError):
+        return True
+    for pos in _bloom_positions_py(value, m, k):
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
+
+
+def tx_read_point(spark: SparkSession, table: str, col: str, value,
+                  as_of: int | None = None) -> DataFrame:
+    """Snapshot point lookup ``col = value``: dirs whose bloom filter
+    proves the key absent are never opened; dirs without a bloom (or
+    with an unreadable sidecar) are always read. The residual equality
+    filter runs on top, so bloom false positives only cost I/O, never
+    correctness."""
+    from pyspark.sql import functions as F
+
+    cp = _latest_checkpoint(table, as_of)
+    base = cp["id"] if cp else 0
+    entries = [e for e in _entries(table) if e["id"] > base]
+    dirs = _replay(cp, entries, table, as_of)
+    if not dirs:
+        raise FileNotFoundError(f"tx_read_point: no commits in {table}")
+    blooms: dict[str, dict] = {}
+    for e in _entries(table):
+        if "bloom" in e and "dir" in e and col in e["bloom"]:
+            blooms[e["dir"]] = e["bloom"][col]
+    keep = [d for d in dirs
+            if d not in blooms
+            or _bloom_might_contain(table, d, col, blooms[d], value)]
+    if not keep:
+        df = spark.read.parquet(*[str(Path(table) / d) for d in dirs])
+        return df.where("1=0")
+    df = spark.read.parquet(*[str(Path(table) / d) for d in keep])
+    return df.where(F.col(col) == F.lit(value))
