@@ -311,3 +311,56 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lead("o_orderkey").over(w).alias("next_orderkey"))
         .orderBy("o_custkey", "o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 higher-order array-function surface: transform / filter /
+# aggregate / array_contains over per-order quantity arrays, mirrored
+# by DuckDB's list_* lambdas. Integer element type keeps every lambda
+# bit-exact with no float discipline needed.
+
+
+@register(
+    "array_function_surface",
+    """
+    WITH qa AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS INT) ORDER BY l_linenumber) AS qs
+      FROM lineitem
+      WHERE l_orderkey % 50 = 0
+      GROUP BY l_orderkey)
+    SELECT l_orderkey,
+           len(qs) AS n_items,
+           len(list_filter(qs, x -> x >= 30)) AS n_big,
+           list_reduce(list_prepend(0, list_transform(qs, x -> x * 2)),
+                       (a, b) -> a + b) AS doubled_sum,
+           list_contains(qs, 40) AS has_forty
+    FROM qa
+    ORDER BY l_orderkey
+    """,
+    operators=("A7", "P1", "A1", "O1"),
+)
+def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's higher-order functions (SQL lambdas run JVM-side inside
+    codegen — no Python in the loop) against DuckDB's list lambdas.
+    The per-order array is assembled in line order via a struct sort,
+    the established A7 shape; the %50 filter sits BEFORE the shuffle
+    so only sampled orders aggregate."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 50 == 0)
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("int").alias("q")))
+    qa = (li.groupBy("l_orderkey")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("l_linenumber", "q"))),
+                lambda s: s["q"]).alias("qs")))
+    return (
+        qa.select(
+            "l_orderkey",
+            F.size("qs").alias("n_items"),
+            F.size(F.filter("qs", lambda x: x >= 30)).alias("n_big"),
+            F.aggregate("qs", F.lit(0),
+                        lambda acc, x: acc + x * 2).alias("doubled_sum"),
+            F.array_contains("qs", 40).alias("has_forty"))
+        .orderBy("l_orderkey")
+    )
