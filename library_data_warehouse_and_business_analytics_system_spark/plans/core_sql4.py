@@ -364,3 +364,103 @@ def array_function_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_contains("qs", 40).alias("has_forty"))
         .orderBy("l_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical traversal (Oracle CONNECT BY PRIOR, engine extension —
+# the reference uses CONNECT BY only as a row generator, LQY_query2
+# .txt:18). A deterministic forest over part (parent = key div 10,
+# keys < 10 are roots) is traversed with level-synchronous joins; the
+# oracle is DuckDB's WITH RECURSIVE — two different fixpoint
+# algorithms that must produce identical (lvl, root, path) rows.
+
+
+@register(
+    "part_hierarchy_rollup",
+    """
+    WITH RECURSIVE h AS (
+      SELECT p_partkey AS k, p_partkey AS root, 0 AS lvl,
+             '/' || CAST(p_partkey AS VARCHAR) AS path
+      FROM part WHERE p_partkey < 10
+      UNION ALL
+      SELECT p.p_partkey, h.root, h.lvl + 1,
+             h.path || '/' || CAST(p.p_partkey AS VARCHAR)
+      FROM part p JOIN h ON p.p_partkey // 10 = h.k
+      WHERE p.p_partkey >= 10)
+    SELECT * FROM (
+      SELECT k, root, lvl, path,
+             COUNT(*) OVER (PARTITION BY root, lvl) AS n_level_nodes
+      FROM h) t
+    WHERE k % 17 = 0
+    ORDER BY k
+    """,
+    operators=("CONNECT-BY", "J1", "W2", "O1"),
+)
+def part_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONNECT BY PRIOR with LEVEL, CONNECT_BY_ROOT, and
+    SYS_CONNECT_BY_PATH over a 5-level forest (operators/hierarchy
+    .py): breadth-first joins shuffle only each frontier, never the
+    whole node set per level-row. The %17 probe filter is applied
+    AFTER traversal on both engines (a node's ancestors need not
+    match), and the per-(root, level) window count is computed over
+    the FULL hierarchy before sampling."""
+    from ..operators.hierarchy import connect_by_prior
+
+    nodes = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.when(F.col("p_partkey") >= 10,
+               (F.col("p_partkey") / 10).cast("long")).alias("parent"))
+    h = connect_by_prior(nodes, key="k", parent="parent").drop("parent")
+    w = Window.partitionBy("root", "lvl")
+    return (
+        h.withColumn("n_level_nodes", F.count(F.lit(1)).over(w))
+        .filter(F.col("k") % 17 == 0)
+        .select("k", "root", "lvl", "path", "n_level_nodes")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle's KEEP (DENSE_RANK FIRST/LAST) aggregate surface: the value
+# of one column at the extreme of another, per group — Spark's
+# min_by/max_by, DuckDB's arg_min/arg_max. c_name is unique per
+# nation (verified in the data), so the pick is deterministic.
+
+
+@register(
+    "keep_dense_rank_summary",
+    """
+    SELECT n_name,
+           MIN(c_name) AS first_name,
+           CAST(arg_min(c_acctbal, c_name) AS DOUBLE) AS first_name_bal,
+           MAX(c_name) AS last_name,
+           CAST(arg_max(c_acctbal, c_name) AS DOUBLE) AS last_name_bal,
+           CAST(MAX(c_acctbal) AS DOUBLE) AS max_bal,
+           COUNT(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    operators=("A1", "J1", "O1"),
+)
+def keep_dense_rank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX(bal) KEEP (DENSE_RANK FIRST ORDER BY name) re-expressed as
+    min_by/max_by — a single hash aggregate, no window, no second
+    pass. The balance doubles pass through unmodified (bit-exact
+    without rounding discipline)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .select("n_nationkey", "n_name"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.min("c_name").alias("first_name"),
+             F.min_by("c_acctbal", "c_name").cast("double")
+              .alias("first_name_bal"),
+             F.max("c_name").alias("last_name"),
+             F.max_by("c_acctbal", "c_name").cast("double")
+              .alias("last_name_bal"),
+             F.max("c_acctbal").cast("double").alias("max_bal"),
+             F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("n_name")
+    )
