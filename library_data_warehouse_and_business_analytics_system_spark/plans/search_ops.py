@@ -379,7 +379,7 @@ _DOT64 = ("list_reduce(list_prepend(0.0::DOUBLE, "
 _ASSIGN_CTE = f"""
     c AS (
       SELECT vec_id AS cluster_id, embedding FROM embeddings
-      WHERE vec_id < 8
+      WHERE vec_id < 64
     ), scored AS (
       SELECT e.vec_id, c.cluster_id, {_SQDIST} AS dist
       FROM embeddings e, c
@@ -417,7 +417,7 @@ _ASSIGN_CTE = f"""
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
-        emb.filter(F.col("vec_id") < 8)
+        emb.filter(F.col("vec_id") < 64)
         .select(F.col("vec_id").alias("cluster_id"),
                 F.col("embedding").alias("centroid"))
     )
@@ -445,7 +445,7 @@ def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cluster_prototype_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = (
-        emb.filter(F.col("vec_id") < 8)
+        emb.filter(F.col("vec_id") < 64)
         .select(F.col("vec_id").alias("cluster_id"),
                 F.col("embedding").alias("centroid"))
     )
