@@ -1258,3 +1258,57 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("tp", 2).cast("double").alias("total_price"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "bpe_pair_stats",
+    r"""
+    WITH wf AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS word
+        FROM documents)
+      WHERE word <> '' GROUP BY word
+    ), sy AS (
+      SELECT freq,
+             list_transform(range(1, length(word) + 1),
+               i -> CASE WHEN i = length(word)
+                         THEN substr(word, CAST(i AS INT), 1) || '</w>'
+                         ELSE substr(word, CAST(i AS INT), 1) END) AS syms
+      FROM wf
+    ), pc AS (
+      SELECT syms[CAST(i AS INT)] AS x,
+             syms[CAST(i AS INT) + 1] AS y,
+             SUM(freq) AS n
+      FROM sy, unnest(range(1, len(syms))) AS u(i)
+      GROUP BY 1, 2
+    )
+    SELECT x, y, n, pair_rank FROM (
+      SELECT x, y, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, x, y) AS pair_rank
+      FROM pc)
+    WHERE pair_rank <= 20
+    ORDER BY pair_rank
+    """,
+    operators=("BPE", "A1", "W4"),
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-count stage of distributed BPE training
+    (operators/bpe.py) under the driver hash: distinct-word
+    frequencies (the ONE corpus-sized shuffle), char+EOW symbol
+    expansion, frequency-weighted adjacent-pair counts, top-20 with
+    the training tie-break (count DESC, pair ASC) — exactly the
+    argmax each merge round computes, so the driver row pins what
+    the pytest-verified iterative loop consumes. bpe_train itself is
+    differential-tested against a pure-Python reference in
+    tests/test_bpe.py (iterative training is not SQL-expressible)."""
+    from ..operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = bpe.word_freqs(docs)
+    counts = bpe._pair_counts(bpe._to_symbols(wf).select("syms", "freq"))
+    w = Window.orderBy(F.desc("n"), "x", "y")
+    return (
+        counts.withColumn("pair_rank", F.row_number().over(w))
+        .filter(F.col("pair_rank") <= 20)
+        .orderBy("pair_rank")
+    )
