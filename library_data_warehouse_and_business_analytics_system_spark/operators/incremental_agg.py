@@ -84,3 +84,104 @@ def refresh_sum_aggregate(spark: SparkSession, fact_table: str,
                  .filter(F.col("n_rows") > 0))
     tx_write(refreshed, agg_table, mode="overwrite")
     return version
+
+
+# ---------------------------------------------------------------------------
+# MIN/MAX maintenance. Not an abelian group: deleting the current
+# extremum of a group needs a rescan (the docstring above excludes it
+# from the SUM path for exactly that reason). The honest incremental
+# contract is therefore two-tier:
+#
+# - FAST PATH (delta-sized): inserts only improve extremes
+#   (least/greatest against the current row); deletes that stay
+#   STRICTLY INSIDE a group's (min, max) cannot change either extreme
+#   and only adjust n_rows.
+# - RECOMPUTE PATH (affected groups only): a group whose deleted
+#   values touch its current min or max (<=/>= — equality is
+#   conservative, a duplicated extremum may survive but we cannot
+#   know without multiplicity bookkeeping) is re-aggregated from the
+#   base snapshot, restricted to those group keys. At scale that is
+#   a pushed-down semi-join scan — proportional to the affected
+#   groups' data when the group key correlates with partitioning,
+#   never more than one base pass otherwise. The refresh returns the
+#   recomputed-group count so callers can see the slow tier working.
+
+
+def _minmax_rollup(rows: DataFrame, group_cols: list[str],
+                   val_cols: list[str]) -> DataFrame:
+    aggs = []
+    for c in val_cols:
+        aggs += [F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}")]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return rows.groupBy(*group_cols).agg(*aggs)
+
+
+def build_minmax_aggregate(spark: SparkSession, fact_table: str,
+                           agg_table: str, group_cols: list[str],
+                           val_cols: list[str]) -> int:
+    version = tx_latest_id(fact_table)
+    fact = tx_read_parts(spark, fact_table, as_of=version)
+    tx_write(_minmax_rollup(fact, group_cols, val_cols), agg_table,
+             mode="overwrite")
+    return version
+
+
+def refresh_minmax_aggregate(spark: SparkSession, fact_table: str,
+                             agg_table: str, group_cols: list[str],
+                             val_cols: list[str],
+                             since_version: int) -> tuple[int, int]:
+    """Catch the MIN/MAX aggregate up from the change feed. Returns
+    ``(new_version, n_recomputed_groups)``."""
+    version = tx_latest_id(fact_table)
+    if version == since_version:
+        return version, 0
+    feed = tx_diff_parts(spark, fact_table, since_version, version)
+    ins = _minmax_rollup(feed.filter(F.col("op") == "insert").drop("op"),
+                         group_cols, val_cols)
+    dels = _minmax_rollup(feed.filter(F.col("op") == "delete").drop("op"),
+                          group_cols, val_cols)
+    ren = lambda df, p: df.select(  # noqa: E731
+        *group_cols, *[F.col(c).alias(f"{p}{c}") for c in df.columns
+                       if c not in group_cols])
+    cur = tx_read(spark, agg_table)
+    joined = (ren(cur, "c_")
+              .join(ren(ins, "i_"), group_cols, "full_outer")
+              .join(ren(dels, "d_"), group_cols, "full_outer"))
+
+    touched = F.lit(False)
+    for c in val_cols:
+        touched = touched | (F.col(f"d_min_{c}") <= F.col(f"c_min_{c}")) \
+                          | (F.col(f"d_max_{c}") >= F.col(f"c_max_{c}"))
+    # NULL semantics do the right thing: no deletes → comparisons are
+    # NULL → coalesce(False); a brand-new group (no current row) also
+    # lands on the fast path as pure inserts.
+    needs_recompute = F.coalesce(touched, F.lit(False))
+
+    fast_cols = list(group_cols)
+    for c in val_cols:
+        fast_cols += [
+            F.least(F.col(f"c_min_{c}"), F.col(f"i_min_{c}"))
+             .alias(f"min_{c}"),
+            F.greatest(F.col(f"c_max_{c}"), F.col(f"i_max_{c}"))
+             .alias(f"max_{c}")]
+    fast_cols.append(
+        (F.coalesce(F.col("c_n_rows"), F.lit(0))
+         + F.coalesce(F.col("i_n_rows"), F.lit(0))
+         - F.coalesce(F.col("d_n_rows"), F.lit(0)))
+        .cast("long").alias("n_rows"))
+    fast = (joined.filter(~needs_recompute).select(*fast_cols)
+            .filter(F.col("n_rows") > 0))
+
+    affected = joined.filter(needs_recompute).select(*group_cols) \
+        .localCheckpoint(eager=True)
+    n_recomputed = affected.count()
+    if n_recomputed:
+        base = tx_read_parts(spark, fact_table, as_of=version)
+        recomputed = _minmax_rollup(
+            base.join(affected, group_cols, "left_semi"),
+            group_cols, val_cols)
+        out = fast.unionByName(recomputed)
+    else:
+        out = fast
+    tx_write(out, agg_table, mode="overwrite")
+    return version, n_recomputed

@@ -1312,3 +1312,65 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pair_rank") <= 20)
         .orderBy("pair_rank")
     )
+
+
+@register(
+    "incremental_minmax_orders",
+    """
+    SELECT CAST(o_custkey % 50 AS INT) AS cust_bkt,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_tp,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_tp,
+           COUNT(*) AS n_rows
+    FROM orders
+    GROUP BY o_custkey % 50
+    ORDER BY cust_bkt
+    """,
+    operators=("INCR-AGG", "TX-CDF", "A1", "S5"),
+)
+def incremental_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier MIN/MAX maintenance under the driver hash: the fact
+    is seeded with INFLATED extremes (keys %13 get +1e5, keys %17 get
+    -1e5 — group maxes/mins by construction), the aggregate is built,
+    and a corrective merge restores the true values — deleting the
+    current extremum of many groups, which the fast (delta-sized)
+    path cannot handle; refresh_minmax_aggregate recomputes exactly
+    those groups from the base (tier counts pytest-pinned in
+    test_txlog_parts). Final aggregate ≡ the plain rollup over
+    orders, doubles untouched."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.incremental_agg import (
+        build_minmax_aggregate,
+        refresh_minmax_aggregate,
+    )
+    from ..sources.txlog import tx_merge_parts, tx_read, tx_write_parts
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        (F.col("o_custkey") % 50).cast("int").alias("cust_bkt"),
+        F.col("o_totalprice").cast("double").alias("tp"))
+    skew = F.when(F.col("o_orderkey") % 13 == 0, F.col("tp") + F.lit(1e5)) \
+            .when(F.col("o_orderkey") % 17 == 0, F.col("tp") - F.lit(1e5)) \
+            .otherwise(F.col("tp"))
+    root = tempfile.mkdtemp(prefix="txmm_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    fact, aggt = f"{root}/fact_orders", f"{root}/agg_orders"
+    tx_write_parts(orders.withColumn("tp", skew), fact, "o_year",
+                   mode="overwrite")
+    v0 = build_minmax_aggregate(spark, fact, aggt, ["cust_bkt"], ["tp"])
+    fix = orders.filter((F.col("o_orderkey") % 13 == 0)
+                        | (F.col("o_orderkey") % 17 == 0))
+    tx_merge_parts(spark, fact, fix, keys=["o_orderkey"],
+                   part_col="o_year")
+    refresh_minmax_aggregate(spark, fact, aggt, ["cust_bkt"], ["tp"],
+                             since_version=v0)
+    return (
+        tx_read(spark, aggt)
+        .select("cust_bkt",
+                F.col("min_tp").alias("min_tp"),
+                F.col("max_tp").alias("max_tp"),
+                F.col("n_rows"))
+        .orderBy("cust_bkt")
+    )

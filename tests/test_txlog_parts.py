@@ -363,3 +363,73 @@ def test_read_parts_schema_evolution(spark, tmp_path):
     rows = {r.o_orderkey: r for r in merged.collect()}
     assert rows[1].note is None and rows[2].note == "x"
     assert tx_read_parts(spark, t).count() == 2
+
+
+def test_incremental_minmax_refresh_two_tier(spark, tmp_path):
+    """MIN/MAX maintenance: inserts and interior deletes ride the
+    delta-sized fast path (0 recomputed groups); deleting a group's
+    extremum triggers the recompute tier for THAT group only — and
+    the result always equals a full recompute."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.incremental_agg import (
+        build_minmax_aggregate, refresh_minmax_aggregate,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read,
+    )
+    from pyspark.sql import functions as F
+
+    def rows(spark, data):
+        return spark.createDataFrame(
+            data, "o_orderkey long, o_year int, o_cust long, o_total double")
+
+    def full(spark, t):
+        return {(r.o_cust, r.m, r.x, r.n) for r in
+                tx_read_parts(spark, t).groupBy("o_cust")
+                .agg(F.min("o_total").alias("m"), F.max("o_total").alias("x"),
+                     F.count(F.lit(1)).alias("n")).collect()}
+
+    def agg_state(spark, agg):
+        return {(r.o_cust, r.min_o_total, r.max_o_total, r.n_rows)
+                for r in tx_read(spark, agg).collect()}
+
+    t, agg = str(tmp_path / "fact"), str(tmp_path / "agg")
+    tx_write_parts(rows(spark, [(1, 2019, 10, 5.0), (2, 2019, 10, 7.0),
+                                (3, 2019, 10, 6.0), (4, 2020, 11, 9.0),
+                                (5, 2020, 11, 2.0)]),
+                   t, "o_year", mode="overwrite")
+    v0 = build_minmax_aggregate(spark, t, agg, ["o_cust"], ["o_total"])
+
+    # fast path: new group 12, a better max for 11, and an INTERIOR
+    # update for 10 (6.0 -> 6.5 stays inside [5, 7])
+    tx_merge_parts(spark, t, rows(spark, [(3, 2019, 10, 6.5),
+                                          (6, 2020, 11, 99.0),
+                                          (7, 2021, 12, 1.0)]),
+                   keys=["o_orderkey"], part_col="o_year")
+    v1, n_rec = refresh_minmax_aggregate(spark, t, agg, ["o_cust"],
+                                         ["o_total"], v0)
+    assert n_rec == 0                       # all delta-sized
+    assert agg_state(spark, agg) == full(spark, t)
+
+    # recompute tier: delete group 10's MAX (key 2, 7.0) by moving it
+    # to group 13; group 11 untouched
+    tx_merge_parts(spark, t, rows(spark, [(2, 2019, 13, 7.0)]),
+                   keys=["o_orderkey"], part_col="o_year")
+    v2, n_rec = refresh_minmax_aggregate(spark, t, agg, ["o_cust"],
+                                         ["o_total"], v1)
+    assert n_rec == 1                       # only group 10 rescanned
+    assert agg_state(spark, agg) == full(spark, t)
+
+    # group disappearance: delete ALL of group 12
+    tx_merge_parts(spark, t, rows(spark, [(7, 2021, 14, 1.5)]),
+                   keys=["o_orderkey"], part_col="o_year")
+    v3, n_rec = refresh_minmax_aggregate(spark, t, agg, ["o_cust"],
+                                         ["o_total"], v2)
+    assert n_rec >= 1
+    state = agg_state(spark, agg)
+    assert state == full(spark, t)
+    assert not any(c == 12 for c, *_ in state)
+    # idempotent
+    v4, n_rec = refresh_minmax_aggregate(spark, t, agg, ["o_cust"],
+                                         ["o_total"], v3)
+    assert (v4, n_rec) == (v3, 0)
+    assert agg_state(spark, agg) == full(spark, t)
