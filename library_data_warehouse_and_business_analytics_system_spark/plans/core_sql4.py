@@ -464,3 +464,59 @@ def keep_dense_rank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_customers"))
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape — "global customers with above-average balance and
+# no orders". The average-balance comparison is rewritten multiply-
+# style (bal × n_pos > sum_pos) so BOTH engines compare exact
+# decimals — a decimal AVG would hit each engine's own
+# division-scale rules and drift in the last ulp.
+
+
+_Q22_NATIONS = "(1, 3, 5, 7, 9, 11)"
+
+
+@register(
+    "idle_rich_customers",
+    f"""
+    WITH pos AS (
+      SELECT COUNT(*) AS n_pos,
+             SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos
+      FROM customer
+      WHERE c_acctbal > CAST(0 AS DOUBLE)
+        AND c_nationkey IN {_Q22_NATIONS})
+    SELECT CAST(c_nationkey AS INT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS totacctbal
+    FROM customer, pos
+    WHERE c_nationkey IN {_Q22_NATIONS}
+      AND CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY cntrycode
+    """,
+    operators=("J3", "J8", "A1", "P3"),
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22: the scalar average is a 1-row broadcast reused from the
+    same customer scan; the no-orders predicate is a LEFT ANTI join
+    on the order key (never a per-row subquery). The threshold
+    compares bal × n_pos against sum_pos in exact decimals."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
+    pos = (cust.filter(F.col("c_acctbal") > F.lit(0.0))
+           .agg(F.count(F.lit(1)).alias("n_pos"),
+                F.sum(_dec("c_acctbal")).alias("sum_pos")))
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum(_dec("c_acctbal")), 2).cast("double")
+              .alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
