@@ -474,7 +474,7 @@ def keep_dense_rank_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division-scale rules and drift in the last ulp.
 
 
-_Q22_NATIONS = "(1, 3, 5, 7, 9, 11)"
+_Q22_CUTOFF = "1998-10-01"
 
 
 @register(
@@ -484,36 +484,44 @@ _Q22_NATIONS = "(1, 3, 5, 7, 9, 11)"
       SELECT COUNT(*) AS n_pos,
              SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS sum_pos
       FROM customer
-      WHERE c_acctbal > CAST(0 AS DOUBLE)
-        AND c_nationkey IN {_Q22_NATIONS})
+      WHERE c_acctbal > CAST(0 AS DOUBLE))
     SELECT CAST(c_nationkey AS INT) AS cntrycode,
            COUNT(*) AS numcust,
            CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
              AS totacctbal
     FROM customer, pos
-    WHERE c_nationkey IN {_Q22_NATIONS}
-      AND CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n_pos > sum_pos
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF} 00:00:00')
     GROUP BY c_nationkey
     ORDER BY cntrycode
     """,
-    operators=("J3", "J8", "A1", "P3"),
+    operators=("J3", "J8", "A1", "P2"),
 )
 def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q22: the scalar average is a 1-row broadcast reused from the
-    same customer scan; the no-orders predicate is a LEFT ANTI join
-    on the order key (never a per-row subquery). The threshold
-    compares bal × n_pos against sum_pos in exact decimals."""
-    cust = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
+    """Q22 adapted to this data (every customer has SOME order, so
+    the lapse predicate is "no order since the cutoff"): the scalar
+    average is a 1-row broadcast reused from the same customer scan;
+    the lapsed-customer predicate is a LEFT ANTI join against the
+    date-filtered orders (the filter pushes into the scan — the anti
+    join's build side is recent orders only, not the full fact). The
+    threshold compares bal × n_pos against sum_pos in exact decimals
+    — a decimal AVG would hit each engine's own division-scale rules
+    and drift in the last ulp."""
+    cust = load_table(spark, sf_dir, "customer")
     pos = (cust.filter(F.col("c_acctbal") > F.lit(0.0))
            .agg(F.count(F.lit(1)).alias("n_pos"),
                 F.sum(_dec("c_acctbal")).alias("sum_pos")))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    recent = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate")
+                      >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+              .select("o_custkey"))
     return (
         cust.crossJoin(F.broadcast(pos))
         .filter(_dec("c_acctbal") * F.col("n_pos") > F.col("sum_pos"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").cast("int").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"),
              F.round(F.sum(_dec("c_acctbal")), 2).cast("double")
