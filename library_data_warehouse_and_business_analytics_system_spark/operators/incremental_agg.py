@@ -43,20 +43,22 @@ def _rollup(rows: DataFrame, group_cols: list[str],
 
 def build_sum_aggregate(spark: SparkSession, fact_table: str,
                         agg_table: str, group_cols: list[str],
-                        sum_cols: list[str]) -> int:
+                        sum_cols: list[str],
+                        txn_id: str | None = None) -> int:
     """Full build of the aggregate table from the fact's current
     snapshot; returns the fact VERSION the aggregate now reflects —
     the caller persists it and hands it to the next ``refresh``."""
     version = tx_latest_id(fact_table)
     fact = tx_read_parts(spark, fact_table, as_of=version)
     agg = _rollup(fact, group_cols, sum_cols, signed=False)
-    tx_write(agg, agg_table, mode="overwrite")
+    tx_write(agg, agg_table, mode="overwrite", txn_id=txn_id)
     return version
 
 
 def refresh_sum_aggregate(spark: SparkSession, fact_table: str,
                           agg_table: str, group_cols: list[str],
-                          sum_cols: list[str], since_version: int) -> int:
+                          sum_cols: list[str], since_version: int,
+                          txn_id: str | None = None) -> int:
     """Apply the fact's change feed since ``since_version`` to the
     aggregate table (one atomic overwrite of the aggregate — it is
     group-sized, not fact-sized); returns the new reflected version."""
@@ -82,7 +84,7 @@ def refresh_sum_aggregate(spark: SparkSession, fact_table: str,
         .cast("long").alias("n_rows"))
     refreshed = (merged.select(*out_cols, *val_cols)
                  .filter(F.col("n_rows") > 0))
-    tx_write(refreshed, agg_table, mode="overwrite")
+    tx_write(refreshed, agg_table, mode="overwrite", txn_id=txn_id)
     return version
 
 
@@ -118,18 +120,19 @@ def _minmax_rollup(rows: DataFrame, group_cols: list[str],
 
 def build_minmax_aggregate(spark: SparkSession, fact_table: str,
                            agg_table: str, group_cols: list[str],
-                           val_cols: list[str]) -> int:
+                           val_cols: list[str],
+                           txn_id: str | None = None) -> int:
     version = tx_latest_id(fact_table)
     fact = tx_read_parts(spark, fact_table, as_of=version)
     tx_write(_minmax_rollup(fact, group_cols, val_cols), agg_table,
-             mode="overwrite")
+             mode="overwrite", txn_id=txn_id)
     return version
 
 
 def refresh_minmax_aggregate(spark: SparkSession, fact_table: str,
                              agg_table: str, group_cols: list[str],
-                             val_cols: list[str],
-                             since_version: int) -> tuple[int, int]:
+                             val_cols: list[str], since_version: int,
+                             txn_id: str | None = None) -> tuple[int, int]:
     """Catch the MIN/MAX aggregate up from the change feed. Returns
     ``(new_version, n_recomputed_groups)``."""
     version = tx_latest_id(fact_table)
@@ -183,5 +186,72 @@ def refresh_minmax_aggregate(spark: SparkSession, fact_table: str,
         out = fast.unionByName(recomputed)
     else:
         out = fast
-    tx_write(out, agg_table, mode="overwrite")
+    tx_write(out, agg_table, mode="overwrite", txn_id=txn_id)
     return version, n_recomputed
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once maintenance protocol for streaming callers. The fact
+# version an aggregate reflects rides the aggregate table's OWN
+# commit as its txn id (``mv:<since>-><to>``), so:
+#
+# - a replayed refresh of the same (since, to) span is deduped by
+#   tx_write's idempotent-txn guard (nothing double-applies);
+# - the reflected version is recoverable from the aggregate's log
+#   alone (``reflected_version``) — no side-state file that could
+#   desynchronize from the atomic commit.
+
+
+def _mv_txn(since: int, to: int) -> str:
+    return f"mv:{since}->{to}"
+
+
+def reflected_version(agg_table: str) -> int | None:
+    """The fact version the aggregate's latest mv-commit reflects, or
+    None if the table has no mv-protocol commit (not yet built)."""
+    from ..sources.txlog import _entries
+
+    best = None
+    for e in _entries(agg_table):
+        txn = e.get("txn") or ""
+        if txn.startswith("mv:") and "->" in txn:
+            if best is None or e["id"] > best[0]:
+                best = (e["id"], int(txn.split("->", 1)[1]))
+    return best[1] if best else None
+
+
+def refresh_sum_aggregate_mv(spark: SparkSession, fact_table: str,
+                             agg_table: str, group_cols: list[str],
+                             sum_cols: list[str]) -> int:
+    """Self-locating, idempotent refresh (builds on first call): the
+    reflected version comes from the aggregate's own log and the new
+    state publishes under txn ``mv:<since>-><to>``, so a replayed
+    span dedupes inside tx_write — the crash window "aggregate
+    overwritten, caller state not yet advanced" cannot double-apply."""
+    since = reflected_version(agg_table)
+    version = tx_latest_id(fact_table)
+    if since is None:
+        return build_sum_aggregate(spark, fact_table, agg_table,
+                                   group_cols, sum_cols,
+                                   txn_id=_mv_txn(0, version))
+    if version == since:
+        return version
+    return refresh_sum_aggregate(spark, fact_table, agg_table, group_cols,
+                                 sum_cols, since,
+                                 txn_id=_mv_txn(since, version))
+
+
+def refresh_minmax_aggregate_mv(spark: SparkSession, fact_table: str,
+                                agg_table: str, group_cols: list[str],
+                                val_cols: list[str]) -> tuple[int, int]:
+    since = reflected_version(agg_table)
+    version = tx_latest_id(fact_table)
+    if since is None:
+        return (build_minmax_aggregate(spark, fact_table, agg_table,
+                                       group_cols, val_cols,
+                                       txn_id=_mv_txn(0, version)), 0)
+    if version == since:
+        return version, 0
+    return refresh_minmax_aggregate(spark, fact_table, agg_table,
+                                    group_cols, val_cols, since,
+                                    txn_id=_mv_txn(since, version))
