@@ -46,6 +46,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from pathlib import Path
 
@@ -289,7 +290,7 @@ def _publish(table: str, payload: dict, max_retries: int,
                 f"tx_write: {table} advanced to commit {cid - 1} past "
                 f"the expected snapshot {expect_latest}; the pending "
                 "write was derived from a stale snapshot")
-        entry = {"id": cid, **payload}
+        entry = {"id": cid, "ts": time.time(), **payload}
         if txn_id is not None:
             entry["txn"] = txn_id
         # Publish = atomic link of a fully-written temp file. A bare
@@ -309,18 +310,55 @@ def _publish(table: str, payload: dict, max_retries: int,
     raise RuntimeError(f"tx_write: lost the commit race {max_retries} times")
 
 
+def tx_version_at(table: str, ts: float) -> int:
+    """Resolve a wall-clock timestamp to a commit id (Delta's
+    ``timestampAsOf``): the LATEST commit whose recorded ``ts`` is
+    <= the query timestamp. Commit timestamps are monotonized by id
+    order (a racing writer's skewed clock cannot reorder history).
+
+    Raises if ``ts`` predates the oldest SURVIVING entry — after log
+    truncation the answer may lie in discarded history, and guessing
+    the checkpoint would silently time-travel to the wrong snapshot
+    (same contract as version-targeted reads into a truncated gap)."""
+    entries = sorted(_entries(table), key=lambda e: e["id"])
+    if not entries:
+        raise FileNotFoundError(f"tx_version_at: no commits in {table}")
+    if any("ts" not in e for e in entries):
+        raise ValueError(
+            f"tx_version_at: {table} has pre-timestamp commits; "
+            "timestamp travel needs every surviving entry stamped")
+    best, running = None, float("-inf")
+    for e in entries:
+        running = max(running, e["ts"])        # monotonize
+        if running <= ts:
+            best = e["id"]
+    if best is None:
+        cp = _latest_checkpoint(table)
+        detail = ("history truncated below it" if cp
+                  else "it predates the first commit")
+        raise ValueError(
+            f"tx_version_at: no commit at or before ts={ts} ({detail})")
+    return best
+
+
 def tx_read(spark: SparkSession, table: str,
             as_of: int | None = None,
+            as_of_ts: float | None = None,
             merge_schema: bool = False) -> DataFrame:
     """Snapshot read: the committed state at call time, or — with
     ``as_of`` — the state as of that commit id (time travel; every
     logged data dir is immutable and vacuum never touches logged
-    dirs, so historical snapshots stay readable).
+    dirs, so historical snapshots stay readable). ``as_of_ts`` is the
+    timestamp flavor (resolved through :func:`tx_version_at`).
 
     ``merge_schema=True`` unions the schemas of all visible commits
     (columns added by later appends surface as NULL on earlier
     generations) — the read side of schema evolution; the default
     keeps parquet's cheap single-footer schema."""
+    if as_of_ts is not None:
+        if as_of is not None:
+            raise ValueError("tx_read: pass as_of OR as_of_ts, not both")
+        as_of = tx_version_at(table, as_of_ts)
     dirs = _visible_dirs(table, as_of)
     if not dirs:
         raise FileNotFoundError(

@@ -458,3 +458,46 @@ def test_concurrent_appenders_all_commit(spark, tmp_path):
     assert sorted(ids) == list(range(1, 9))      # distinct, contiguous
     assert tx_latest_id(t) == 8
     assert {r.id for r in tx_read(spark, t).collect()} == set(range(8))
+
+
+def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    """Delta's timestampAsOf: commits stamped at controlled clocks;
+    a query timestamp resolves to the latest commit at-or-before it,
+    skewed clocks are monotonized, and a timestamp below surviving
+    history raises instead of guessing."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources import txlog as TX
+
+    t = str(tmp_path / "t")
+    clock = iter([100.0, 200.0, 150.0])   # third writer's clock skews BACK
+
+    monkeypatch.setattr(TX.time, "time", lambda: next(clock))
+    tx_write(spark.range(0, 1), t)                                # id1 @100
+    tx_write(spark.range(1, 2), t)                                # id2 @200
+    tx_write(spark.range(2, 3), t)                                # id3 @150
+    monkeypatch.undo()
+
+    assert TX.tx_version_at(t, 100.0) == 1
+    assert TX.tx_version_at(t, 199.9) == 1
+    assert TX.tx_version_at(t, 200.0) == 3   # skewed 150 monotonized to 200
+    assert TX.tx_version_at(t, 1e12) == 3
+    with pytest.raises(ValueError, match="predates the first commit"):
+        TX.tx_version_at(t, 99.9)
+
+    got = sorted(r["id"] for r in
+                 TX.tx_read(spark, t, as_of_ts=199.0).collect())
+    assert got == [0]
+    got = sorted(r["id"] for r in
+                 TX.tx_read(spark, t, as_of_ts=5000.0).collect())
+    assert got == [0, 1, 2]
+    with pytest.raises(ValueError, match="not both"):
+        TX.tx_read(spark, t, as_of=1, as_of_ts=100.0)
+
+    # truncation: surviving entries no longer reach back to ts=100
+    TX.tx_checkpoint(t)
+    TX.tx_truncate_log(t)
+    monkeypatch.setattr(TX.time, "time", lambda: 300.0)
+    tx_write(spark.range(3, 4), t)
+    monkeypatch.undo()
+    assert TX.tx_version_at(t, 301.0) == 4
+    with pytest.raises(ValueError, match="history truncated"):
+        TX.tx_version_at(t, 250.0)
