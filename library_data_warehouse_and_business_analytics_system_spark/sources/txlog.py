@@ -671,16 +671,23 @@ def _visible_parts(table: str,
 
 def tx_read_parts(spark: SparkSession, table: str,
                   as_of: int | None = None,
+                  as_of_ts: float | None = None,
                   part_values: list[str] | None = None,
                   merge_schema: bool = False) -> DataFrame:
     """Snapshot read of a partitioned table; ``part_values`` prunes
     the read to those partitions' dirs — metadata-only partition
     pruning (no scan, no listing of other partitions), which is what
     keeps the merge's read cost proportional to the DELTA.
+    ``as_of_ts`` is timestamp time travel (see :func:`tx_version_at`).
     ``merge_schema=True`` unions the visible generations' schemas
     (columns added by later appends/replaces surface as NULL on older
     generations), the partitioned twin of ``tx_read``'s evolution
     read."""
+    if as_of_ts is not None:
+        if as_of is not None:
+            raise ValueError(
+                "tx_read_parts: pass as_of OR as_of_ts, not both")
+        as_of = tx_version_at(table, as_of_ts)
     state = _visible_parts(table, as_of)
     if part_values is not None:
         state = {v: ds for v, ds in state.items() if v in part_values}

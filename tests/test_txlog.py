@@ -468,11 +468,12 @@ def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
     from library_data_warehouse_and_business_analytics_system_spark.sources import txlog as TX
 
     t = str(tmp_path / "t")
-    clock = iter([100.0, 200.0, 150.0])   # third writer's clock skews BACK
-
-    monkeypatch.setattr(TX.time, "time", lambda: next(clock))
+    now = [100.0]                         # third writer's clock skews BACK
+    monkeypatch.setattr(TX.time, "time", lambda: now[0])
     tx_write(spark.range(0, 1), t)                                # id1 @100
+    now[0] = 200.0
     tx_write(spark.range(1, 2), t)                                # id2 @200
+    now[0] = 150.0
     tx_write(spark.range(2, 3), t)                                # id3 @150
     monkeypatch.undo()
 
@@ -495,7 +496,8 @@ def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
     # truncation: surviving entries no longer reach back to ts=100
     TX.tx_checkpoint(t)
     TX.tx_truncate_log(t)
-    monkeypatch.setattr(TX.time, "time", lambda: 300.0)
+    now[0] = 300.0
+    monkeypatch.setattr(TX.time, "time", lambda: now[0])
     tx_write(spark.range(3, 4), t)
     monkeypatch.undo()
     assert TX.tx_version_at(t, 301.0) == 4

@@ -433,3 +433,24 @@ def test_incremental_minmax_refresh_two_tier(spark, tmp_path):
                                          ["o_total"], v3)
     assert (v4, n_rec) == (v3, 0)
     assert agg_state(spark, agg) == full(spark, t)
+
+
+def test_partitioned_timestamp_time_travel(spark, tmp_path, monkeypatch):
+    from library_data_warehouse_and_business_analytics_system_spark.sources import txlog as TX
+
+    def rows(spark, data):
+        return spark.createDataFrame(data, "k long, part int")
+
+    t = str(tmp_path / "t")
+    now = [10.0]
+    monkeypatch.setattr(TX.time, "time", lambda: now[0])
+    tx_write_parts(rows(spark, [(1, 2019)]), t, "part")          # @10
+    now[0] = 20.0
+    tx_write_parts(rows(spark, [(2, 2020)]), t, "part")          # @20
+    monkeypatch.undo()
+    assert {r.k for r in
+            tx_read_parts(spark, t, as_of_ts=15.0).collect()} == {1}
+    assert {r.k for r in
+            tx_read_parts(spark, t, as_of_ts=25.0).collect()} == {1, 2}
+    with pytest.raises(ValueError, match="not both"):
+        tx_read_parts(spark, t, as_of=1, as_of_ts=15.0)
