@@ -1016,3 +1016,32 @@ def tx_materialize(spark: SparkSession, table: str,
     return _publish(table, {"mode": "overwrite", "dir": stage,
                             "materialized": True},
                     max_retries, txn_id=None, expect_latest=latest)
+
+
+def tx_history(table: str) -> list[dict]:
+    """DESCRIBE HISTORY: the surviving commit entries plus the latest
+    checkpoint boundary, newest first — id, timestamp, operation
+    (append / overwrite / merge-published overwrite / parts modes),
+    txn id, and which dirs or partitions the commit touched. Entries
+    older than the newest checkpoint may have been truncated away;
+    the checkpoint row marks that horizon explicitly so a caller can
+    tell "short history" from "young table"."""
+    out = []
+    for e in sorted(_entries(table), key=lambda x: -x["id"]):
+        row = {"id": e["id"], "ts": e.get("ts"),
+               "operation": e.get("mode", "unknown"),
+               "txn": e.get("txn")}
+        if "parts" in e:
+            row["partitions"] = sorted(e["parts"])
+        elif "dirs" in e:
+            row["n_dirs"] = len(e["dirs"])
+        elif "dir" in e:
+            row["n_dirs"] = 1
+        if "deletes" in e:
+            row["operation"] = "delete"
+        out.append(row)
+    cp = _latest_checkpoint(table)
+    if cp:
+        out.append({"id": cp["id"], "ts": cp.get("ts"),
+                    "operation": "checkpoint-horizon", "txn": None})
+    return out

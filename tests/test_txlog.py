@@ -503,3 +503,22 @@ def test_timestamp_time_travel(spark, tmp_path, monkeypatch):
     assert TX.tx_version_at(t, 301.0) == 4
     with pytest.raises(ValueError, match="history truncated"):
         TX.tx_version_at(t, 250.0)
+
+
+def test_tx_history(spark, tmp_path):
+    from library_data_warehouse_and_business_analytics_system_spark.sources import txlog as TX
+
+    t = str(tmp_path / "t")
+    tx_write(_df(spark, [1]), t)
+    tx_write(_df(spark, [2]), t, mode="overwrite", txn_id="job-7")
+    h = TX.tx_history(t)
+    assert [r["id"] for r in h] == [2, 1]
+    assert h[0]["operation"] == "overwrite" and h[0]["txn"] == "job-7"
+    assert h[1]["operation"] == "append" and h[1]["ts"] is not None
+    # truncation surfaces as an explicit checkpoint horizon
+    TX.tx_checkpoint(t)
+    TX.tx_truncate_log(t)
+    tx_write(_df(spark, [3]), t)
+    h = TX.tx_history(t)
+    assert h[-1]["operation"] == "checkpoint-horizon"
+    assert [r["id"] for r in h[:-1]] == [3]
