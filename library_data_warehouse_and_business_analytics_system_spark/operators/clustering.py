@@ -97,7 +97,8 @@ def recompute_centroids(assigned: DataFrame, emb: DataFrame,
 def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
                          threshold: float,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> DataFrame:
+                         id_col: str = "vec_id",
+                         max_cluster_size: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space, then search for near-duplicate pairs only
     WITHIN each cluster — the clustering bounds the quadratic
@@ -109,10 +110,32 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
     the expected per-cluster size is √N, so total pair work is
     ~N^1.5 instead of N² — and each cluster's pairs land on one
     reducer keyed by cluster_id, so clusters process in parallel.
-    """
+
+    ``max_cluster_size`` is the scale guard for DEGENERATE data (a
+    near-duplicate flood collapsing into one cluster): the k ≈ √N
+    sizing bounds the EXPECTED cluster, not the worst case, and a
+    10⁶-member cluster means 5·10¹¹ pairs on one reducer. SemDeDup's
+    semantics need every within-cluster pair, so the guard does not
+    silently sample — it RAISES with the offending cluster sizes, and
+    the remedy is explicit: re-cluster with larger k, or pre-collapse
+    exact/MinHash duplicates (operators/dedup.py) before the
+    embedding stage, which is what a duplicate flood actually calls
+    for."""
     from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
 
     assigned = assign_clusters(emb, centroids, vec_col, id_col)
+    if max_cluster_size is not None:
+        over = (assigned.groupBy("cluster_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > max_cluster_size)
+                .orderBy(F.desc("n")).limit(5).collect())
+        if over:
+            sizes = {r["cluster_id"]: r["n"] for r in over}
+            raise ValueError(
+                "semantic_dedup_pairs: cluster(s) exceed "
+                f"max_cluster_size={max_cluster_size}: {sizes} — "
+                "re-cluster with larger k or run exact/MinHash dedup "
+                "before the embedding stage")
     # norm² computed ONCE per vector BEFORE the pair join: the pair
     # expression then makes a single array pass (the dot) instead of
     # three — at n²/k pair counts that's a 3× cut in HOF work, and

@@ -391,3 +391,25 @@ def test_dq_summary_all_green_on_testdata(spark, sf_dir):
     assert len(rows) == 6
     assert all(r["passed"] for r in rows), [
         (r["check_name"], r["n_violations"]) for r in rows]
+
+
+def test_semantic_dedup_mega_cluster_guard(spark):
+    """A near-duplicate flood collapsing into one cluster must be
+    REFUSED (with sizes), not silently quadratically processed —
+    and the guard passes untouched when clusters are bounded."""
+    import pytest
+    from library_data_warehouse_and_business_analytics_system_spark.operators import clustering
+
+    n = 500
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0])],
+        "cluster_id long, centroid array<double>")
+    with pytest.raises(ValueError, match="max_cluster_size=100"):
+        clustering.semantic_dedup_pairs(emb, cents, 0.9,
+                                        max_cluster_size=100)
+    ok = clustering.semantic_dedup_pairs(emb, cents, 0.9,
+                                         max_cluster_size=n + 1)
+    assert ok.count() == n * (n - 1) // 2
