@@ -38,6 +38,8 @@ CARTESIAN_OK = {
                             # is the distinct genre list
     "lqy_query2_suppliers",  # same universe fill, supplier-filtered
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
+    "idle_rich_customers",  # 1-row (n_pos, sum_pos) average frame
+                            # broadcast-crossed into the customer scan (Q22)
     "temperature_mixture_sample",  # scalar weight denominator
                                    # broadcast-crossed into per-source rows
     "scd2_dimbook_apply",   # scalar max-surrogate-key broadcast-crossed
