@@ -528,3 +528,114 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape — volume shipping between two nations: the SAME
+# dimension (nation) joined in TWO ROLES (customer's and supplier's),
+# with the cross-nation restriction applied pair-wise.
+
+
+@register(
+    "nation_pair_revenue",
+    f"""
+    SELECT supp_nat, cust_nat, l_year,
+           CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT s.s_nationkey AS supp_nat, c.c_nationkey AS cust_nat,
+             CAST(year(l.l_shipdate) AS INT) AS l_year,
+             {_REVENUE_SQL.replace('l_extendedprice', 'l.l_extendedprice')
+                          .replace('l_discount', 'l.l_discount')} AS rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey IN (2, 4) AND c.c_nationkey IN (2, 4)
+        AND s.s_nationkey <> c.c_nationkey)
+    GROUP BY supp_nat, cust_nat, l_year
+    ORDER BY supp_nat, cust_nat, l_year
+    """,
+    operators=("J1", "A1", "P3", "O1"),
+)
+def nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: both nation-role filters push BELOW the fact joins (the
+    supplier and customer dims shrink to two nations each before
+    touching lineitem), and the dims broadcast — the fact is joined
+    twice but shuffled zero times for the dimension edges."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.year("l_shipdate").cast("int")
+        .alias("l_year"), _revenue_expr().alias("rev"))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_nationkey").isin(2, 4))
+        .select("c_custkey", F.col("c_nationkey").alias("cust_nat")))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey").isin(2, 4))
+        .select("s_suppkey", F.col("s_nationkey").alias("supp_nat")))
+    return (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nat") != F.col("cust_nat"))
+        .groupBy("supp_nat", "cust_nat", "l_year")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("supp_nat", "cust_nat", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape — supplier coverage per part segment, with an
+# excluded-supplier subquery: COUNT(DISTINCT) after an anti-join.
+
+
+@register(
+    "part_supplier_coverage",
+    """
+    SELECT p_brand, p_size_band,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt,
+           COUNT(*) AS n_lines
+    FROM (
+      SELECT p.p_brand,
+             CASE WHEN p.p_size <= 10 THEN 'S'
+                  WHEN p.p_size <= 30 THEN 'M' ELSE 'L' END AS p_size_band,
+             l.l_suppkey
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier
+        WHERE s_acctbal < CAST(0 AS DOUBLE)))
+    GROUP BY p_brand, p_size_band
+    ORDER BY p_brand, p_size_band
+    """,
+    operators=("A3", "J3", "J1", "A1", "O1"),
+)
+def part_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 with the complaints predicate adapted to this schema
+    (excluded suppliers = negative account balance): the NOT IN
+    becomes a LEFT ANTI join against the (tiny, broadcast) excluded
+    set, then a two-phase COUNT(DISTINCT supplier) per part segment.
+    NOT IN's null trap does not arise (s_suppkey is a key), which is
+    exactly why the anti-join rewrite is safe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.when(F.col("p_size") <= 10, "S")
+         .when(F.col("p_size") <= 30, "M")
+         .otherwise("L").alias("p_size_band"))
+    excluded = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < F.lit(0.0))
+        .select("s_suppkey"))
+    return (
+        li.join(excluded, li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size_band")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("p_brand", "p_size_band")
+    )

@@ -352,3 +352,30 @@ def tx_read_point(spark: SparkSession, table: str, col: str, value,
         return df.where("1=0")
     df = spark.read.parquet(*[str(Path(table) / d) for d in keep])
     return df.where(F.col(col) == F.lit(value))
+
+
+# ---------------------------------------------------------------------------
+# Metadata-only COUNT(*).
+
+
+def tx_count(spark: SparkSession, table: str,
+             as_of: int | None = None) -> int:
+    """COUNT(*) of a plain-table snapshot WITHOUT scanning any data:
+    the visible dirs' parquet footers carry exact row counts (what
+    lets Delta answer SELECT COUNT(*) from stats). Equality deletes
+    make footer counts wrong, but the plain replay already raises on
+    live MoR deletes, so a returned count is always exact. Cost:
+    one footer read per file — O(files), zero data bytes."""
+    import pyarrow.parquet as pq
+
+    cp = _latest_checkpoint(table, as_of)
+    base = cp["id"] if cp else 0
+    entries = [e for e in _entries(table) if e["id"] > base]
+    dirs = _replay(cp, entries, table, as_of)
+    if not dirs:
+        raise FileNotFoundError(f"tx_count: no commits in {table}")
+    total = 0
+    for d in dirs:
+        for f in (Path(table) / d).rglob("*.parquet"):
+            total += pq.ParquetFile(f).metadata.num_rows
+    return total

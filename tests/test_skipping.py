@@ -189,3 +189,35 @@ def test_bloom_composes_with_stats_and_survives_checkpoint(spark, tmp_path):
     tx_truncate_log(t)
     assert _collect(tx_read_point(spark, t, "k", 19950007)) == [
         (19950007, 1995, dt.date(1995, 6, 1))]
+
+
+def test_tx_count_metadata_only(spark, tmp_path):
+    """Footer-derived COUNT(*): exact across appends, overwrites and
+    time travel, and never opens a data file through Spark (the spy
+    sees zero parquet reads)."""
+    t = str(tmp_path / "t")
+    tx_write_stats(_year_df(spark, 1995, n=20), t, ["yr"])
+    tx_write_stats(_year_df(spark, 1996, n=30), t, ["yr"])
+    from library_data_warehouse_and_business_analytics_system_spark.sources.skipping import tx_count
+
+    seen = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        assert tx_count(spark, t) == 50
+        assert tx_count(spark, t, as_of=1) == 20
+    assert seen == []                       # zero Spark reads
+    tx_write(_year_df(spark, 1997, n=5), t, mode="overwrite")
+    assert tx_count(spark, t) == 5
+    assert tx_count(spark, t, as_of=2) == 50   # time travel still exact
+    # MoR deletes: the plain replay refuses (counts would be wrong)
+    from library_data_warehouse_and_business_analytics_system_spark.sources.mor import tx_delete_keys
+    tx_delete_keys(spark.createDataFrame([(19970001,)], "k long"),
+                   t, ["k"])
+    with pytest.raises(ValueError, match="merge-on-read"):
+        tx_count(spark, t)
