@@ -639,3 +639,60 @@ def part_supplier_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.count(F.lit(1)).alias("n_lines"))
         .orderBy("p_brand", "p_size_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape — shipping-priority top-10: segment-filtered
+# customers, orders placed before / lines shipped after a date, global
+# top-10 by revenue.
+
+
+@register(
+    "shipping_priority_top10",
+    f"""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+           CAST(o_orderdate AS DATE) AS o_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    operators=("J1", "A1", "O2", "P2"),
+)
+def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: the segment filter shrinks customer to ~1/5 BEFORE its
+    join (broadcast — it's a dim-sized survivor set), both date
+    filters push into the fact scans, and the global top-10 is a
+    TakeOrderedAndProject (no full sort of the aggregate). The
+    deterministic tie-break (revenue DESC, then key) keeps LIMIT
+    stable across engines."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey"))
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter(F.col("o_orderdate") < cutoff)
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_shipdate") > cutoff)
+          .select("l_orderkey", _revenue_expr().alias("rev")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.col("o_orderdate").cast("date").alias("o_date"),
+                "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

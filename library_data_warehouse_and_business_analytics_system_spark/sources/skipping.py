@@ -379,3 +379,26 @@ def tx_count(spark: SparkSession, table: str,
         for f in (Path(table) / d).rglob("*.parquet"):
             total += pq.ParquetFile(f).metadata.num_rows
     return total
+
+
+def tx_count_parts(spark: SparkSession, table: str,
+                   as_of: int | None = None,
+                   part_values: list[str] | None = None) -> dict[str, int]:
+    """Partitioned twin of :func:`tx_count`: per-partition exact row
+    counts from footers (optionally restricted to ``part_values``),
+    zero data bytes. Returns {partition value: rows}."""
+    import pyarrow.parquet as pq
+
+    from .txlog import _visible_parts
+
+    state = _visible_parts(table, as_of)
+    if part_values is not None:
+        state = {v: ds for v, ds in state.items() if v in part_values}
+    out: dict[str, int] = {}
+    for v, ds in state.items():
+        n = 0
+        for d in ds:
+            for f in (Path(table) / d).rglob("*.parquet"):
+                n += pq.ParquetFile(f).metadata.num_rows
+        out[v] = n
+    return out

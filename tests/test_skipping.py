@@ -221,3 +221,18 @@ def test_tx_count_metadata_only(spark, tmp_path):
                    t, ["k"])
     with pytest.raises(ValueError, match="merge-on-read"):
         tx_count(spark, t)
+
+
+def test_tx_count_parts(spark, tmp_path):
+    from library_data_warehouse_and_business_analytics_system_spark.sources.skipping import tx_count_parts
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import tx_write_parts
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 2019 + i % 2) for i in range(30)], "k long, yr int")
+    tx_write_parts(df, t, "yr", mode="overwrite")
+    tx_write_parts(spark.createDataFrame([(100, 2019)], "k long, yr int"),
+                   t, "yr", mode="append")
+    assert tx_count_parts(spark, t) == {"2019": 16, "2020": 15}
+    assert tx_count_parts(spark, t, part_values=["2020"]) == {"2020": 15}
+    assert tx_count_parts(spark, t, as_of=1) == {"2019": 15, "2020": 15}
