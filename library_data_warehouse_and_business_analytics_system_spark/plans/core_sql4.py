@@ -696,3 +696,115 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape — local-supplier volume: revenue where the CUSTOMER
+# and the SUPPLIER sit in the same nation, rolled up per nation.
+
+
+@register(
+    "local_supplier_volume",
+    f"""
+    SELECT n_name,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    operators=("J1", "A1", "P2", "O1"),
+)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: the locality predicate (supplier nation = customer nation)
+    rides the supplier join as a second equality — never a post-join
+    filter over the full nation cross — and both dims broadcast. The
+    year restriction pushes into the orders scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _revenue_expr().alias("rev"))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier")
+                       .select("s_suppkey", "s_nationkey"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, (li.l_suppkey == supp.s_suppkey)
+                    & (supp.s_nationkey == cust.c_nationkey))
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape — returned-item reporting: top-20 customers by
+# revenue of RETURNED lines over a quarter.
+
+
+@register(
+    "returned_item_top_customers",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue,
+           n_name,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    operators=("J1", "A1", "P2", "O2"),
+)
+def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: the returnflag and quarter filters push into the fact
+    scans (the 'R' lines are ~1/4 of lineitem), nation broadcasts,
+    and the top-20 is TakeOrderedAndProject with the (revenue DESC,
+    key) tie-break."""
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", _revenue_expr().alias("rev")))
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1995-10-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1996-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    nation = F.broadcast(load_table(spark, sf_dir, "nation")
+                         .select("n_nationkey", "n_name"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name",
+                F.col("c_acctbal").cast("double").alias("acctbal"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
