@@ -402,3 +402,104 @@ def tx_count_parts(spark: SparkSession, table: str,
                 n += pq.ParquetFile(f).metadata.num_rows
         out[v] = n
     return out
+
+
+# ---------------------------------------------------------------------------
+# Stats skipping for PARTITIONED tables: per-(partition, dir) min/max
+# in the commit entry. Partition values already prune at metadata
+# level; this adds SECOND-column pruning WITHIN a partition across
+# its append generations — the daily-append case (a year partition
+# accumulates one dir per day; a "last 7 days" predicate on the date
+# column opens 7 of 365 dirs inside the year, plus the partition
+# pruning that already dropped the other years).
+
+
+def tx_write_parts_stats(df: DataFrame, table: str, part_col: str,
+                         stats_cols: list[str], mode: str = "append",
+                         max_retries: int = 10,
+                         txn_id: str | None = None,
+                         expect_latest: int | None = None) -> int:
+    """``tx_write_parts`` that additionally records per-partition-dir
+    min/max for ``stats_cols`` from the staged parquet footers."""
+    from .txlog import TxConflict, _stage_parts, tx_latest_id
+
+    modes = {"append": "append_parts", "overwrite": "overwrite_parts",
+             "replace": "replace_parts"}
+    if mode not in modes:
+        raise ValueError(f"tx_write_parts_stats: unknown mode {mode!r}")
+    if txn_id is not None:
+        for e in _entries(table):
+            if e.get("txn") == txn_id:
+                return e["id"]
+    if expect_latest is not None and tx_latest_id(table) != expect_latest:
+        raise TxConflict(
+            f"tx_write_parts_stats: {table} is at commit "
+            f"{tx_latest_id(table)}, not the expected {expect_latest}")
+    parts = _stage_parts(df, table, part_col)
+    stats = {}
+    for value, d in parts.items():
+        s = _footer_stats(Path(table) / d, stats_cols)
+        if s:
+            stats[value] = s
+    payload = {"mode": modes[mode], "pcol": part_col, "parts": parts}
+    if stats:
+        payload["pstats"] = stats
+    return _publish(table, payload, max_retries, txn_id, expect_latest)
+
+
+def _part_dir_stats(table: str) -> dict[str, dict]:
+    """(staged dir) → stats, from surviving entries' pstats maps."""
+    out: dict[str, dict] = {}
+    for e in _entries(table):
+        if "pstats" not in e or "parts" not in e:
+            continue
+        for value, d in e["parts"].items():
+            if d is not None and value in e["pstats"]:
+                out[d] = e["pstats"][value]
+    return out
+
+
+def tx_read_parts_pruned(spark: SparkSession, table: str, col: str,
+                         lo=None, hi=None,
+                         part_values: list[str] | None = None,
+                         as_of: int | None = None) -> DataFrame:
+    """Partitioned snapshot read with BOTH pruning tiers: partition
+    values (metadata) and per-dir [min, max] on ``col`` (footer stats
+    recorded at write). Dirs without stats are always read; the
+    residual row filter runs on top, so the result is exactly the
+    filtered snapshot."""
+    from pyspark.sql import functions as F
+
+    from .txlog import _visible_parts
+
+    state = _visible_parts(table, as_of)
+    if part_values is not None:
+        state = {v: ds for v, ds in state.items() if v in part_values}
+    all_dirs = [d for ds in state.values() for d in ds]
+    if not all_dirs:
+        raise FileNotFoundError(
+            f"tx_read_parts_pruned: no visible partitions in {table}")
+    stats = _part_dir_stats(table)
+    keep = []
+    for d in all_dirs:
+        s = stats.get(d, {}).get(col)
+        if s is None:
+            keep.append(d)
+            continue
+        dmin, dmax = _decode(s[0]), _decode(s[1])
+        if lo is not None and dmax < lo:
+            continue
+        if hi is not None and dmin > hi:
+            continue
+        keep.append(d)
+    if not keep:
+        df = spark.read.parquet(*[str(Path(table) / d) for d in all_dirs])
+        return df.where("1=0")
+    df = spark.read.parquet(*[str(Path(table) / d) for d in keep])
+    cond = None
+    if lo is not None:
+        cond = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        c2 = F.col(col) <= F.lit(hi)
+        cond = c2 if cond is None else cond & c2
+    return df.where(cond) if cond is not None else df

@@ -236,3 +236,55 @@ def test_tx_count_parts(spark, tmp_path):
     assert tx_count_parts(spark, t) == {"2019": 16, "2020": 15}
     assert tx_count_parts(spark, t, part_values=["2020"]) == {"2020": 15}
     assert tx_count_parts(spark, t, as_of=1) == {"2019": 15, "2020": 15}
+
+
+def test_partitioned_stats_skipping_two_tiers(spark, tmp_path):
+    """Year partitions × daily append dirs: a (year, day-range) read
+    prunes partitions at metadata level AND day-dirs by footer stats
+    — spy-pinned open counts — while staying exactly equal to the
+    plain filtered read. Mixed stats-less commits never get skipped."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.skipping import (
+        tx_read_parts_pruned, tx_write_parts_stats,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read_parts, tx_write_parts,
+    )
+
+    def day_df(spark, year, day, n=5):
+        return (spark.range(n)
+                .select((F.lit(year) * 1000 + F.lit(day) * 10
+                         + F.col("id")).alias("k"),
+                        F.lit(year).alias("yr"),
+                        F.lit(day).alias("day")))
+
+    t = str(tmp_path / "t")
+    for year in (2019, 2020):
+        for day in (1, 2, 3, 4):
+            tx_write_parts_stats(day_df(spark, year, day), t, "yr",
+                                 ["day"])
+    seen = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        got = sorted(
+            tuple(r) for r in
+            tx_read_parts_pruned(spark, t, "day", lo=3,
+                                 part_values=["2020"]).collect())
+    assert len(seen) == 2                 # days 3,4 of 2020 only
+    want = sorted(tuple(r) for r in
+                  tx_read_parts(spark, t)
+                  .where((F.col("yr") == 2020) & (F.col("day") >= 3))
+                  .collect())
+    assert got == want and len(got) == 10
+    # a stats-less append is always read
+    tx_write_parts(day_df(spark, 2020, 9), t, "yr")
+    got = sorted(tuple(r) for r in
+                 tx_read_parts_pruned(spark, t, "day", lo=9).collect())
+    # day 9 exists only in the stats-less 2020 append: its dir was
+    # READ (not skipped) and the residual filter kept exactly it
+    assert len(got) == 5 and {r[1] for r in got} == {2020}
