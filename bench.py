@@ -93,7 +93,7 @@ def main() -> None:
         "clone_orders_isolated", "warehouse_consistent_read",
         "mor_delete_orders", "stats_skipping_orders",
         "bucketed_join_revenue", "bloom_point_lookup",
-        "incremental_minmax_orders",
+        "incremental_minmax_orders", "parts_skipping_orders",
     }
 
     timings: dict[str, float] = {}

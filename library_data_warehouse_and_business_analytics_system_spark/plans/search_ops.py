@@ -1374,3 +1374,54 @@ def incremental_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_rows"))
         .orderBy("cust_bkt")
     )
+
+
+@register(
+    "parts_skipping_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) = 1996 AND month(o_orderdate) BETWEEN 4 AND 6
+    GROUP BY 1, 2
+    ORDER BY o_year, o_month
+    """,
+    operators=("TX-SKIPPING", "S1", "P2", "A1"),
+)
+def parts_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier partitioned skipping under the driver hash: orders
+    written as a year-partitioned table in one commit per QUARTER
+    (per-dir month stats from the footers), then a (year=1996,
+    months 4-6) read that prunes to ONE dir — the year partitions at
+    metadata level, the quarter dirs inside the year by stats (the
+    open-count contract is spy-pinned in tests/test_skipping.py).
+    The oracle is the plain filtered rollup."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.skipping import tx_read_parts_pruned, tx_write_parts_stats
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.month("o_orderdate").cast("int").alias("o_month"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txps_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_ps"
+    for q in range(4):
+        tx_write_parts_stats(
+            orders.filter(F.floor((F.col("o_month") - 1) / 3) == q),
+            t, "o_year", ["o_month"])
+    return (
+        tx_read_parts_pruned(spark, t, "o_month", lo=4, hi=6,
+                             part_values=["1996"])
+        .groupBy("o_year", "o_month")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .orderBy("o_year", "o_month")
+    )
