@@ -808,3 +808,98 @@ def returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape — discounted revenue under an OR-of-ANDs (DNF)
+# predicate spanning both join sides.
+
+
+@register(
+    "dnf_predicate_revenue",
+    f"""
+    SELECT COUNT(*) AS n_lines,
+           CAST(ROUND(SUM({_REVENUE_SQL}), 2) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= CAST(5 AS DOUBLE)
+           AND l_quantity <= CAST(20 AS DOUBLE))
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= CAST(15 AS DOUBLE)
+           AND l_quantity <= CAST(35 AS DOUBLE))
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 25 AND 50
+           AND l_quantity >= CAST(25 AS DOUBLE)
+           AND l_quantity <= CAST(45 AS DOUBLE))
+    """,
+    operators=("J1", "P2", "A1"),
+)
+def dnf_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: Catalyst splits the DNF into per-side residuals — the
+    part scan gets `brand IN (...) AND size <= 50`-style
+    disjunction-derived filters and the lineitem scan gets the
+    quantity envelope (5..45), so BOTH scans prune before the join;
+    the exact DNF then evaluates post-join. One aggregate row."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", _revenue_expr().alias("rev"))
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    arm = lambda b, s1, s2, q1, q2: (  # noqa: E731
+        (F.col("p_brand") == b) & F.col("p_size").between(s1, s2)
+        & (q >= F.lit(float(q1))) & (q <= F.lit(float(q2))))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(arm("Brand#11", 1, 15, 5, 20)
+                | arm("Brand#22", 10, 30, 15, 35)
+                | arm("Brand#33", 25, 50, 25, 45))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum("rev"), 2).cast("double").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4 shape — order-priority checking: orders with at least one
+# line shipped late, counted per priority (EXISTS → semi-join).
+
+
+@register(
+    "priority_late_order_counts",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    operators=("J4", "A1", "P2", "O1"),
+)
+def priority_late_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: the EXISTS becomes a LEFT SEMI join on the order key. The
+    correlation compares the line's ship date against the OUTER
+    row's order date, so the date condition joins as a second
+    (non-equi) predicate on the semi join — not a pre-filter either
+    side could apply alone."""
+    orders = (load_table(spark, sf_dir, "orders")
+              .filter((F.col("o_orderdate")
+                       >= F.lit("1996-01-01").cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit("1996-07-01").cast("timestamp")))
+              .select("o_orderkey", "o_orderdate", "o_orderpriority"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate
+               > orders.o_orderdate + F.expr("INTERVAL 45 DAYS")),
+            "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
