@@ -264,3 +264,39 @@ def test_core_sql4_plan_contracts(plans):
                 if "Scan parquet" in ln and "lineitem" in ln]
     assert len(li_scans) <= 2  # agg + (possibly reused) max branch
     assert "BroadcastExchange" in q15 or "ReusedExchange" in q15
+
+
+def test_core_sql5_plan_contracts(plans):
+    """Targeted shapes for the batch-5 relational queries.
+
+    - forecast_revenue (Q6): every predicate reaches the parquet scan
+      (PushedFilters) and the plan has no join at all — one scan, one
+      two-phase aggregate;
+    - nation_profit_by_year (Q9): all dimension joins are broadcasts;
+      the ONLY shuffled join is lineitem⋈orders on the order key;
+    - small_quantity_revenue (Q17): the correlated-average rewrite
+      never shuffle-joins the fact to itself — both lineitem branches
+      join through BroadcastExchange (the filtered part set and the
+      per-part cap table);
+    - customer_order_distribution (Q13): the join-time priority filter
+      must NOT degrade the outer join to inner (the plan keeps a
+      LeftOuter join) and the second aggregate is two-phase.
+    """
+    q6 = plans["forecast_revenue"]
+    assert "Join" not in q6, "Q6 must be join-free"
+    assert "PushedFilters: [" in q6
+    scan_line = next(ln for ln in q6.splitlines() if "PushedFilters" in ln)
+    assert "IsNotNull" in scan_line or "GreaterThan" in scan_line
+
+    q9 = plans["nation_profit_by_year"]
+    shuffled_joins = [ln for ln in q9.splitlines()
+                     if "SortMergeJoin" in ln or "ShuffledHashJoin" in ln]
+    assert len(shuffled_joins) <= 1, q9
+    assert q9.count("BroadcastHashJoin") >= 3
+
+    q17 = plans["small_quantity_revenue"]
+    assert "SortMergeJoin" not in q17 and "ShuffledHashJoin" not in q17, \
+        "Q17 rewrite must not shuffle-join the fact to itself"
+
+    q13 = plans["customer_order_distribution"]
+    assert "LeftOuter" in q13, "join-time filter must keep the outer join"
