@@ -1713,3 +1713,80 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("dup_rate"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting (Xie et al. 2023): hashed-ngram
+# target/raw ratio scoring — the data-selection step between dedup
+# and mixing in a pretraining pipeline.
+
+
+@register(
+    "dsir_importance_weights",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, unnest(t) AS feat FROM toks
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || '_' || t[i+1])) AS feat
+      FROM toks
+    ), fb AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5('dsir' || feat), 1, 6) AS INTEGER)
+               % 4096 AS bucket,
+             COUNT(*) AS cnt
+      FROM feats GROUP BY 1, 2
+    ), tgt_ids AS (
+      SELECT doc_id FROM documents WHERE lang = 'en'
+    ), raw AS (
+      SELECT bucket, SUM(cnt) AS raw_n FROM fb GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, SUM(cnt) AS tgt_n FROM fb
+      WHERE doc_id IN (SELECT doc_id FROM tgt_ids) GROUP BY bucket
+    ), dist AS (
+      SELECT raw.bucket, raw_n, COALESCE(tgt_n, 0) AS tgt_n
+      FROM raw LEFT JOIN tgt USING (bucket)
+    ), totals AS (
+      SELECT SUM(raw_n) AS raw_total, SUM(tgt_n) AS tgt_total FROM dist
+    ), contrib AS (
+      SELECT fb.doc_id, fb.bucket,
+             CAST(fb.cnt AS DOUBLE)
+               * ((CAST(tgt_n AS DOUBLE) + 1.0)
+                  / (CAST(raw_n AS DOUBLE) + 1.0)) AS c
+      FROM fb JOIN dist USING (bucket)
+    ), scored AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             list_reduce(list_prepend(0.0, list(c ORDER BY bucket)),
+                         (a, b) -> a + b) AS raw_score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           (s.doc_id IN (SELECT doc_id FROM tgt_ids)) AS is_target,
+           s.n_feats,
+           ((CAST(raw_total AS DOUBLE) + 4096.0)
+            / (CAST(tgt_total AS DOUBLE) + 4096.0)) * raw_score AS score
+    FROM scored s, totals
+    ORDER BY doc_id
+    """,
+    operators=("TEXT-DSIR", "A1", "J1", "J4"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance scores against the English slice, bit-exact
+    through the raw double scores: hashed unigram+bigram features
+    (md5 buckets — engine-reproducible), add-1-smoothed log-free
+    target/raw ratio, per-doc fold in bucket order. The distribution
+    tables are bounded by n_buckets BY CONSTRUCTION (the hashing is
+    what makes their broadcast legal at 100 TB — contrast the
+    Heaps-law vocabulary join in `doc_token_familiarity`, which must
+    shuffle). See operators/importance.py."""
+    from ..operators.importance import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        dsir_importance(docs, F.col("lang") == "en", n_buckets=4096)
+        .orderBy("doc_id")
+    )
