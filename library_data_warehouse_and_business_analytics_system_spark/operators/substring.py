@@ -1,0 +1,108 @@
+"""Exact-substring span scrubbing across the corpus.
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al., ACL 2022) removes any text span whose exact k-token window
+recurs elsewhere in the corpus — finer-grained than document-level
+dedup (a boilerplate paragraph inside an otherwise-unique page gets
+cut, the page survives). The suffix-array construction the paper uses
+is single-machine; the Spark-first equivalent is window hashing:
+
+1. slide a k-token window over every document (JVM higher-order
+   functions — ``transform(sequence(...))`` over the token array, no
+   Python in the loop) and hash each window to 16 bytes;
+2. a two-phase count over DISTINCT (doc, window-hash) finds windows
+   appearing in ≥2 documents. That shared-window table grows with the
+   corpus (same Heaps-law posture as the boilerplate line set,
+   VERDICT r6), so the membership join SHUFFLES on the fixed-width
+   hash key — never a forced broadcast;
+3. every token position covered by any shared window is marked
+   (bounded k-fan-out explode), and each document is reassembled
+   from its uncovered tokens in position order.
+
+Cross-doc span dedup at 100 TB therefore costs: one tokenize pass,
+one (doc, hash) aggregate, one hash-keyed shuffle join, one bounded
+explode, one per-doc regroup — all map-reduce shaped, nothing
+quadratic, no driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def window_hashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """(doc_id, start, wh): md5 of every k-token window, 1-based
+    ``start``. Documents shorter than ``k`` tokens contribute no
+    windows (and are therefore never scrubbed)."""
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        lambda i: F.struct(
+            i.alias("start"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("wh")))
+    return (docs.filter(F.size(toks) >= k)
+            .select(F.col(id_col).alias("doc_id"),
+                    F.explode(wins).alias("w"))
+            .select("doc_id", F.col("w.start").alias("start"),
+                    F.col("w.wh").alias("wh")))
+
+
+def duplicated_span_scrub(docs: DataFrame, k: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Remove every token covered by a cross-document k-token window.
+
+    Returns one row per document: (doc_id, n_tokens, covered_tokens,
+    dup_frac, kept_text). ``dup_frac`` is the single exact integer
+    division covered/n_tokens; ``kept_text`` is the surviving tokens
+    rejoined in position order (sorted-struct reassembly — the
+    deterministic order both engines reproduce)."""
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    wh = window_hashes(docs, k, id_col, text_col)
+
+    # Windows recurring across ≥2 DOCUMENTS (within-doc repeats are
+    # Lee et al.'s self-duplication — a different operator).
+    doc_wins = wh.select("doc_id", "wh").distinct()
+    shared = (doc_wins.groupBy("wh")
+              .agg(F.count(F.lit(1)).alias("ndocs"))
+              .filter(F.col("ndocs") > 1)
+              .select("wh"))
+
+    covered = (
+        wh.join(shared, "wh")  # shuffled on the 16-byte hash key
+        .select("doc_id",
+                F.explode(F.sequence(F.col("start"),
+                                     F.col("start") + F.lit(k - 1)))
+                .alias("pos"))
+        .distinct()
+        .withColumn("is_covered", F.lit(True))
+    )
+
+    tok_pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    return (
+        tok_pos.join(covered, ["doc_id", "pos"], "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("is_covered", F.lit(False)).cast("int"))
+            .cast("bigint").alias("covered_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("is_covered").isNull(),
+                               F.struct("pos", "tok")))),
+                    lambda s: s["tok"]), " ").alias("kept_text"))
+        .withColumn("dup_frac",
+                    F.col("covered_tokens").cast("double")
+                    / F.col("n_tokens").cast("double"))
+        .select("doc_id", "n_tokens", "covered_tokens", "dup_frac",
+                "kept_text")
+    )

@@ -1790,3 +1790,58 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_importance(docs, F.col("lang") == "en", n_buckets=4096)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring span scrubbing (Lee et al. 2022): remove any token
+# covered by a k-token window that recurs in another document.
+
+
+@register(
+    "exact_substring_scrub",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(t[i:i+7], ' ')) AS wh
+      FROM toks, UNNEST(range(1, len(t) - 6)) AS u(i)
+      WHERE len(t) >= 8
+    ), shared AS (
+      SELECT wh FROM (SELECT DISTINCT doc_id, wh FROM wins)
+      GROUP BY wh HAVING COUNT(*) > 1
+    ), covered AS (
+      SELECT DISTINCT w.doc_id, s.pos
+      FROM wins w JOIN shared USING (wh),
+           UNNEST(range(w.start, w.start + 8)) AS s(pos)
+    ), tok_pos AS (
+      SELECT doc_id, u.pos, t[u.pos] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(pos)
+    )
+    SELECT tp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.pos) AS BIGINT) AS covered_tokens,
+           CAST(COUNT(c.pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS dup_frac,
+           COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.pos)
+                      FILTER (WHERE c.pos IS NULL), '') AS kept_text
+    FROM tok_pos tp
+    LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    GROUP BY tp.doc_id
+    ORDER BY tp.doc_id
+    """,
+    operators=("TEXT-SUBSTRING-DEDUP", "A1", "J1", "J2"),
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup, bit-exact down to the reassembled
+    kept_text: 8-token window hashes, cross-document shared-window
+    detection (two-phase over DISTINCT doc×hash), bounded k-fan-out
+    coverage marking, and position-ordered reassembly. The
+    shared-window membership join shuffles on the 16-byte hash — the
+    set grows with the corpus (boilerplate/Heaps posture), so no
+    broadcast hint. See operators/substring.py."""
+    from ..operators.substring import duplicated_span_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_span_scrub(docs, k=8).orderBy("doc_id")
