@@ -15,7 +15,7 @@ scale. Properties the tests pin:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -55,3 +55,125 @@ def int8_cosine(qa: Column, qb: Column) -> Column:
                            F.lit(0.0), lambda acc, x: acc + x)
     norm = F.sqrt(dot(qa, qa) * dot(qb, qb))
     return F.when(norm > 0, dot(qa, qb) / norm)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011): split each vector into m
+# subvectors, k-means each subspace to ksub centroids, store each
+# vector as m small codes. ADC (asymmetric distance computation)
+# scores a float query against coded vectors through a per-query
+# distance table — the codes are never dequantized.
+#
+# Scale shape: codes are m bytes instead of dim·8 (64-dim doubles →
+# 4 bytes at m=4: a 128× shuffle/storage reduction), the codebook is
+# m·ksub·dsub doubles (bounded at CONFIG time, broadcast-safe forever),
+# and scoring is a zip_with fold over m table lookups per candidate —
+# all JVM expression tree, no Python, no UDF.
+
+
+def _sq_dist_lit(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 between a column subvector and a literal centroid,
+    folded in index order (bit-reproducible)."""
+    lit = F.array(*[F.lit(float(x)) for x in cent])
+    return F.aggregate(
+        F.zip_with(sub, lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_fit(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
+           ksub: int = 16, iters: int = 4,
+           id_col: str = "vec_id") -> list[list[list[float]]]:
+    """Train m per-subspace codebooks (ksub × dim/m each) with the
+    deterministic Lloyd's fit from operators/clustering.py (lowest-id
+    init, decimal-exact re-estimation). Each subspace trains
+    independently on a SLICE of the corpus — m cheap passes, only
+    m·ksub·dsub doubles ever reach the driver."""
+    from .clustering import kmeans_fit
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding"))
+        _, cents = kmeans_fit(sub, k=ksub, iters=iters)
+        rows = sorted(cents.collect(), key=lambda r: r["cluster_id"])
+        books.append([[float(x) for x in r["centroid"]] for r in rows])
+    return books
+
+
+def pq_encode(df: DataFrame, vec_col: str,
+              codebooks: list[list[list[float]]],
+              code_col: str = "pq_code") -> DataFrame:
+    """array<int> of per-subspace nearest-centroid codes (argmin
+    squared L2, lowest code as tie-break via struct-min)."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        scored = F.array(*[
+            F.struct(_sq_dist_lit(sub, c).alias("d"),
+                     F.lit(ci).alias("code"))
+            for ci, c in enumerate(codebooks[j])])
+        codes.append(F.array_min(scored)["code"])
+    return df.withColumn(code_col, F.array(*codes))
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, vec_col: str,
+            id_col: str, codebooks: list[list[list[float]]],
+            k: int = 10, rerank: int = 0) -> DataFrame:
+    """PQ-ADC top-k: per query, build the m×ksub distance table once
+    (expression over codebook literals), then score every coded
+    corpus vector with a zip_with(code, table) fold — m lookups and
+    m-1 adds per candidate, no dequantization. With ``rerank`` > 0
+    the ADC shortlist of that size is re-scored EXACTLY by cosine on
+    the full vectors — so ``rerank`` ≥ corpus size degrades to
+    brute force bit-exactly (the pigeonhole contract the tests pin).
+
+    Returns (query_id, neighbor_id, rank) — plus ``cos`` when
+    reranking, ``adc`` otherwise."""
+    from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
+
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    coded = pq_encode(
+        corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("cv")),
+        "cv", codebooks)
+
+    def dtab(qv: Column) -> Column:
+        return F.array(*[
+            F.array(*[
+                _sq_dist_lit(F.slice(qv, j * dsub + 1, dsub), c)
+                for c in codebooks[j]])
+            for j in range(m)])
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"),
+                       dtab(F.col(vec_col)).alias("dtab"))
+    adc = F.aggregate(
+        F.zip_with(F.col("pq_code"), F.col("dtab"),
+                   lambda c, t: F.element_at(t, c + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        F.broadcast(q).join(coded, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    shortlist = (scored.withColumn("rank", F.row_number().over(w))
+                 .filter(F.col("rank") <= (rerank if rerank > 0 else k)))
+    if rerank <= 0:
+        return shortlist.select("query_id", "neighbor_id", "adc", "rank")
+    exact = shortlist.select(
+        "query_id", "neighbor_id",
+        cosine_from_norms(dot(F.col("qv"), F.col("cv")),
+                          l2_norm_sq(F.col("qv")),
+                          l2_norm_sq(F.col("cv"))).alias("cos"))
+    w2 = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                                "neighbor_id")
+    return (exact.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cos", "rank"))
