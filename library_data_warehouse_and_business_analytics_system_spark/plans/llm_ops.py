@@ -1906,3 +1906,64 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce(F.col("hits"), F.lit(0)) >= 2).alias("recall_ok"))
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunk dedup: variable-length chunks whose boundaries
+# depend only on local content (FastCDC at token level), so chunk-level
+# duplication survives insertions that shift every fixed-k window.
+
+
+@register(
+    "cdc_chunk_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), tok_pos AS (
+      SELECT doc_id, u.pos, t[u.pos] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(pos)
+    ), flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN CAST('0x' || substr(md5('cdc' || tok), 1, 6)
+                        AS INTEGER) % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM tok_pos
+    ), chunked AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(b) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM chunked GROUP BY doc_id, chunk_id
+    ), shared AS (
+      SELECT ch FROM (SELECT DISTINCT doc_id, ch FROM chunks)
+      GROUP BY ch HAVING COUNT(*) > 1
+    )
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(s.ch) AS BIGINT) AS dup_chunks,
+           CAST(SUM(CASE WHEN s.ch IS NOT NULL THEN c.n_tokens
+                         ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c.n_tokens) AS DOUBLE) AS dup_token_frac
+    FROM chunks c LEFT JOIN shared s USING (ch)
+    GROUP BY c.doc_id
+    ORDER BY c.doc_id
+    """,
+    operators=("TEXT-CDC-CHUNK", "A1", "J2", "W1"),
+)
+def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-duplication telemetry over token-level content-defined
+    chunks (expected length 8): boundaries are a pure hash of the
+    closing token, chunk ids a per-document running count, cross-doc
+    duplication a two-phase count on the 16-byte chunk hash with a
+    SHUFFLED membership join (the duplicated-chunk set grows with the
+    corpus — Heaps posture, no broadcast). See operators/cdchunk.py."""
+    from ..operators.cdchunk import chunk_dedup_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, avg_len=8).orderBy("doc_id")

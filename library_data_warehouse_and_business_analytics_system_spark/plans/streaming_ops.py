@@ -375,3 +375,50 @@ def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (gapfill_interpolate(daily, "user_id", "d", "v")
             .withColumn("d", F.date_format("d", "yyyy-MM-dd"))
             .orderBy("user_id", "d"))
+
+
+@register(
+    "events_ohlc_15m",
+    """
+    SELECT event_type,
+           CAST(floor(epoch(time_bucket(INTERVAL '15 minutes', ts)))
+                AS BIGINT) AS bucket_start,
+           CAST(arg_min(value, epoch(ts) * 1000000 + event_id) AS DOUBLE)
+             AS open,
+           CAST(MAX(value) AS DOUBLE) AS high,
+           CAST(MIN(value) AS DOUBLE) AS low,
+           CAST(arg_max(value, epoch(ts) * 1000000 + event_id) AS DOUBLE)
+             AS close,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, bucket_start
+    ORDER BY event_type, bucket_start
+    """,
+    operators=("STREAM-OHLC", "A1", "A2"),
+)
+def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling — the time-series rollup every metrics
+    pipeline runs: per (event_type, 15-min bucket) the first/max/min/
+    last `value`. ONE two-phase hash aggregate (min_by/max_by carry
+    the open/close — no window function, no second shuffle, no sort),
+    the shape that scales to any event volume. Ties on ts are broken
+    by event_id through a composite bigint ordering key, so first/last
+    are deterministic on both engines. Streaming twin: identical agg
+    behind a watermarked `F.window` groupBy."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    ordk = (F.unix_timestamp("ts") * F.lit(1000000)
+            + F.col("event_id")).cast("bigint")
+    return (
+        events.groupBy(
+            "event_type",
+            F.unix_timestamp(F.window("ts", "15 minutes").start)
+            .cast("bigint").alias("bucket_start"))
+        .agg(F.min_by("value", ordk).cast("double").alias("open"),
+             F.max("value").cast("double").alias("high"),
+             F.min("value").cast("double").alias("low"),
+             F.max_by("value", ordk).cast("double").alias("close"),
+             F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type", "bucket_start")
+    )
