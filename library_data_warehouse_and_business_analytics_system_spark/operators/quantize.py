@@ -83,25 +83,79 @@ def _sq_dist_lit(sub: Column, cent: list[float]) -> Column:
 def pq_fit(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
            ksub: int = 16, iters: int = 4,
            id_col: str = "vec_id") -> list[list[list[float]]]:
-    """Train m per-subspace codebooks (ksub × dim/m each) with the
-    deterministic Lloyd's fit from operators/clustering.py (lowest-id
-    init, decimal-exact re-estimation). Each subspace trains
-    independently on a SLICE of the corpus — m cheap passes, only
-    m·ksub·dsub doubles ever reach the driver."""
-    from .clustering import kmeans_fit
+    """Train m per-subspace codebooks (ksub × dim/m each): Lloyd's
+    with lowest-id init — ALL subspaces in one pass per iteration.
 
+    The corpus explodes once into (vec_id, subspace, subvector); each
+    iteration is ONE job: broadcast the m·ksub centroid table keyed
+    by subspace, struct-min assignment (ties → lowest code), then a
+    (subspace, cell, dim)-keyed decimal-exact mean whose output is
+    m·ksub·dsub rows regardless of corpus size. iters+2 Spark jobs
+    total — the per-subspace-sequential formulation costs m·iters·2
+    jobs for identical math, pure scheduling overhead at any scale.
+    Decimal sums make centroids independent of partition/merge order;
+    empty cells keep their previous centroid (Lloyd's convention)."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     dsub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        sub = corpus.select(
-            F.col(id_col).alias("vec_id"),
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding"))
-        _, cents = kmeans_fit(sub, k=ksub, iters=iters)
-        rows = sorted(cents.collect(), key=lambda r: r["cluster_id"])
-        books.append([[float(x) for x in r["centroid"]] for r in rows])
-    return books
+    spark = corpus.sparkSession
+    subs = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.posexplode(F.array(*[
+            F.slice(F.col(vec_col), j * dsub + 1, dsub)
+            for j in range(m)])).alias("j", "sv")).cache()
+
+    w = Window.partitionBy("j").orderBy("vid")
+    init = (subs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= ksub)
+            .select("j", (F.col("rn") - 1).alias("cell"), "sv")
+            .collect())
+    cents: dict[tuple[int, int], list[float]] = {
+        (r["j"], r["cell"]): [float(x) for x in r["sv"]] for r in init}
+    if len(cents) < m * ksub:
+        raise ValueError(
+            f"corpus has fewer than ksub={ksub} vectors to seed from")
+
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            [(j, c, v) for (j, c), v in sorted(cents.items())],
+            "j int, cell int, cvec array<double>"))
+        cand = F.struct(_sq_dist(F.col("sv"), F.col("cvec")).alias("d"),
+                        F.col("cell").alias("cell"))
+        assigned = (
+            subs.join(cdf, "j")
+            .select("vid", "j", "sv", cand.alias("cand"))
+            .groupBy("vid", "j")
+            .agg(F.min("cand").alias("best"), F.first("sv").alias("sv"))
+        )
+        per_dim = (
+            assigned.select("j", F.col("best.cell").alias("cell"),
+                            F.posexplode("sv").alias("i", "x"))
+            .groupBy("j", "cell", "i")
+            .agg(F.sum(F.col("x").cast("decimal(28,12)")).alias("s"),
+                 F.count(F.lit(1)).alias("n"))
+            .select("j", "cell", "i",
+                    (F.col("s") / F.col("n")).cast("double").alias("mu"))
+        ).collect()
+        new = dict(cents)  # empty cells keep their previous centroid
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in per_dim:
+            acc.setdefault((r["j"], r["cell"]), {})[r["i"]] = r["mu"]
+        for key, dims in acc.items():
+            vec = list(new[key])
+            for i, mu in dims.items():
+                vec[i] = mu
+            new[key] = vec
+        cents = new
+    subs.unpersist()
+    return [[cents[(j, c)] for c in range(ksub)] for j in range(m)]
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 between two array columns, folded in index order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def pq_encode(df: DataFrame, vec_col: str,

@@ -1863,7 +1863,12 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     if sf_dir not in _PQ_BOOKS:
         from ..operators.quantize import pq_fit
 
-        emb = load_table(spark, sf_dir, "embeddings")
+        # Standard PQ practice: train on a bounded sample (the
+        # codebook needs representative density, not the corpus) —
+        # deterministic id cut, covers the whole corpus at the
+        # sf0.01 gate scale, caps fit cost at larger SFs.
+        emb = (load_table(spark, sf_dir, "embeddings")
+               .filter(F.col("vec_id") < 500))
         _PQ_BOOKS[sf_dir] = pq_fit(emb, "embedding", dim=64, m=4,
                                    ksub=16, iters=3)
     return _PQ_BOOKS[sf_dir]
