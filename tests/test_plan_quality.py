@@ -63,6 +63,11 @@ CARTESIAN_OK = {
                             # itself is an equi-join of two top-k lists
     "dq_expectations_summary",  # 1-row × 1-row (n_checked × orphans)
                                 # scalar joins inside fk_report
+    "dsir_importance_weights",  # 1-row (raw_total, tgt_total) scalar
+                                # frame crossed into per-doc scores
+    "pq_ann_topk",          # query × corpus ADC scoring — the broadcast
+                            # side is the 8-row query/distance-table
+                            # frame (same shape as cosine_topk)
 }
 
 
