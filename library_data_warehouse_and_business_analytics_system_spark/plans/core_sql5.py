@@ -386,3 +386,57 @@ def excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Categorical-column impurity profile: distribution-shape telemetry
+# (cardinality, mode share, gini impurity) for the low-cardinality
+# columns — log-free on purpose: gini = 1 − Σnᵢ²/N² has exact integer
+# numerators, unlike entropy, whose ln() is not bit-identical across
+# engines.
+
+_GINI_COLS = ("o_orderpriority", "o_orderstatus")
+
+
+@register(
+    "orders_category_gini",
+    "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS col_name,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+                 AS top_share,
+               1.0 - CAST(SUM(cnt * cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE))
+                 AS gini
+        FROM (SELECT {c}, COUNT(*) AS cnt FROM orders GROUP BY {c})"""
+        for c in _GINI_COLS
+    ) + "\nORDER BY col_name",
+    operators=("PROFILE", "A1", "A5"),
+)
+def orders_category_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One scan for every profiled column: stack() unpivots each row
+    into (col, val) pairs map-side, one (col, val) count, then a
+    per-column rollup — the oracle's per-column UNION ALL scans the
+    table |cols| times for the same rows. Gini's numerator Σnᵢ² is
+    exact integer arithmetic; the only float ops are two final
+    divisions, bit-stable on both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    stacked = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _GINI_COLS)
+    long = orders.select(F.expr(
+        f"stack({len(_GINI_COLS)}, {stacked}) AS (col_name, val)"))
+    per_val = long.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_val.groupBy("col_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+             F.max("cnt").alias("_mx"), F.sum("cnt").alias("_n"),
+             F.sum(F.col("cnt") * F.col("cnt")).alias("_ss"))
+        .select(
+            "col_name", "n_distinct",
+            (F.col("_mx").cast("double") / F.col("_n").cast("double"))
+            .alias("top_share"),
+            (F.lit(1.0) - F.col("_ss").cast("double")
+             / (F.col("_n").cast("double") * F.col("_n").cast("double")))
+            .alias("gini"))
+        .orderBy("col_name")
+    )
