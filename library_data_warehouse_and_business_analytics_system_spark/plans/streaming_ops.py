@@ -407,18 +407,13 @@ def events_ohlc_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     behind a watermarked `F.window` groupBy."""
     from pyspark.sql import functions as F
 
+    from ..streaming.events import ohlc_bars
+
     events = load_table(spark, sf_dir, "events")
-    ordk = (F.unix_timestamp("ts") * F.lit(1000000)
-            + F.col("event_id")).cast("bigint")
     return (
-        events.groupBy(
-            "event_type",
-            F.unix_timestamp(F.window("ts", "15 minutes").start)
-            .cast("bigint").alias("bucket_start"))
-        .agg(F.min_by("value", ordk).cast("double").alias("open"),
-             F.max("value").cast("double").alias("high"),
-             F.min("value").cast("double").alias("low"),
-             F.max_by("value", ordk).cast("double").alias("close"),
-             F.count(F.lit(1)).alias("n_events"))
+        ohlc_bars(events, window="15 minutes")
+        .select("event_type", F.col("bucket_start").cast("bigint")
+                .alias("bucket_start"),
+                "open", "high", "low", "close", "n_events")
         .orderBy("event_type", "bucket_start")
     )

@@ -103,6 +103,30 @@ def sliding_event_counts(events: DataFrame, window: str = "1 hour",
     )
 
 
+def ohlc_bars(events: DataFrame, window: str = "15 minutes",
+              watermark: str = "2 hours") -> DataFrame:
+    """OHLC bars per (event_type, window): open/close via min_by/
+    max_by on a composite (ts, event_id) ordering key — deterministic
+    under ties — high/low as plain MIN/MAX. One stateful hash
+    aggregate; works on a streaming or batch DataFrame (the batch
+    twin is the `events_ohlc_15m` gate's aggregate, so stream ≡ batch
+    is pytest-pinned)."""
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
+    ordk = (F.unix_timestamp("ts") * F.lit(1000000)
+            + F.col("event_id")).cast("bigint")
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.min_by("value", ordk).cast("double").alias("open"),
+             F.max("value").cast("double").alias("high"),
+             F.min("value").cast("double").alias("low"),
+             F.max_by("value", ordk).cast("double").alias("close"),
+             F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_timestamp(F.col("w.start")).alias("bucket_start"),
+                "event_type", "open", "high", "low", "close", "n_events")
+    )
+
+
 def session_window_stats(events: DataFrame, gap: str = "30 minutes",
                          watermark: str = "2 hours") -> DataFrame:
     """Gap-based session windows per user (F.session_window): the

@@ -64,7 +64,8 @@ def _sorted_pdf(df) -> pd.DataFrame:
     SE.tumbling_event_counts,
     SE.sliding_event_counts,
     SE.session_window_stats,
-], ids=["tumbling", "sliding", "session"])
+    SE.ohlc_bars,
+], ids=["tumbling", "sliding", "session", "ohlc"])
 def test_stream_equals_batch(spark, sf_dir, stream_dir, tmp_path, agg_fn):
     stream = SE.events_file_stream(spark, stream_dir)
     name = f"mem_{agg_fn.__name__}"
