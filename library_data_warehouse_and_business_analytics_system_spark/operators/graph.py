@@ -83,3 +83,53 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
                      ).alias("pr"))
         )
     return pr
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts via degree-ordered
+    orientation (the MapReduce-era Suri–Vassilvitskii / Cohen
+    construction, re-expressed as three DataFrame joins).
+
+    ``edges`` is an undirected distinct edge list (a, b), a ≠ b, one
+    row per unordered pair. Each edge is oriented from its
+    lower-(degree, id) endpoint to the higher one; every triangle then
+    has EXACTLY ONE wedge at its minimum-rank vertex, so wedges =
+    oriented ⋈ oriented on the source, and a triangle is a wedge whose
+    far pair is itself an oriented edge. Why degree ordering matters
+    at 100 TB: wedge count is Σ out-deg², and orientation caps
+    out-degree at O(√|E|) even for a celebrity node — the naive
+    a<b orientation leaves a low-id hub with out-degree ~N and a
+    quadratic wedge set. Returns (node, n_triangles) for every node
+    appearing in ``edges`` (zero-participation nodes included)."""
+    und = (edges.select(F.col("a").cast("long").alias("u"),
+                        F.col("b").cast("long").alias("v"))
+           .unionByName(edges.select(F.col("b").cast("long").alias("u"),
+                                     F.col("a").cast("long").alias("v"))))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranked = und.join(deg.withColumnRenamed("u", "v")
+                     .withColumnRenamed("d", "dv"), "v") \
+                .join(deg, "u")
+    oriented = (ranked.filter(
+        (F.col("d") < F.col("dv"))
+        | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v"))))
+        .select("u", "v"))
+    # Both orders of each wedge are generated; the closing edge is
+    # oriented ONE way by the rank order of its endpoints, so the
+    # pure equi-join below matches each triangle exactly once (an
+    # OR-of-directions condition would force a nested-loop join).
+    w1 = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    w2 = oriented.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") != F.col("z"))
+    closing = oriented.select(
+        F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+        .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    return (nodes.join(per_node, "node", "left_outer")
+            .select("node",
+                    F.coalesce("n_triangles", F.lit(0)).cast("bigint")
+                    .alias("n_triangles")))
