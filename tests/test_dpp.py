@@ -59,3 +59,43 @@ def test_static_partition_pruning_reads_subset(spark, sf_dir, tmp_path):
     want = (load_table(spark, sf_dir, "orders")
             .filter(F.year("o_orderdate") == 1995).count())
     assert n == want > 0
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning (SPARK-32268): a selective
+    dim-side filter must inject a bloom_filter_agg on the dim and a
+    might_contain probe onto the FACT side of a shuffled join, so
+    fact rows that cannot match are dropped before the exchange —
+    at 100 TB this is the difference between shuffling the whole
+    fact and shuffling the matching slice. The size thresholds are
+    lowered to simulate TB-scale inputs on the test data; the conf
+    is restored afterwards."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import (
+        load_table,
+    )
+
+    saved = {k: spark.conf.get(k) for k in (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")}
+    try:
+        assert spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".creationSideThreshold", "10MB")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        orders = load_table(spark, sf_dir, "orders")
+        cust = (load_table(spark, sf_dir, "customer")
+                .filter(F.col("c_mktsegment") == "BUILDING"))
+        j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
