@@ -2071,3 +2071,69 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b"))
     return (triangle_counts(edges)
             .orderBy(F.desc("n_triangles"), "node"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (counting algebra): the outcome
+# oracle computes the post-delta join directly; the Spark side gets
+# there by APPLYING signed deltas to the materialized pre-delta view
+# — two different algorithms, bit-identical multisets.
+
+
+@register(
+    "ivm_join_refresh",
+    """
+    WITH a_new AS (
+      SELECT o_custkey AS custkey, o_orderkey, o_totalprice FROM orders
+      WHERE (YEAR(o_orderdate) = 1995 AND o_orderstatus <> 'F')
+         OR YEAR(o_orderdate) = 1996
+    ), b_new AS (
+      SELECT c_custkey AS custkey, c_mktsegment FROM customer
+      WHERE c_acctbal >= 0
+    )
+    SELECT a.custkey AS custkey, a.o_orderkey,
+           CAST(a.o_totalprice AS DOUBLE) AS o_totalprice,
+           b.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS _mult
+    FROM a_new a JOIN b_new b ON a.custkey = b.custkey
+    GROUP BY a.custkey, a.o_orderkey, a.o_totalprice, b.c_mktsegment
+    ORDER BY a.custkey, a.o_orderkey
+    """,
+    operators=("IVM-JOIN", "J1", "A1"),
+)
+def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize orders(1995) ⋈ customer, then refresh through a
+    batch that INSERTS the 1996 orders, DELETES the 1995 'F'-status
+    orders, and DELETES the negative-balance customers — both sides
+    changing in one batch, so the ΔA⋈ΔB correction term is exercised
+    (without it, rows whose order AND customer both changed would be
+    double-counted). Refresh cost is delta-keyed equi-joins — never
+    |A⋈B|. See operators/ivm.py."""
+    from ..operators.ivm import SIGN, materialize_join_view, refresh_join_view
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.year("o_orderdate").alias("_y"), "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment", "c_acctbal")
+
+    a_old = (orders.filter(F.col("_y") == 1995)
+             .select("custkey", "o_orderkey", "o_totalprice"))
+    b_old = cust.select("custkey", "c_mktsegment")
+    view = materialize_join_view(a_old, b_old, "custkey")
+
+    ins_a = (orders.filter(F.col("_y") == 1996)
+             .select("custkey", "o_orderkey", "o_totalprice")
+             .withColumn(SIGN, F.lit(1)))
+    del_a = (orders.filter((F.col("_y") == 1995)
+                           & (F.col("o_orderstatus") == "F"))
+             .select("custkey", "o_orderkey", "o_totalprice")
+             .withColumn(SIGN, F.lit(-1)))
+    delta_a = ins_a.unionByName(del_a)
+    delta_b = (cust.filter(F.col("c_acctbal") < 0)
+               .select("custkey", "c_mktsegment")
+               .withColumn(SIGN, F.lit(-1)))
+    return (refresh_join_view(view, a_old, delta_a, b_old, delta_b,
+                              "custkey")
+            .orderBy("custkey", "o_orderkey"))
