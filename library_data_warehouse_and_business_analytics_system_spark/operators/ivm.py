@@ -89,3 +89,15 @@ def _out_cols(a: DataFrame, b: DataFrame, on: str) -> list[str]:
     payload_b = [c for c in b.columns if c != on and c != SIGN]
     payload_a = [c for c in a.columns if c != SIGN]
     return payload_a + payload_b
+
+
+def feed_to_delta(feed: DataFrame) -> DataFrame:
+    """Adapt a txlog change feed (``tx_diff_parts``'s (op, <row>)
+    rows) into this module's signed-delta shape: insert → +1,
+    delete → −1. The composition point between the table format's
+    CDC and join-view maintenance — an update in the feed is already
+    (delete old, insert new), which is exactly the pair of signed
+    rows the counting algebra wants."""
+    return (feed.withColumn(
+        SIGN, F.when(F.col("op") == "insert", 1).otherwise(-1))
+        .drop("op"))
