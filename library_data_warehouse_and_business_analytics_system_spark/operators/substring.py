@@ -27,7 +27,7 @@ quadratic, no driver-side state.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as TX
@@ -105,4 +105,55 @@ def duplicated_span_scrub(docs: DataFrame, k: int = 8,
                     / F.col("n_tokens").cast("double"))
         .select("doc_id", "n_tokens", "covered_tokens", "dup_frac",
                 "kept_text")
+    )
+
+
+def self_repeat_scrub(docs: DataFrame, k: int = 8,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Remove WITHIN-document repeats: every token covered only by
+    k-token windows whose exact text already occurred EARLIER in the
+    same document is scrubbed (the first occurrence survives).
+
+    The complement of :func:`duplicated_span_scrub` — Lee et al.'s
+    self-duplication case (generation loops, boilerplate stuttering,
+    scraper glitches). A position is covered iff it lies in some
+    window whose (doc, hash) has a strictly smaller start — computed
+    with one per-document min-over-window (partition = one document's
+    windows, bounded by doc length), the bounded k-fan-out explode,
+    and the same position-ordered reassembly. Returns (doc_id,
+    n_tokens, repeated_tokens, kept_text)."""
+    toks = TX.tokens(F.lower(F.col(text_col)))
+    wh = window_hashes(docs, k, id_col, text_col)
+
+    w = Window.partitionBy("doc_id", "wh")
+    repeats = (wh.withColumn("first_start", F.min("start").over(w))
+               .filter(F.col("start") > F.col("first_start")))
+    covered = (
+        repeats.select("doc_id",
+                       F.explode(F.sequence(F.col("start"),
+                                            F.col("start") + F.lit(k - 1)))
+                       .alias("pos"))
+        .distinct()
+        .withColumn("is_rep", F.lit(True)))
+
+    tok_pos = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(toks).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+    return (
+        tok_pos.join(covered, ["doc_id", "pos"], "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.coalesce("is_rep", F.lit(False)).cast("int"))
+            .cast("bigint").alias("repeated_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("is_rep").isNull(),
+                               F.struct("pos", "tok")))),
+                    lambda s: s["tok"]), " ").alias("kept_text"))
+        .select("doc_id", "n_tokens", "repeated_tokens", "kept_text")
     )

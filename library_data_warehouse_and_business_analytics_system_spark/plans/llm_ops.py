@@ -2137,3 +2137,53 @@ def ivm_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (refresh_join_view(view, a_old, delta_a, b_old, delta_b,
                               "custkey")
             .orderBy("custkey", "o_orderkey"))
+
+
+@register(
+    "self_repeat_scrub",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, i AS start,
+             md5(array_to_string(t[i:i+2], ' ')) AS wh
+      FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 3
+    ), repeats AS (
+      SELECT doc_id, start FROM (
+        SELECT doc_id, start,
+               MIN(start) OVER (PARTITION BY doc_id, wh) AS first_start
+        FROM wins)
+      WHERE start > first_start
+    ), covered AS (
+      SELECT DISTINCT r.doc_id, s.pos
+      FROM repeats r, UNNEST(range(r.start, r.start + 3)) AS s(pos)
+    ), tok_pos AS (
+      SELECT doc_id, u.pos, t[u.pos] AS tok
+      FROM toks, UNNEST(range(1, len(t) + 1)) AS u(pos)
+    )
+    SELECT tp.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(c.pos) AS BIGINT) AS repeated_tokens,
+           COALESCE(string_agg(tp.tok, ' ' ORDER BY tp.pos)
+                      FILTER (WHERE c.pos IS NULL), '') AS kept_text
+    FROM tok_pos tp
+    LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.pos = c.pos
+    GROUP BY tp.doc_id
+    ORDER BY tp.doc_id
+    """,
+    operators=("TEXT-SELF-REPEAT", "A1", "J2", "W1"),
+)
+def self_repeat_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeat scrubbing at k=3 (generation-loop /
+    stutter removal): any 3-token window whose exact text occurred
+    earlier IN THE SAME DOC is scrubbed, first occurrence kept —
+    bit-exact through the reassembled text. Per-doc window min +
+    bounded fan-out; no cross-doc state at all, so the operator is
+    embarrassingly parallel over documents at any corpus size.
+    See operators/substring.py."""
+    from ..operators.substring import self_repeat_scrub as _srs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return _srs(docs, k=3).orderBy("doc_id")

@@ -71,3 +71,45 @@ def test_partitioning_invariance(spark):
     assert sorted(one, key=key) == sorted(many, key=key)
     # every doc shares the middle span → all scrubbed
     assert all(r["covered_tokens"] == 8 for r in one)
+
+
+def test_self_repeat_keeps_first_occurrence(spark):
+    from library_data_warehouse_and_business_analytics_system_spark.operators.substring import (
+        self_repeat_scrub,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d a b c d"),      # full phrase repeated
+         (2, "x y z unique words"),   # no repeats
+         (3, "loop loop loop loop loop")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in self_repeat_scrub(df, k=2).collect()}
+    assert rows[1]["kept_text"] == "a b c d"
+    assert rows[1]["repeated_tokens"] == 4
+    assert rows[2]["repeated_tokens"] == 0
+    assert rows[2]["kept_text"] == "x y z unique words"
+    # "loop"*5: windows at 1..4 identical; repeats at 2,3,4 cover
+    # positions 2..5 — only the very first token survives
+    assert rows[3]["kept_text"] == "loop"
+
+
+def test_self_and_cross_doc_scrubs_are_independent(spark):
+    """The same corpus through both scrubs: a cross-doc shared span
+    is untouched by the self-repeat scrub and vice versa."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.substring import (
+        duplicated_span_scrub, self_repeat_scrub,
+    )
+
+    nine_tails = " ".join(["tail"] * 9)
+    df = spark.createDataFrame(
+        [(1, f"{SHARED} {nine_tails}"),
+         (2, f"{SHARED} other closing words entirely here")],
+        ["doc_id", "text"])
+    cross = {r["doc_id"]: r
+             for r in duplicated_span_scrub(df, k=8).collect()}
+    selfr = {r["doc_id"]: r for r in self_repeat_scrub(df, k=8).collect()}
+    assert cross[1]["covered_tokens"] == 8      # only the shared span
+    # tail×9 → all-tail windows at starts 9 and 10; the repeat at 10
+    # covers positions 10..17 — the stutter, not the shared span
+    assert selfr[1]["repeated_tokens"] == 8
+    assert selfr[2]["repeated_tokens"] == 0
