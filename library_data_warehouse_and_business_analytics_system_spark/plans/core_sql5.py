@@ -440,3 +440,55 @@ def orders_category_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("gini"))
         .orderBy("col_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram — the numeric companion to the categorical
+# impurity profile: integer bucket arithmetic (floor of a double
+# division is bit-stable), empty buckets zero-filled through the
+# bucket spine so the histogram's SHAPE is complete.
+
+
+@register(
+    "order_price_histogram",
+    """
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000.0) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ), spine AS (
+      SELECT CAST(i AS INT) AS bucket
+      FROM UNNEST(range(0, (SELECT MAX(bucket) FROM b) + 1)) AS t(i)
+    )
+    SELECT s.bucket,
+           CAST(s.bucket * 25000.0 AS DOUBLE) AS lo,
+           CAST((s.bucket + 1) * 25000.0 AS DOUBLE) AS hi,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_orders
+    FROM spine s LEFT JOIN b USING (bucket)
+    ORDER BY s.bucket
+    """,
+    operators=("PROFILE", "A1", "J2", "S9"),
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25k-wide price histogram: one two-phase aggregate on the
+    integer bucket key, then a sequence() spine left-joined so empty
+    interior buckets appear as zeros (a histogram with silently
+    missing bars misleads). The spine is MAX(bucket)+1 rows — driver
+    arithmetic never touches row data."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = (orders.select(
+        F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+        .alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n")))
+    mx = b.agg(F.max("bucket").alias("mx"))
+    spine = (mx.select(F.explode(F.sequence(F.lit(0), F.col("mx")))
+                       .alias("bucket")))
+    return (
+        spine.join(b, "bucket", "left_outer")
+        .select(
+            "bucket",
+            (F.col("bucket") * F.lit(25000.0)).alias("lo"),
+            ((F.col("bucket") + 1) * F.lit(25000.0)).alias("hi"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_orders"))
+        .orderBy("bucket")
+    )
