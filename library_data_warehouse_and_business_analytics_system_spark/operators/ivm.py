@@ -77,12 +77,19 @@ def refresh_join_view(view: DataFrame, a_old: DataFrame,
                 (F.coalesce(MULT, F.lit(0))
                  + F.coalesce("_dm", F.lit(0))).cast("long").alias(MULT))
     )
-    neg = merged.filter(F.col(MULT) < 0).limit(1).count()
-    if neg:
-        raise ValueError(
+    # Contract check INSIDE the plan (raise_error expression): a
+    # negative multiplicity fails the job at execution, distributed
+    # and single-pass — a driver-side pre-count would execute the
+    # whole merge twice.
+    checked = F.when(
+        F.col(MULT) < 0,
+        F.raise_error(F.lit(
             "negative multiplicity: delta deletes a row absent from "
-            "the view — the delta does not follow this snapshot")
-    return merged.filter(F.col(MULT) > 0)
+            "the view — the delta does not follow this snapshot"))
+        .cast("long"),
+    ).otherwise(F.col(MULT))
+    return (merged.withColumn(MULT, checked)
+            .filter(F.col(MULT) > 0))
 
 
 def _out_cols(a: DataFrame, b: DataFrame, on: str) -> list[str]:

@@ -86,6 +86,8 @@ def test_inconsistent_delete_raises(spark):
     view = materialize_join_view(a, b, "k")
     ghost = _mk(spark, [(1, 99, 7.0, -1)], ["k", "aid", "val", SIGN])
     # deleting an A-row that was never in the base: its join partner
-    # exists, so the delta drives the tuple's multiplicity to -1
-    with pytest.raises(ValueError, match="negative multiplicity"):
-        refresh_join_view(view, a, ghost, b, None, "k")
+    # exists, so the delta drives the tuple's multiplicity to -1.
+    # The check is a raise_error EXPRESSION (single-pass, distributed),
+    # so it fires when the refreshed plan executes.
+    with pytest.raises(Exception, match="negative multiplicity"):
+        refresh_join_view(view, a, ghost, b, None, "k").collect()
