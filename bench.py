@@ -35,10 +35,11 @@ def main() -> None:
     # external timeout, so once the budget is spent the remaining
     # NON-headline work is skipped (headliners always run — they are
     # the cross-round comparable).
-    # 480 → 560 in round 7: the registry grew 90 → 114 (search /
-    # clustering / graph / CDC / tx-read gates) and the old budget
-    # dropped an 11-query breadth tail at sf0.1.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "560"))
+    # 480 → 560 → 840 across round 7: the registry grew 90 → 165
+    # (search / clustering / graph / CDC / tx-read gates, then the
+    # batch-4/5/6 relational shapes and the analytics families) and
+    # 560 s dropped a 14-query breadth tail at sf0.1 on an idle host.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "840"))
     t_begin = time.perf_counter()
     try:  # load BEFORE our own JVM spins up = the external contention
         load1_start = os.getloadavg()[0]

@@ -96,3 +96,69 @@ def with_rank_stats(df: DataFrame, order_by: list[Column],
             .withColumn("ntile", _ntile_expr(rank, n, n_tiles))
             .withColumn("percent_rank", pr)
             .withColumn("cume_dist", rank.cast("double") / F.lit(float(n))))
+
+
+def with_group_rank(df: DataFrame, group_cols: list[str],
+                    order_by: list[Column],
+                    rank_col: str = "group_rank",
+                    n_partitions: int | None = None) -> DataFrame:
+    """Per-GROUP strict rank without `Window.partitionBy(group)` over
+    raw rows: the global-rank trap has a grouped twin — a handful of
+    huge groups (order priorities, event types, data sources) each
+    funnel through one reducer under a per-group window. Same cure:
+    range-partition on (group, order) so each group's timeline spreads
+    over many partitions, count per (partition, group), chain the
+    per-group offsets on the driver (#partitions × #groups-straddling
+    rows — tiny), and add a per-(partition, group) row_number to the
+    broadcast offset. ``order_by`` must be strict within a group
+    (include a unique tie-break)."""
+    parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
+    gcols = [F.col(c) for c in group_cols]
+    ranged = (df.repartitionByRange(parts, *gcols, *order_by)
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+    counts = (ranged.groupBy("_pid", *group_cols)
+              .agg(F.count("*").alias("c")).collect())
+    # per-group prefix offsets in pid order
+    by_group: dict[tuple, list] = {}
+    for r in counts:
+        by_group.setdefault(tuple(r[c] for c in group_cols), []).append(r)
+    rows = []
+    for key, blocks in by_group.items():
+        blocks.sort(key=lambda r: r["_pid"])
+        acc = 0
+        for b in blocks:
+            rows.append((int(b["_pid"]), *key, acc))
+            acc += b["c"]
+    schema = ", ".join(["_pid int"]
+                       + [f"`{c}` {dict(df.dtypes)[c]}" for c in group_cols]
+                       + ["_off long"])
+    off_df = ranged.sparkSession.createDataFrame(rows or [], schema) \
+        if rows else ranged.sparkSession.createDataFrame([], schema)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_by)
+    return (ranged.join(F.broadcast(off_df), ["_pid", *group_cols], "left")
+            .withColumn(rank_col,
+                        (F.coalesce("_off", F.lit(0))
+                         + F.row_number().over(w)).cast("long"))
+            .drop("_pid", "_off"))
+
+
+def group_quantile_disc(df: DataFrame, group_cols: list[str], val_col: str,
+                        tie_col: str, q: float = 0.5,
+                        out_col: str = "q_value",
+                        n_partitions: int | None = None) -> DataFrame:
+    """Exact discrete per-group quantile (lower median at q=0.5) by
+    rank SELECTION, not sorting-to-one-reducer: two-phase group rank,
+    then keep the row whose rank equals ceil(q·n) (the SQL
+    ``percentile_disc`` pick). Returns one row per group:
+    ``(*group_cols, out_col, n_rows)``. Selection never does float
+    arithmetic on the values, so the result is engine-portable
+    bit-for-bit."""
+    ranked = with_group_rank(
+        df, group_cols, [F.col(val_col), F.col(tie_col)],
+        n_partitions=n_partitions)
+    sizes = ranked.groupBy(*group_cols).agg(F.count("*").alias("n_rows"))
+    target = F.ceil(F.lit(q) * F.col("n_rows")).cast("long")
+    return (ranked.join(F.broadcast(sizes), group_cols)
+            .filter(F.col("group_rank") == target)
+            .select(*group_cols, F.col(val_col).alias(out_col), "n_rows"))

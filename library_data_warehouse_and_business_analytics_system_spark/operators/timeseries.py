@@ -22,6 +22,10 @@ relies on exactly that.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -59,3 +63,131 @@ def gapfill_interpolate(df: DataFrame, key_col: str, date_col: str,
         key_col, date_col,
         filled.cast("double").alias("v_filled"),
         v.isNull().alias("was_gap"))
+
+
+# ---------------------------------------------------------------------------
+# Exponentially weighted moving average as a DISTRIBUTED SCAN.
+#
+# The recurrence s_1 = x_1, s_t = (1-α)·s_{t-1} + α·x_t is the textbook
+# smoothing pass every monitoring / forecasting pipeline runs over its
+# series, and the naive Spark expression — a window ordered by time —
+# either doesn't exist (no recursive window functions) or collapses a
+# key onto one reducer via applyInPandas(key). This is the same
+# single-reducer trap packing/surrogate/ranking already solve with the
+# two-phase range shape, applied to a scan with a MULTIPLICATIVE carry:
+#
+#   1. repartitionByRange on (key, t): each partition holds a
+#      contiguous slice of each key's timeline; localCheckpoint
+#      freezes the layout (same contract as pack_sequences).
+#   2. one Arrow pass computes per-(partition, key) block summaries:
+#      block length n, the fold from a ZERO carry, and the fold under
+#      the s_1 = x_1 head convention.  #blocks ≤ #partitions + #keys —
+#      a tiny driver collect, like packing's offsets.
+#   3. the driver chains carries per key across partitions in pid
+#      order: first block keeps its head-convention fold; after that
+#      s_end = carry·(1-α)^n + zero-carry fold (exact algebra of the
+#      linear recurrence).
+#   4. a second Arrow pass over the SAME frozen layout folds each
+#      block sequentially from its broadcast carry-in and emits every
+#      row's smoothed value.
+#
+# So a key with a billion points uses every partition its range
+# covers; nothing ever funnels through one task. Numerics: steps 3-4
+# regroup the float recurrence (carry·decay + local instead of one
+# long chain), which can differ from the strict sequential fold by a
+# few ulps — callers that need cross-engine hash equality round the
+# output (the `events_daily_ewma` gate snaps to the 1e-4 grid with a
+# pure-IEEE floor quantizer against a DuckDB recursive CTE; `tests/test_timeseries.py` pins the two-phase
+# result to the pure sequential fold at 1e-9).
+
+
+def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
+              alpha: float = 0.5, n_partitions: int | None = None,
+              ) -> DataFrame:
+    """``(key_col, order_col, val_col, ewma)`` — one row per input row;
+    ``(key_col, order_col)`` must be unique. ``alpha`` in (0, 1]."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(order_col).alias("t"),
+        F.col(val_col).cast("double").alias("x"))
+    ranged = (base.repartitionByRange(parts, "k", "t")
+              .sortWithinPartitions("k", "t")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+
+    one_minus = 1.0 - alpha
+
+    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # streaming per-partition fold; blocks may span Arrow batches
+        state: dict[str, tuple[int, float, float, int]] = {}
+        pid_seen = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid_seen = int(pdf["_pid"].iloc[0])
+            for k, x in zip(pdf["k"].to_numpy(), pdf["x"].to_numpy()):
+                n, l0, l1, _ = state.get(k, (0, 0.0, 0.0, pid_seen))
+                x = float(x)
+                l0 = one_minus * l0 + alpha * x
+                l1 = x if n == 0 else one_minus * l1 + alpha * x
+                state[k] = (n + 1, l0, l1, pid_seen)
+        rows = [(k, pid, n, l0, l1)
+                for k, (n, l0, l1, pid) in state.items()]
+        yield pd.DataFrame(
+            rows, columns=["k", "_pid", "n", "l0_end", "l1_end"])
+
+    summ = ranged.mapInPandas(
+        summaries,
+        "k string, _pid int, n long, l0_end double, l1_end double",
+    ).collect()
+
+    # chain carries per key across partitions, in pid order
+    carries: dict[tuple[str, int], float | None] = {}
+    by_key: dict[str, list] = {}
+    for r in summ:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, blocks in by_key.items():
+        blocks.sort(key=lambda r: r["_pid"])
+        carry: float | None = None  # None → block starts the key (s_1 = x_1)
+        for b in blocks:
+            carries[(k, b["_pid"])] = carry
+            if carry is None:
+                carry = b["l1_end"]
+            else:
+                carry = carry * (one_minus ** b["n"]) + b["l0_end"]
+
+    bc = spark.sparkContext.broadcast(carries)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmap = bc.value
+        cur_key: str | None = None
+        s = 0.0
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            out = []
+            for k, t, x in zip(pdf["k"].to_numpy(), pdf["t"].to_numpy(),
+                               pdf["x"].to_numpy()):
+                if k != cur_key:
+                    cur_key, started = k, False
+                    carry = cmap.get((k, pid))
+                    if carry is not None:
+                        s, started = carry, True
+                x = float(x)
+                s = (one_minus * s + alpha * x) if started else x
+                started = True
+                out.append((k, t, x, s))
+            yield pd.DataFrame(out, columns=["k", "t", "x", "ewma"])
+
+    t_type = dict(ranged.dtypes)["t"]
+    res = ranged.mapInPandas(
+        fold, f"k string, t {t_type}, x double, ewma double")
+    return res.select(
+        F.col("k").alias(key_col), F.col("t").alias(order_col),
+        F.col("x").alias(val_col), "ewma")

@@ -1,0 +1,355 @@
+"""Session-4 analytics families: EWMA smoothing as a distributed
+scan, event-sequence Markov transitions, robust (median/MAD) outlier
+detection, and item-item collaborative-filtering similarity.
+
+Reference parity: the reference's reporting layer computes trend and
+per-member behaviour summaries over the borrowing fact
+(`LQY_query1.txt` quarterly trends, `LQY_query3.txt` member activity
+histograms); these four generalize that surface to the smoothing /
+sequence / robust-stats / affinity queries an analytics user runs
+next, each with a full ANSI-SQL oracle.
+
+Scale posture:
+- the EWMA gate runs `operators/timeseries.ewma_scan` — the two-phase
+  range scan, never a per-key single reducer;
+- the transition matrix's only raw-row window partitions by user_id
+  (numerous by construction); the probability normalization windows
+  over the already-aggregated T×T frame;
+- the outlier gate's medians come from `operators/ranking`'s grouped
+  two-phase rank selection — a handful of huge priority groups never
+  funnel through one task;
+- the CF windows partition by part over co-occurrence candidates
+  (bounded by basket-bounded co-purchase degree, not corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.ranking import group_quantile_disc
+from ..operators.timeseries import ewma_scan
+from ..sources.catalog import load_table
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# EWMA over the per-type daily value series.
+
+
+@register(
+    "events_daily_ewma",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, rn, x, x AS s FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.day, i.rn, i.x,
+             CAST(0.5 AS DOUBLE) * r.s + CAST(0.5 AS DOUBLE) * i.x
+      FROM idx i JOIN rec r
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, x AS daily_value,
+           FLOOR(s * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS ewma
+    FROM rec
+    ORDER BY event_type, day
+    """,
+    operators=("A1", "W1"),
+)
+def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the exact daily value total (decimal sum) and
+    its EWMA (alpha=0.5, s_1 = x_1). The smoothing itself is
+    `ewma_scan`'s two-phase range scan — the oracle is the textbook
+    recursive CTE, so green certifies the distributed decomposition ≡
+    the sequential recurrence. Quantization: the carry regrouping is a
+    few-ulp reassociation of the float chain, so the output is snapped
+    to the 1e-4 grid — with FLOOR(x·1e4 + 0.5)/1e4, pure IEEE ops both
+    engines execute identically, NOT ROUND(double): engine ROUND
+    algorithms disagree on the exact .00005 midpoints that halving
+    chains of decimal-origin values produce constantly (see the verify
+    skill's gotchas; the daily input is decimal-rounded to 2dp for the
+    same reason)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                  .alias("_s"))
+             .select("event_type", "day",
+                     F.col("_s").cast("double").alias("daily_value")))
+    sm = ewma_scan(daily, "event_type", "day", "daily_value", alpha=0.5)
+    quant = (F.floor(F.col("ewma") * F.lit(10000.0) + F.lit(0.5))
+             .cast("double") / F.lit(10000.0))
+    return (sm.select("event_type", "day", "daily_value",
+                      quant.alias("ewma"))
+            .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event sequences.
+
+
+@register(
+    "event_type_transitions",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ), counts AS (
+      SELECT event_type, next_type, COUNT(*) AS n_pairs
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    )
+    SELECT event_type, next_type, n_pairs,
+           CAST(n_pairs AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER (PARTITION BY event_type) AS DOUBLE)
+             AS prob
+    FROM counts
+    ORDER BY event_type, next_type
+    """,
+    operators=("W1", "A1"),
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current type) from per-user event order —
+    the sequence-mining summary behind session-flow dashboards and
+    synthetic-session generators. The raw-row window partitions by
+    user_id (numerous); normalization runs over the T×T aggregate.
+    prob = int/int in doubles: correctly-rounded division on exact
+    counts, bit-identical cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .filter(F.col("next_type").isNotNull()))
+    counts = (pairs.groupBy("event_type", "next_type")
+              .agg(F.count(F.lit(1)).alias("n_pairs")))
+    tot = Window.partitionBy("event_type")
+    return (counts
+            .withColumn("prob",
+                        F.col("n_pairs").cast("double")
+                        / F.sum("n_pairs").over(tot).cast("double"))
+            .orderBy("event_type", "next_type"))
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median / MAD per order priority.
+
+
+@register(
+    "order_price_outliers",
+    """
+    WITH o AS (
+      SELECT o_orderpriority AS g, o_totalprice AS x, o_orderkey AS k
+      FROM orders
+    ), med AS (
+      SELECT g, x AS med FROM (
+        SELECT g, x,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY x, k) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM o) WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    ), d AS (
+      SELECT o.g, o.x, o.k, ABS(o.x - med.med) AS dev, med.med
+      FROM o JOIN med USING (g)
+    ), mad AS (
+      SELECT g, dev AS mad FROM (
+        SELECT g, dev,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY dev, k) AS rn,
+               COUNT(*) OVER (PARTITION BY g) AS n
+        FROM d) WHERE rn = CAST(CEIL(0.5 * n) AS BIGINT)
+    )
+    SELECT g AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN dev > 3.0 * mad THEN 1 END) AS n_outliers,
+           MAX(CASE WHEN dev > 3.0 * mad THEN x END) AS max_outlier_price,
+           MAX(med) AS median_price,
+           MAX(mad) AS mad
+    FROM d JOIN mad USING (g)
+    GROUP BY g
+    ORDER BY g
+    """,
+    operators=("A1", "W2", "J1"),
+)
+def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per priority: lower median, MAD (median absolute deviation),
+    and the |x - med| > 3·MAD outlier census — the robust anomaly
+    screen that, unlike z-scores, a few extreme rows can't poison.
+    Both medians are `group_quantile_disc` rank SELECTIONS over the
+    grouped two-phase rank (5 huge groups, no per-group single
+    reducer); selection does no value arithmetic, and dev/3·MAD are
+    single correctly-rounded IEEE ops — raw doubles hash-match."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    med = group_quantile_disc(
+        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+        q=0.5, out_col="median_price")
+    dev = (orders.join(F.broadcast(med.select("o_orderpriority",
+                                              "median_price")),
+                       "o_orderpriority")
+           .withColumn("dev", F.abs(F.col("o_totalprice")
+                                    - F.col("median_price"))))
+    mad = group_quantile_disc(
+        dev.select("o_orderpriority", "dev", "o_orderkey"),
+        ["o_orderpriority"], "dev", "o_orderkey", q=0.5, out_col="mad")
+    flagged = (dev.join(F.broadcast(mad.select("o_orderpriority", "mad")),
+                        "o_orderpriority")
+               .withColumn("is_out", F.col("dev") > 3.0 * F.col("mad")))
+    return (flagged.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.count(F.when(F.col("is_out"), 1)).alias("n_outliers"),
+                 F.max(F.when(F.col("is_out"), F.col("o_totalprice")))
+                 .alias("max_outlier_price"),
+                 F.max("median_price").alias("median_price"),
+                 F.max("mad").alias("mad"))
+            .orderBy("o_orderpriority"))
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative filtering: cosine similarity over baskets.
+
+
+@register(
+    "item_cf_similar_parts",
+    """
+    WITH bi AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_item AS (
+      SELECT l_partkey, COUNT(*) AS n_ord FROM bi GROUP BY l_partkey
+    ), co AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS n_co
+      FROM bi a JOIN bi b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ), sym AS (
+      SELECT p1 AS part, p2 AS partner, n_co FROM co
+      UNION ALL
+      SELECT p2 AS part, p1 AS partner, n_co FROM co
+    ), scored AS (
+      SELECT s.part, s.partner, s.n_co,
+             CAST(s.n_co AS DOUBLE)
+               / SQRT(CAST(ni.n_ord * nj.n_ord AS DOUBLE)) AS cosine
+      FROM sym s
+      JOIN n_item ni ON ni.l_partkey = s.part
+      JOIN n_item nj ON nj.l_partkey = s.partner
+    )
+    SELECT part, partner, n_co, cosine, rnk FROM (
+      SELECT part, partner, n_co, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY part ORDER BY cosine DESC, partner) AS rnk
+      FROM scored)
+    WHERE rnk <= 5
+    ORDER BY part, rnk
+    """,
+    operators=("J1", "A1", "O3"),
+)
+def item_cf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most-similar parts per part by basket cosine
+    (co-orders / sqrt(n_i · n_j)) — item-item collaborative filtering,
+    the classic recommendations primitive (Sarwar et al. 2001, WWW).
+    The pair join is keyed on the order id, so fan-out is bounded by
+    basket size squared, never catalog size squared; the top-5 window
+    partitions by part over its co-purchase candidates (bounded by
+    co-purchase degree). cosine = int / sqrt(int): two
+    correctly-rounded IEEE ops over exact integers — raw doubles
+    hash-match the oracle."""
+    bi = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_item = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    a = bi.alias("a")
+    b = bi.alias("b")
+    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+          .groupBy(F.col("a.l_partkey").alias("p1"),
+                   F.col("b.l_partkey").alias("p2"))
+          .agg(F.count(F.lit(1)).alias("n_co")))
+    sym = (co.select(F.col("p1").alias("part"), F.col("p2").alias("partner"),
+                     "n_co")
+           .unionAll(co.select(F.col("p2").alias("part"),
+                               F.col("p1").alias("partner"), "n_co")))
+    ni = n_item.select(F.col("l_partkey").alias("part"),
+                       F.col("n_ord").alias("_ni"))
+    nj = n_item.select(F.col("l_partkey").alias("partner"),
+                       F.col("n_ord").alias("_nj"))
+    scored = (sym.join(ni, "part").join(nj, "partner")
+              .withColumn("cosine",
+                          F.col("n_co").cast("double")
+                          / F.sqrt((F.col("_ni") * F.col("_nj"))
+                                   .cast("double"))))
+    w = Window.partitionBy("part").orderBy(F.col("cosine").desc(), "partner")
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5)
+            .select("part", "partner", "n_co", "cosine",
+                    F.col("rnk").cast("long").alias("rnk"))
+            .orderBy("part", "rnk"))
+
+
+# ---------------------------------------------------------------------------
+# Rate-anomaly detection gate for the existing batch/streaming twin.
+
+
+@register(
+    "event_rate_anomalies",
+    """
+    WITH counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS window_start,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), scored AS (
+      SELECT event_type, window_start, n_events,
+             AVG(n_events) OVER w AS m,
+             STDDEV_SAMP(n_events) OVER w AS s
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, window_start, n_events,
+           FLOOR(m * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+             AS baseline_mean,
+           FLOOR(s * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000
+             AS baseline_std,
+           FLOOR((CASE WHEN s > 0 THEN (n_events - m) / s END) * 1000000
+                 + CAST(0.5 AS DOUBLE)) / 1000000 AS z,
+           COALESCE(ABS(FLOOR((CASE WHEN s > 0 THEN (n_events - m) / s END)
+                              * 1000000 + CAST(0.5 AS DOUBLE)) / 1000000)
+                    >= CAST(2.0 AS DOUBLE), FALSE) AS is_anomaly
+    FROM scored
+    ORDER BY event_type, window_start
+    """,
+    operators=("A1", "W1"),
+)
+def event_rate_anomalies_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for `streaming/events.event_rate_anomalies` (whose
+    streaming twin is pytest-pinned to it): hourly counts per type
+    scored against the trailing-6-window mean/stddev. The windows run
+    over the already-aggregated (type, hour) frame — per-type state is
+    `trailing` rows regardless of event volume. Engines disagree on
+    stddev association order at the last ulp, so the gate snaps the
+    float columns to the 1e-6 grid with FLOOR(x·1e6 + 0.5)/1e6 — pure
+    IEEE ops both engines execute identically (never ROUND(double):
+    engine rounding algorithms diverge on midpoints) — and derives the
+    flag from the QUANTIZED z. The operator itself flags on raw z; the
+    pandas differential in tests/test_streaming.py pins that."""
+    from ..streaming.events import event_rate_anomalies as _op
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = _op(ev, window="1 hour", trailing=6, z_threshold=2.0)
+
+    def quant(c):
+        return (F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0))
+
+    qz = quant(F.col("z"))
+    return (raw.select(
+        "event_type", "window_start", "n_events",
+        quant(F.col("baseline_mean")).alias("baseline_mean"),
+        quant(F.col("baseline_std")).alias("baseline_std"),
+        qz.alias("z"),
+        F.coalesce(F.abs(qz) >= 2.0, F.lit(False)).alias("is_anomaly"))
+        .orderBy("event_type", "window_start"))

@@ -2187,3 +2187,68 @@ def self_repeat_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return _srs(docs, k=3).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup POLICY: canonical-document selection within near-dup clusters.
+
+
+@register(
+    "dedup_canonical_keep",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, GREATEST(len(w) - 4, 1)),
+               i -> array_to_string(list_slice(w, i, i + 4), ' '))) AS g
+      FROM toks
+    ), pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b
+      FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.g, b.g))
+              / nullif(len(a.g) + len(b.g)
+                       - len(list_intersect(a.g, b.g)), 0) >= 0.5
+    ), edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION ALL
+      SELECT b, a FROM pairs
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+    ), clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT d.doc_id, c.cluster_id, d.n_chars,
+           (ROW_NUMBER() OVER (
+              PARTITION BY c.cluster_id
+              ORDER BY d.n_chars DESC, d.doc_id) = 1) AS is_kept
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+    ORDER BY d.doc_id
+    """,
+    operators=("DEDUP-POLICY", "O3", "J1"),
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup POLICY on top of the cluster assignment: within each
+    near-dup cluster keep the single best version — here the longest
+    text (max n_chars, min doc_id on ties), the 'keep the most
+    complete variant' rule real curation pipelines apply instead of
+    blind keep-first. The argmax window partitions by cluster_id —
+    bounded by near-dup cluster size (the SemDeDup mega-cluster guard
+    documents the failure mode when that assumption breaks). Selection
+    does no arithmetic, so the row set hashes identically to the
+    oracle's recursive-CTE clusters + ROW_NUMBER pick."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id",
+                                          threshold=0.5).select("a", "b")
+    comp = dedup.connected_components(pairs, docs.select("doc_id"), "doc_id")
+    sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = (Window.partitionBy("cluster_id")
+         .orderBy(F.col("n_chars").desc(), "doc_id"))
+    return (sized.withColumn("_rnk", F.row_number().over(w))
+            .select("doc_id", "cluster_id", "n_chars",
+                    (F.col("_rnk") == 1).alias("is_kept"))
+            .orderBy("doc_id"))

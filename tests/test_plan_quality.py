@@ -68,6 +68,9 @@ CARTESIAN_OK = {
     "pq_ann_topk",          # query × corpus ADC scoring — the broadcast
                             # side is the 8-row query/distance-table
                             # frame (same shape as cosine_topk)
+    "important_parts_stock",  # 1-row global-threshold scalar frame
+                              # broadcast-crossed into the per-part
+                              # aggregate (Q11's HAVING subquery)
 }
 
 

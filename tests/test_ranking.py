@@ -76,3 +76,68 @@ def test_no_single_partition_global_window(spark):
         Window.orderBy(F.col("v").desc(), "id")).alias("t"))
     naive_plan = naive._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in naive_plan   # what we are avoiding
+
+
+# ---------------------------------------------------------------------------
+# Grouped two-phase rank + discrete quantile selection.
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.ranking import (  # noqa: E402
+    group_quantile_disc,
+    with_group_rank,
+)
+
+
+def _grouped_frame(spark, n=500, groups=4):
+    rows = [(f"g{i % groups}", float((i * 193) % 997), i)
+            for i in range(n)]
+    return spark.createDataFrame(rows, "g string, x double, k long")
+
+
+def test_group_rank_equals_per_group_window(spark):
+    df = _grouped_frame(spark)
+    got = with_group_rank(df, ["g"], [F.col("x"), F.col("k")],
+                          n_partitions=7)
+    w = Window.partitionBy("g").orderBy("x", "k")
+    ref = df.withColumn("group_rank",
+                        F.row_number().over(w).cast("long"))
+    a = {(r["g"], r["k"]): r["group_rank"] for r in got.collect()}
+    b = {(r["g"], r["k"]): r["group_rank"] for r in ref.collect()}
+    assert a == b
+
+
+def test_group_rank_partition_count_invariance(spark):
+    df = _grouped_frame(spark, n=200, groups=3)
+    base = None
+    for parts in (1, 5, 64):
+        got = {(r["g"], r["k"]): r["group_rank"]
+               for r in with_group_rank(
+                   df, ["g"], [F.col("x"), F.col("k")],
+                   n_partitions=parts).collect()}
+        if base is None:
+            base = got
+        else:
+            assert got == base
+
+
+def test_group_quantile_disc_is_lower_median(spark):
+    # odd and even group sizes: lower median = sorted[(n+1)//2 - 1]
+    rows = ([("odd", float(v), i) for i, v in enumerate([5, 1, 9, 3, 7])]
+            + [("even", float(v), i) for i, v in enumerate([4, 8, 2, 6])])
+    df = spark.createDataFrame(rows, "g string, x double, k long")
+    got = {r["g"]: (r["q_value"], r["n_rows"])
+           for r in group_quantile_disc(
+               df, ["g"], "x", "k", q=0.5, n_partitions=3).collect()}
+    assert got == {"odd": (5.0, 5), "even": (4.0, 4)}
+
+
+def test_group_quantile_disc_extremes(spark):
+    df = _grouped_frame(spark, n=100, groups=2)
+    lo = {r["g"]: r["q_value"] for r in group_quantile_disc(
+        df, ["g"], "x", "k", q=1e-9).collect()}
+    hi = {r["g"]: r["q_value"] for r in group_quantile_disc(
+        df, ["g"], "x", "k", q=1.0).collect()}
+    mins = {r["g"]: r["m"] for r in
+            df.groupBy("g").agg(F.min("x").alias("m")).collect()}
+    maxs = {r["g"]: r["m"] for r in
+            df.groupBy("g").agg(F.max("x").alias("m")).collect()}
+    assert lo == mins and hi == maxs

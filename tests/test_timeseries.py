@@ -1,0 +1,86 @@
+"""ewma_scan: the two-phase distributed scan must equal the pure
+sequential recurrence, independently of how many range partitions the
+series is split across (partition boundaries are where the carry
+algebra could go wrong)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (
+    ewma_scan,
+)
+
+
+def _sequential(rows: list[tuple[str, int, float]], alpha: float,
+                ) -> dict[tuple[str, int], float]:
+    """Driver-side reference: strict per-key sequential fold."""
+    out: dict[tuple[str, int], float] = {}
+    state: dict[str, float] = {}
+    for k, t, x in sorted(rows):
+        if k not in state:
+            state[k] = x
+        else:
+            state[k] = (1.0 - alpha) * state[k] + alpha * x
+        out[(k, t)] = state[k]
+    return out
+
+
+def _mkdf(spark, rows):
+    return spark.createDataFrame(rows, "k string, t int, x double")
+
+
+def test_ewma_two_phase_matches_sequential(spark):
+    rows = [(f"key{i % 3}", t, math.sin(0.7 * t + i) * 100 + 50)
+            for i in range(3) for t in range(200)]
+    ref = _sequential(rows, alpha=0.5)
+    got = ewma_scan(_mkdf(spark, rows), "k", "t", "x",
+                    alpha=0.5, n_partitions=7).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        expect = ref[(r["k"], r["t"])]
+        assert abs(r["ewma"] - expect) <= 1e-9 * max(1.0, abs(expect)), (
+            r["k"], r["t"], r["ewma"], expect)
+
+
+def test_ewma_partition_count_invariance(spark):
+    """The result must not depend on how many partitions the range
+    shuffle uses — 1 partition (degenerate: pure sequential) through
+    more partitions than rows (every block is a single row)."""
+    rows = [("a", t, float((t * 37) % 101)) for t in range(50)] + [
+        ("b", t, float(t)) for t in range(5)]
+    results = {}
+    for parts in (1, 4, 100):
+        got = ewma_scan(_mkdf(spark, rows), "k", "t", "x",
+                        alpha=0.25, n_partitions=parts).collect()
+        results[parts] = {(r["k"], r["t"]): r["ewma"] for r in got}
+    ref = _sequential(rows, alpha=0.25)
+    for parts, vals in results.items():
+        assert set(vals) == set(ref)
+        for key, v in vals.items():
+            assert abs(v - ref[key]) <= 1e-9 * max(1.0, abs(ref[key])), (
+                parts, key)
+
+
+def test_ewma_alpha_one_is_identity(spark):
+    rows = [("k", t, float(t * t % 13)) for t in range(20)]
+    got = ewma_scan(_mkdf(spark, rows), "k", "t", "x",
+                    alpha=1.0, n_partitions=3).collect()
+    for r in got:
+        assert r["ewma"] == r["x"]
+
+
+def test_ewma_rejects_bad_alpha(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        ewma_scan(_mkdf(spark, [("k", 1, 1.0)]), "k", "t", "x", alpha=0.0)
+
+
+def test_ewma_single_row_keys(spark):
+    rows = [(f"k{i}", 0, float(i)) for i in range(10)]
+    got = ewma_scan(_mkdf(spark, rows), "k", "t", "x",
+                    alpha=0.5, n_partitions=4).collect()
+    assert {(r["k"], r["ewma"]) for r in got} == {
+        (f"k{i}", float(i)) for i in range(10)}
