@@ -191,3 +191,127 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     return res.select(
         F.col("k").alias(key_col), F.col("t").alias(order_col),
         F.col("x").alias(val_col), "ewma")
+
+
+# ---------------------------------------------------------------------------
+# Holt's linear-trend smoothing (double exponential smoothing) as the
+# same two-phase distributed scan, with a 2-vector state and a MATRIX
+# carry. The recurrence
+#     l_t = (1-α)·(l_{t-1} + b_{t-1}) + α·x_t
+#     b_t = γ·(l_t − l_{t-1}) + (1-γ)·b_{t-1}
+# is affine in the state s = (l, b): s_t = M·s_{t-1} + v·x_t. A block
+# of n rows therefore composes to s_out = Mⁿ·s_in + u, where u is the
+# block's fold from the zero state — the classic Blelloch-scan algebra
+# for linear recurrences, which is what makes the per-partition
+# summaries chainable on the driver (Mⁿ via numpy matrix_power, log n
+# squarings; #blocks ≤ #partitions + #keys as in ewma_scan). Head
+# convention: l_1 = x_1, b_1 = 0.
+
+
+def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
+              alpha: float = 0.5, gamma: float = 0.5,
+              n_partitions: int | None = None) -> DataFrame:
+    """``(key_col, order_col, val_col, level, trend)`` — one row per
+    input row; ``(key_col, order_col)`` must be unique."""
+    import numpy as np
+
+    if not 0.0 < alpha <= 1.0 or not 0.0 < gamma <= 1.0:
+        raise ValueError(f"alpha/gamma must be in (0, 1], got "
+                         f"{alpha}/{gamma}")
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(order_col).alias("t"),
+        F.col(val_col).cast("double").alias("x"))
+    ranged = (base.repartitionByRange(parts, "k", "t")
+              .sortWithinPartitions("k", "t")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+
+    om_a, om_g = 1.0 - alpha, 1.0 - gamma
+
+    def step(level: float, trend: float, x: float) -> tuple[float, float]:
+        l_new = om_a * (level + trend) + alpha * x
+        b_new = gamma * (l_new - level) + om_g * trend
+        return l_new, b_new
+
+    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-(partition, key): n, zero-state fold, head-convention fold
+        state: dict[str, tuple[int, float, float, float, float, int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            for k, x in zip(pdf["k"].to_numpy(), pdf["x"].to_numpy()):
+                n, l0, b0, l1, b1, _ = state.get(k, (0, 0.0, 0.0,
+                                                     0.0, 0.0, pid))
+                x = float(x)
+                l0, b0 = step(l0, b0, x)
+                if n == 0:
+                    l1, b1 = x, 0.0
+                else:
+                    l1, b1 = step(l1, b1, x)
+                state[k] = (n + 1, l0, b0, l1, b1, pid)
+        yield pd.DataFrame(
+            [(k, pid, n, l0, b0, l1, b1)
+             for k, (n, l0, b0, l1, b1, pid) in state.items()],
+            columns=["k", "_pid", "n", "l0", "b0", "l1", "b1"])
+
+    summ = ranged.mapInPandas(
+        summaries,
+        "k string, _pid int, n long, l0 double, b0 double,"
+        " l1 double, b1 double").collect()
+
+    M = np.array([[om_a, om_a], [-gamma * alpha, 1.0 - gamma * alpha]])
+    carries: dict[tuple[str, int], tuple[float, float] | None] = {}
+    by_key: dict[str, list] = {}
+    for r in summ:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, blocks in by_key.items():
+        blocks.sort(key=lambda r: r["_pid"])
+        carry: tuple[float, float] | None = None
+        for b in blocks:
+            carries[(k, b["_pid"])] = carry
+            if carry is None:
+                carry = (b["l1"], b["b1"])
+            else:
+                mn = np.linalg.matrix_power(M, int(b["n"]))
+                s_in = np.array([carry[0], carry[1]])
+                s_out = mn @ s_in + np.array([b["l0"], b["b0"]])
+                carry = (float(s_out[0]), float(s_out[1]))
+
+    bc = spark.sparkContext.broadcast(carries)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmap = bc.value
+        cur_key: str | None = None
+        lev = trd = 0.0
+        started = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            out = []
+            for k, t, x in zip(pdf["k"].to_numpy(), pdf["t"].to_numpy(),
+                               pdf["x"].to_numpy()):
+                if k != cur_key:
+                    cur_key, started = k, False
+                    carry = cmap.get((k, pid))
+                    if carry is not None:
+                        lev, trd, started = carry[0], carry[1], True
+                x = float(x)
+                if started:
+                    lev, trd = step(lev, trd, x)
+                else:
+                    lev, trd, started = x, 0.0, True
+                out.append((k, t, x, lev, trd))
+            yield pd.DataFrame(
+                out, columns=["k", "t", "x", "level", "trend"])
+
+    t_type = dict(ranged.dtypes)["t"]
+    res = ranged.mapInPandas(
+        fold, f"k string, t {t_type}, x double, level double, trend double")
+    return res.select(
+        F.col("k").alias(key_col), F.col("t").alias(order_col),
+        F.col("x").alias(val_col), "level", "trend")

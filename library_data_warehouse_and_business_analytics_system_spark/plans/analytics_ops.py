@@ -353,3 +353,78 @@ def event_rate_anomalies_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         qz.alias("z"),
         F.coalesce(F.abs(qz) >= 2.0, F.lit(False)).alias("is_anomaly"))
         .orderBy("event_type", "window_start"))
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing over the same daily series.
+
+
+@register(
+    "events_daily_holt",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, rn, x, x AS l, CAST(0 AS DOUBLE) AS b
+      FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.day, i.rn, i.x,
+             CAST(0.5 AS DOUBLE) * (r.l + r.b)
+               + CAST(0.5 AS DOUBLE) * i.x,
+             CAST(0.5 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * (r.l + r.b)
+                   + CAST(0.5 AS DOUBLE) * i.x) - r.l)
+               + CAST(0.5 AS DOUBLE) * r.b
+      FROM idx i JOIN rec r
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, x AS daily_value,
+           FLOOR(l * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS level,
+           FLOOR(b * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS trend,
+           FLOOR((l + b) * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS forecast_next
+    FROM rec
+    ORDER BY event_type, day
+    """,
+    operators=("A1", "W1"),
+)
+def events_daily_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoothing (level + trend + one-step
+    forecast) per event type over the daily value series — the
+    trend-aware sibling of `events_daily_ewma`, run by
+    `operators/timeseries.holt_scan`: the recurrence is affine in the
+    (level, trend) state, so blocks compose as Mⁿ·s + u (Blelloch-scan
+    algebra) and the per-key timeline spreads over every range
+    partition it covers. The oracle is the textbook mutually-recursive
+    CTE; both sides snap to the 1e-4 grid with the pure-IEEE floor
+    quantizer (the matrix-carry regrouping is a few-ulp reassociation,
+    and ROUND(double) diverges between engines on midpoints)."""
+    from ..operators.timeseries import holt_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                  .alias("_s"))
+             .select("event_type", "day",
+                     F.col("_s").cast("double").alias("daily_value")))
+    sm = holt_scan(daily, "event_type", "day", "daily_value",
+                   alpha=0.5, gamma=0.5)
+
+    def quant(c):
+        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")
+                / F.lit(10000.0))
+
+    return (sm.select("event_type", "day", "daily_value",
+                      quant(F.col("level")).alias("level"),
+                      quant(F.col("trend")).alias("trend"),
+                      quant(F.col("level") + F.col("trend"))
+                      .alias("forecast_next"))
+            .orderBy("event_type", "day"))

@@ -422,3 +422,84 @@ def start_anomaly_stream(stream: DataFrame, results_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA: the stateful twin of operators/timeseries.ewma_scan.
+# Per key the state is ONE (pending_day, pending_sum, s, started)
+# tuple; a day is FINALIZED (folded into the recurrence and emitted,
+# append mode) when the first event of a LATER day arrives — the same
+# can't-know-it's-complete-until-you-see-the-next contract a
+# watermarked daily window would give, expressed as scan state because
+# the EWMA recurrence itself is not a windowed aggregate. Requires the
+# in-order feed the other stateful operators assume (the Kafka-like
+# chronological replay in the tests); an out-of-order day RAISES
+# rather than silently folding history in the wrong order.
+
+EWMA_STATE_SCHEMA = StructType([
+    StructField("pending_day", LongType()),   # epoch days
+    StructField("pending_sum", DoubleType()),
+    StructField("s", DoubleType()),
+    StructField("started", LongType()),       # 0/1 (no BooleanType in state)
+])
+EWMA_OUTPUT_SCHEMA = StructType([
+    StructField("event_type", StringType()),
+    StructField("day", LongType()),           # epoch days
+    StructField("daily_value", DoubleType()),
+    StructField("ewma", DoubleType()),
+])
+
+
+def _ewma_state_fn(alpha: float):
+    one_minus = 1.0 - alpha
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        pend_day, pend_sum, s, started = (
+            state.get if state.exists else (None, 0.0, 0.0, 0))
+        out: list[tuple] = []
+        for pdf in pdfs:
+            days = (pdf["ts"].dt.normalize().astype("int64")
+                    // 86_400_000_000_000)
+            sums = pdf["value"].astype("float64").groupby(days).sum()
+            for d, v in sums.sort_index().items():
+                d = int(d)
+                if pend_day is None:
+                    pend_day, pend_sum = d, float(v)
+                elif d == pend_day:
+                    pend_sum += float(v)
+                elif d > pend_day:
+                    s = (one_minus * s + alpha * pend_sum) if started \
+                        else pend_sum
+                    started = 1
+                    out.append((key[0], pend_day, pend_sum, s))
+                    pend_day, pend_sum = d, float(v)
+                else:
+                    raise ValueError(
+                        f"out-of-order day {d} after {pend_day} for key "
+                        f"{key[0]}: the EWMA scan state requires an "
+                        f"in-order feed")
+        state.update((pend_day, pend_sum, s, started))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["event_type", "day", "daily_value", "ewma"])
+
+    return fn
+
+
+def streaming_daily_ewma(events: DataFrame,
+                         alpha: float = 0.5) -> DataFrame:
+    """Per-event-type daily-value EWMA over a stream, append mode:
+    one row per (type, day) the moment the day is known complete.
+    State per key is O(1) — at 100 TB/day this scales with the number
+    of series keys, not events. The batch twin is the
+    `events_daily_ewma` gate; `tests/test_streaming.py` pins
+    stream ≡ batch on the finalized prefix (every day except each
+    key's last, which no future event has closed yet)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _ewma_state_fn(alpha),
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -277,3 +277,68 @@ def test_anomaly_stream_equals_batch_on_finalized_windows(
         gn, gz, gflag = got[k]
         assert gn == n and gflag == flag
         assert (z is None and gz is None) or abs(gz - z) < 1e-9
+
+
+def test_streaming_ewma_equals_batch_on_finalized_days(
+        spark, sf_dir, stream_dir, tmp_path):
+    """streaming_daily_ewma (append mode, day finalized when a later
+    day arrives) == the batch recurrence over per-day sums, for every
+    day except each key's LAST (never closed by a future event)."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (
+        ewma_scan,
+    )
+
+    stream = SE.events_file_stream(spark, stream_dir)
+    got = _drain(spark, SE.streaming_daily_ewma(stream), "mem_ewma",
+                 tmp_path, mode="append").toPandas()
+
+    batch = spark.read.parquet(stream_dir)
+    daily = (batch.groupBy("event_type",
+                           F.to_date("ts").alias("day"))
+             .agg(F.sum("value").alias("daily_value")))
+    ref = ewma_scan(daily, "event_type", "day", "daily_value",
+                    alpha=0.5).toPandas()
+    # drop each key's last (unfinalized) day from the reference
+    last = ref.groupby("event_type")["day"].transform("max")
+    ref = ref[ref["day"] < last]
+
+    got["day"] = pd.to_datetime(got["day"], unit="D").dt.date
+    g = got.sort_values(["event_type", "day"]).reset_index(drop=True)
+    r = ref.sort_values(["event_type", "day"]).reset_index(drop=True)
+    assert list(g["event_type"]) == list(r["event_type"])
+    assert list(g["day"]) == list(r["day"])
+    # float daily sums accumulate in different orders (arrival vs
+    # shuffle); the recurrence then mixes them — compare at 1e-6
+    assert (abs(g["daily_value"].to_numpy()
+                - r["daily_value"].to_numpy()) < 1e-6).all()
+    assert (abs(g["ewma"].to_numpy() - r["ewma"].to_numpy()) < 1e-6).all()
+
+
+def test_streaming_ewma_rejects_out_of_order_days(spark, tmp_path):
+    """A day older than the pending one must RAISE, not fold silently."""
+    import os
+    import time
+
+    src = str(tmp_path / "ooo_src")
+    rows = [(1, "2024-01-05 00:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-03 00:00:00", 1, "click", 1.0, "{}")]
+    base = time.time()
+    seen: set[str] = set()
+    for k, r in enumerate(rows):
+        (spark.createDataFrame([r], "event_id long, ts string, user_id long,"
+                               " event_type string, value double, props string")
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+        fresh = {f for f in os.listdir(src) if f.endswith(".parquet")} - seen
+        seen |= fresh
+        for f in fresh:
+            os.utime(os.path.join(src, f), (base + k * 10, base + k * 10))
+
+    stream = SE.events_file_stream(spark, src, max_files_per_trigger=1)
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    with _pytest.raises((Py4JJavaError, Exception)) as excinfo:
+        _drain(spark, SE.streaming_daily_ewma(stream), "mem_ewma_ooo",
+               tmp_path, mode="append")
+    assert "out-of-order day" in str(excinfo.value)

@@ -84,3 +84,64 @@ def test_ewma_single_row_keys(spark):
                     alpha=0.5, n_partitions=4).collect()
     assert {(r["k"], r["ewma"]) for r in got} == {
         (f"k{i}", float(i)) for i in range(10)}
+
+
+# ---------------------------------------------------------------------------
+# holt_scan: the matrix-carry affine scan vs the pure sequential fold.
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (  # noqa: E402
+    holt_scan,
+)
+
+
+def _holt_sequential(rows, alpha, gamma):
+    out, state = {}, {}
+    om_a, om_g = 1.0 - alpha, 1.0 - gamma
+    for k, t, x in sorted(rows):
+        if k not in state:
+            state[k] = (x, 0.0)
+        else:
+            lev, trd = state[k]
+            l_new = om_a * (lev + trd) + alpha * x
+            b_new = gamma * (l_new - lev) + om_g * trd
+            state[k] = (l_new, b_new)
+        out[(k, t)] = state[k]
+    return out
+
+
+def test_holt_two_phase_matches_sequential(spark):
+    rows = [(f"key{i % 3}", t, math.sin(0.3 * t + i) * 50 + 10 * t + 100)
+            for i in range(3) for t in range(150)]
+    ref = _holt_sequential(rows, 0.5, 0.5)
+    got = holt_scan(_mkdf(spark, rows), "k", "t", "x",
+                    alpha=0.5, gamma=0.5, n_partitions=7).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        el, eb = ref[(r["k"], r["t"])]
+        assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el))
+        assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb))
+
+
+def test_holt_partition_count_invariance(spark):
+    rows = [("a", t, float(t) + ((t * 31) % 17)) for t in range(80)]
+    ref = _holt_sequential(rows, 0.25, 0.5)
+    for parts in (1, 5, 200):
+        got = holt_scan(_mkdf(spark, rows), "k", "t", "x",
+                        alpha=0.25, gamma=0.5, n_partitions=parts).collect()
+        for r in got:
+            el, eb = ref[(r["k"], r["t"])]
+            assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el)), parts
+            assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb)), parts
+
+
+def test_holt_tracks_linear_series_exactly_in_the_limit(spark):
+    # a perfectly linear series: level converges to the line and trend
+    # to its slope (classic Holt property; loose tolerance, it's a
+    # convergence statement)
+    rows = [("k", t, 3.0 * t + 7.0) for t in range(200)]
+    got = {r["t"]: (r["level"], r["trend"])
+           for r in holt_scan(_mkdf(spark, rows), "k", "t", "x",
+                              n_partitions=6).collect()}
+    lev, trd = got[199]
+    assert abs(lev - (3.0 * 199 + 7.0)) < 1e-6
+    assert abs(trd - 3.0) < 1e-6
