@@ -78,9 +78,13 @@ def main() -> None:
     # Round-7 additions (VERDICT r6 item 5): the iterative-convergence
     # family (dedup_clusters swung 7.9s committed vs 22.4s in the
     # judge's re-run) and its pair-generation sibling.
+    # Session-4 addition: copurchase_pagerank is the same
+    # iterative-localCheckpoint shape and swung 9.2s committed vs
+    # 20.9s isolated on a drifted host — median-of-3 it too.
     PIN_MEDIAN = {
         "embedding_near_dups", "embedding_near_dups_strict",
         "dedup_incremental", "dedup_clusters", "dedup_kept_corpus",
+        "copurchase_pagerank",
     }
 
     # Write-path gates execute a full staged-write + read-back each

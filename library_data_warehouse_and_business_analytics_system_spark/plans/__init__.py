@@ -43,7 +43,11 @@ from . import search_ops  # noqa: E402,F401
 # sampling) land in the middle group below — after the 50-row r7
 # window, FRONTING the r8 window alongside the r7-green tail
 # rotation. They are pytest-differentially gated (bit-exact vs
-# DuckDB) from day one; the driver row lands in r8.
+# DuckDB) from day one; the driver row lands in r8. The session-3/4
+# registrations (batch-5/6 relational, search/kmeans/CDC/DQ, DSIR,
+# substring scrub, CDC chunking, PQ, linkage, OHLC, gini, EWMA/Holt
+# scans, Markov transitions, MAD outliers, item-CF, rate anomalies,
+# canonical keep) land in the same middle group for the same reason.
 _EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
           # new this round — never gated:
           "merge_parts_orders", "doc_ngram_novelty",

@@ -428,3 +428,95 @@ def events_daily_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                       quant(F.col("level") + F.col("trend"))
                       .alias("forecast_next"))
             .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event type × ISO weekday.
+
+
+@register(
+    "event_type_weekday_chisq",
+    """
+    WITH cells AS (
+      SELECT event_type, isodow(ts) AS dow, COUNT(*) AS observed
+      FROM events GROUP BY 1, 2
+    ), rowt AS (
+      SELECT event_type, SUM(observed) AS rt FROM cells GROUP BY 1
+    ), colt AS (
+      SELECT dow, SUM(observed) AS ct FROM cells GROUP BY 1
+    ), tot AS (
+      SELECT SUM(observed) AS n,
+             (SELECT COUNT(*) FROM rowt) AS r,
+             (SELECT COUNT(*) FROM colt) AS c
+      FROM cells
+    ), d AS (
+      SELECT cells.event_type, cells.dow, cells.observed,
+             CAST(rowt.rt * colt.ct AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               AS expected
+      FROM cells
+      JOIN rowt USING (event_type)
+      JOIN colt USING (dow)
+      CROSS JOIN tot
+    ), d2 AS (
+      SELECT *,
+             (CAST(observed AS DOUBLE) - expected)
+               * (CAST(observed AS DOUBLE) - expected) / expected AS contrib
+      FROM d
+    )
+    SELECT d2.event_type, d2.dow, d2.observed, d2.expected, d2.contrib,
+           (SELECT list_reduce(
+              list_prepend(CAST(0 AS DOUBLE),
+                           list(contrib ORDER BY event_type, dow)),
+              (a, b) -> a + b) FROM d2) AS chi2,
+           (SELECT (r - 1) * (c - 1) FROM tot) AS dof
+    FROM d2
+    ORDER BY d2.event_type, d2.dow
+    """,
+    operators=("A1", "J1", "J5"),
+)
+def event_type_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test over the event-type ×
+    ISO-weekday contingency table — the statistical screen behind
+    'does traffic mix shift by weekday' dashboards and drift monitors.
+    Everything reduces over the T×7 CELL frame (two tiny re-aggregates
+    + two 1-row broadcast scalars), so the fact is scanned and
+    shuffled exactly once regardless of volume. Exactness: expected =
+    rt·ct/n and each cell's contribution are single correctly-rounded
+    IEEE expressions over exact integers, and the chi² total folds the
+    contributions in (event_type, dow) order on BOTH engines
+    (array_sort + aggregate here, list ORDER BY + list_reduce there) —
+    the sorted-fold trick the search gates established for
+    order-dependent double sums. Raw doubles, no quantization."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (ev.select("event_type",
+                       ((F.dayofweek("ts") + 5) % 7 + 1).alias("dow"))
+             .groupBy("event_type", "dow")
+             .agg(F.count(F.lit(1)).alias("observed")))
+    cells = cells.localCheckpoint()  # reused 4x below; freeze once
+    rowt = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    colt = cells.groupBy("dow").agg(F.sum("observed").alias("ct"))
+    tot = cells.agg(
+        F.sum("observed").alias("n"),
+        F.countDistinct("event_type").alias("r"),
+        F.countDistinct("dow").alias("c"))
+    d = (cells.join(F.broadcast(rowt), "event_type")
+         .join(F.broadcast(colt), "dow")
+         .join(F.broadcast(tot)))
+    obs = F.col("observed").cast("double")
+    expected = ((F.col("rt") * F.col("ct")).cast("double")
+                / F.col("n").cast("double"))
+    d2 = (d.withColumn("expected", expected)
+          .withColumn("contrib", (obs - F.col("expected"))
+                      * (obs - F.col("expected")) / F.col("expected"))
+          .withColumn("dof", ((F.col("r") - 1) * (F.col("c") - 1))
+                      .cast("long")))
+    chi2 = d2.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct("event_type", "dow", "contrib"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["contrib"]).alias("chi2"))
+    return (d2.join(F.broadcast(chi2))
+            .select("event_type", "dow", "observed", "expected",
+                    "contrib", "chi2", "dof")
+            .orderBy("event_type", "dow"))

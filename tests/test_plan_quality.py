@@ -71,6 +71,10 @@ CARTESIAN_OK = {
     "important_parts_stock",  # 1-row global-threshold scalar frame
                               # broadcast-crossed into the per-part
                               # aggregate (Q11's HAVING subquery)
+    "event_type_weekday_chisq",  # two 1-row scalar frames (N/r/c and
+                                 # the ordered-fold chi² total)
+                                 # broadcast-crossed into the T×7
+                                 # cell frame
 }
 
 
