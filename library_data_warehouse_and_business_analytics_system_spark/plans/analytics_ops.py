@@ -254,9 +254,11 @@ def item_cf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (co-orders / sqrt(n_i · n_j)) — item-item collaborative filtering,
     the classic recommendations primitive (Sarwar et al. 2001, WWW).
     The pair join is keyed on the order id, so fan-out is bounded by
-    basket size squared, never catalog size squared; the top-5 window
-    partitions by part over its co-purchase candidates (bounded by
-    co-purchase degree). cosine = int / sqrt(int): two
+    basket size squared, never catalog size squared; the top-5 is
+    TWO-PHASE (each partition emits its own top-5 per part first, the
+    global window sees only that bounded candidate set — lossless, the
+    srp_diverse_sample shape) so a hyper-popular part's full candidate
+    list is never sorted on one reducer. cosine = int / sqrt(int): two
     correctly-rounded IEEE ops over exact integers — raw doubles
     hash-match the oracle."""
     bi = (load_table(spark, sf_dir, "lineitem")
@@ -282,8 +284,13 @@ def item_cf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("n_co").cast("double")
                           / F.sqrt((F.col("_ni") * F.col("_nj"))
                                    .cast("double"))))
+    pre = scored.withColumn("_pid", F.spark_partition_id())
+    wp = (Window.partitionBy("_pid", "part")
+          .orderBy(F.col("cosine").desc(), "partner"))
+    cand = (pre.withColumn("_pr", F.row_number().over(wp))
+            .filter(F.col("_pr") <= 5))
     w = Window.partitionBy("part").orderBy(F.col("cosine").desc(), "partner")
-    return (scored.withColumn("rnk", F.row_number().over(w))
+    return (cand.withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5)
             .select("part", "partner", "n_co", "cosine",
                     F.col("rnk").cast("long").alias("rnk"))

@@ -2236,19 +2236,24 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup cluster keep the single best version — here the longest
     text (max n_chars, min doc_id on ties), the 'keep the most
     complete variant' rule real curation pipelines apply instead of
-    blind keep-first. The argmax window partitions by cluster_id —
-    bounded by near-dup cluster size (the SemDeDup mega-cluster guard
-    documents the failure mode when that assumption breaks). Selection
-    does no arithmetic, so the row set hashes identically to the
-    oracle's recursive-CTE clusters + ROW_NUMBER pick."""
+    blind keep-first. The argmax is an AGGREGATE (max over
+    (n_chars, -doc_id) structs, map-side partial) joined back on the
+    cluster key — not a per-cluster window, so even a mega-cluster
+    (the failure mode the SemDeDup guard documents) never sorts its
+    membership on one reducer. Selection does no arithmetic, so the
+    row set hashes identically to the oracle's recursive-CTE clusters
+    + ROW_NUMBER pick."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dedup.minhash_lsh_dedup_pairs(docs, "text", "doc_id",
                                           threshold=0.5).select("a", "b")
     comp = dedup.connected_components(pairs, docs.select("doc_id"), "doc_id")
     sized = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w = (Window.partitionBy("cluster_id")
-         .orderBy(F.col("n_chars").desc(), "doc_id"))
-    return (sized.withColumn("_rnk", F.row_number().over(w))
+    best = sized.groupBy("cluster_id").agg(
+        F.max(F.struct(F.col("n_chars"),
+                       (-F.col("doc_id")).alias("_nd"))).alias("_b"))
+    return (sized.join(best, "cluster_id")
             .select("doc_id", "cluster_id", "n_chars",
-                    (F.col("_rnk") == 1).alias("is_kept"))
+                    ((F.col("n_chars") == F.col("_b.n_chars"))
+                     & (F.col("doc_id") == -F.col("_b._nd")))
+                    .alias("is_kept"))
             .orderBy("doc_id"))
