@@ -315,3 +315,99 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     return res.select(
         F.col("k").alias(key_col), F.col("t").alias(order_col),
         F.col("x").alias(val_col), "level", "trend")
+
+
+# ---------------------------------------------------------------------------
+# Grouped running SUM / MIN / MAX as the same two-phase scan with an
+# ADDITIVE carry — the primitive behind running-total reports and
+# CUSUM change-point detection. packing's range cumsum covers the
+# global single-sequence case; this is the per-key variant with
+# prefix-extrema, for series analytics where `Window.partitionBy(key)`
+# would put each key on one reducer.
+
+
+def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
+                n_partitions: int | None = None) -> DataFrame:
+    """``(key_col, order_col, val_col, run_sum, run_min, run_max)`` —
+    prefix sum and prefix extrema OF THE PREFIX SUMS per key;
+    ``(key_col, order_col)`` must be unique. Carries are (sum, min,
+    max) triples: for a block folded from zero carry, the chained
+    state is sum' = sum + block_sum, min' = min(min, sum + block_min)
+    (and symmetrically for max) — exact algebra of the additive scan,
+    so only float reassociation (a few ulps) separates this from the
+    sequential fold; gates snap to a grid as with ewma_scan."""
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(order_col).alias("t"),
+        F.col(val_col).cast("double").alias("x"))
+    ranged = (base.repartitionByRange(parts, "k", "t")
+              .sortWithinPartitions("k", "t")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint())
+
+    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        state: dict[str, tuple[float, float, float, int]] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            for k, x in zip(pdf["k"].to_numpy(), pdf["x"].to_numpy()):
+                s, mn, mx, _ = state.get(
+                    k, (0.0, float("inf"), float("-inf"), pid))
+                s += float(x)
+                mn, mx = min(mn, s), max(mx, s)
+                state[k] = (s, mn, mx, pid)
+        yield pd.DataFrame(
+            [(k, pid, s, mn, mx) for k, (s, mn, mx, pid) in state.items()],
+            columns=["k", "_pid", "bsum", "bmin", "bmax"])
+
+    summ = ranged.mapInPandas(
+        summaries,
+        "k string, _pid int, bsum double, bmin double, bmax double",
+    ).collect()
+
+    carries: dict[tuple[str, int], tuple[float, float, float]] = {}
+    by_key: dict[str, list] = {}
+    for r in summ:
+        by_key.setdefault(r["k"], []).append(r)
+    for k, blocks in by_key.items():
+        blocks.sort(key=lambda r: r["_pid"])
+        c = (0.0, float("inf"), float("-inf"))
+        for b in blocks:
+            carries[(k, b["_pid"])] = c
+            c = (c[0] + b["bsum"],
+                 min(c[1], c[0] + b["bmin"]),
+                 max(c[2], c[0] + b["bmax"]))
+
+    bc = spark.sparkContext.broadcast(carries)
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cmap = bc.value
+        cur_key: str | None = None
+        s = mn = mx = 0.0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            out = []
+            for k, t, x in zip(pdf["k"].to_numpy(), pdf["t"].to_numpy(),
+                               pdf["x"].to_numpy()):
+                if k != cur_key:
+                    cur_key = k
+                    s, mn, mx = cmap[(k, pid)]
+                s += float(x)
+                mn, mx = min(mn, s), max(mx, s)
+                out.append((k, t, float(x), s, mn, mx))
+            yield pd.DataFrame(
+                out,
+                columns=["k", "t", "x", "run_sum", "run_min", "run_max"])
+
+    t_type = dict(ranged.dtypes)["t"]
+    res = ranged.mapInPandas(
+        fold, f"k string, t {t_type}, x double, run_sum double,"
+              " run_min double, run_max double")
+    return res.select(
+        F.col("k").alias(key_col), F.col("t").alias(order_col),
+        F.col("x").alias(val_col), "run_sum", "run_min", "run_max")

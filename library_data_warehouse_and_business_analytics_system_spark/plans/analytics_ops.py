@@ -527,3 +527,86 @@ def event_type_weekday_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "dow", "observed", "expected",
                     "contrib", "chi2", "dof")
             .orderBy("event_type", "dow"))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point statistics over the daily series.
+
+
+@register(
+    "events_daily_cusum",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS xd
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(SUM(xd) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu
+      FROM daily GROUP BY 1
+    ), d AS (
+      SELECT daily.event_type, daily.day,
+             CAST(xd AS DOUBLE) AS daily_value,
+             CAST(xd AS DOUBLE) - m.mu AS dev
+      FROM daily JOIN m USING (event_type)
+    ), p AS (
+      SELECT *, SUM(dev) OVER (
+        PARTITION BY event_type ORDER BY day) AS ps
+      FROM d
+    ), ext AS (
+      SELECT *,
+             MIN(ps) OVER (PARTITION BY event_type ORDER BY day) AS pmin,
+             MAX(ps) OVER (PARTITION BY event_type ORDER BY day) AS pmax
+      FROM p
+    )
+    SELECT event_type, day, daily_value,
+           FLOOR((ps - LEAST(CAST(0 AS DOUBLE), pmin))
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS pos_cusum,
+           FLOOR((GREATEST(CAST(0 AS DOUBLE), pmax) - ps)
+                 * CAST(10000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(10000 AS DOUBLE) AS neg_cusum
+    FROM ext
+    ORDER BY event_type, day
+    """,
+    operators=("A1", "W1"),
+)
+def events_daily_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM statistics per event type: the classic
+    change-point detector, via the identity
+    max(0, s_{t-1} + d_t) == P_t − min(0, min_{j≤t} P_j) — prefix sums
+    and prefix extrema of the demeaned series, which is exactly
+    `operators/timeseries.cumsum_scan`'s two-phase additive scan (a
+    key's whole timeline never sorts on one reducer; the oracle uses
+    plain SQL running windows). Both engines regroup the float prefix
+    sums differently (two-phase carries here, segment trees there), so
+    the outputs snap to the 1e-4 floor grid like the other scans."""
+    from ..operators.timeseries import cumsum_scan
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+                  .alias("xd")))
+    mu = (daily.groupBy("event_type")
+          .agg((F.sum("xd").cast("double")
+                / F.count(F.lit(1)).cast("double")).alias("mu")))
+    d = (daily.join(mu, "event_type")
+         .select("event_type", "day",
+                 F.col("xd").cast("double").alias("daily_value"),
+                 (F.col("xd").cast("double") - F.col("mu")).alias("dev")))
+    sc = cumsum_scan(d.select("event_type", "day", "dev"),
+                     "event_type", "day", "dev")
+
+    def quant(c):
+        return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")
+                / F.lit(10000.0))
+
+    joined = sc.join(d.select("event_type", "day", "daily_value"),
+                     ["event_type", "day"])
+    return (joined.select(
+        "event_type", "day", "daily_value",
+        quant(F.col("run_sum")
+              - F.least(F.lit(0.0), F.col("run_min"))).alias("pos_cusum"),
+        quant(F.greatest(F.lit(0.0), F.col("run_max"))
+              - F.col("run_sum")).alias("neg_cusum"))
+        .orderBy("event_type", "day"))

@@ -145,3 +145,68 @@ def test_holt_tracks_linear_series_exactly_in_the_limit(spark):
     lev, trd = got[199]
     assert abs(lev - (3.0 * 199 + 7.0)) < 1e-6
     assert abs(trd - 3.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# cumsum_scan: additive two-phase scan vs sequential running stats.
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (  # noqa: E402
+    cumsum_scan,
+)
+
+
+def _cumsum_sequential(rows):
+    out, state = {}, {}
+    for k, t, x in sorted(rows):
+        s, mn, mx = state.get(k, (0.0, float("inf"), float("-inf")))
+        s += x
+        mn, mx = min(mn, s), max(mx, s)
+        state[k] = (s, mn, mx)
+        out[(k, t)] = (s, mn, mx)
+    return out
+
+
+def test_cumsum_two_phase_matches_sequential(spark):
+    rows = [(f"g{i % 4}", t, math.cos(0.9 * t + i) * 40 - 1.0)
+            for i in range(4) for t in range(120)]
+    ref = _cumsum_sequential(rows)
+    got = cumsum_scan(_mkdf(spark, rows), "k", "t", "x",
+                      n_partitions=9).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        es, emn, emx = ref[(r["k"], r["t"])]
+        for a, b in ((r["run_sum"], es), (r["run_min"], emn),
+                     (r["run_max"], emx)):
+            assert abs(a - b) <= 1e-9 * max(1.0, abs(b)), (r["k"], r["t"])
+
+
+def test_cumsum_partition_count_invariance(spark):
+    rows = [("a", t, float((t * 7) % 11) - 5.0) for t in range(60)]
+    ref = _cumsum_sequential(rows)
+    for parts in (1, 4, 128):
+        got = cumsum_scan(_mkdf(spark, rows), "k", "t", "x",
+                          n_partitions=parts).collect()
+        for r in got:
+            es, emn, emx = ref[(r["k"], r["t"])]
+            assert abs(r["run_sum"] - es) <= 1e-9 * max(1.0, abs(es)), parts
+            assert abs(r["run_min"] - emn) <= 1e-9 * max(1.0, abs(emn)), parts
+            assert abs(r["run_max"] - emx) <= 1e-9 * max(1.0, abs(emx)), parts
+
+
+def test_cusum_identity_on_known_shift(spark):
+    # flat series with a level shift: pos_cusum must grow linearly
+    # after the shift by the classic max(0, s + d) recursion identity
+    rows = [("k", t, 10.0 if t < 50 else 20.0) for t in range(100)]
+    mean = (10.0 * 50 + 20.0 * 50) / 100  # 15
+    dev = [("k", t, x - mean) for (_, t, x) in rows]
+    got = {r["t"]: (r["run_sum"], r["run_min"])
+           for r in cumsum_scan(_mkdf(spark, dev), "k", "t", "x",
+                                n_partitions=5).collect()}
+    # sequential CUSUM reference
+    s = 0.0
+    for t in range(100):
+        d = rows[t][2] - mean
+        s = max(0.0, s + d)
+        p, pmin = got[t]
+        cusum = p - min(0.0, pmin)
+        assert abs(cusum - s) < 1e-9, t
