@@ -12,6 +12,9 @@
    one reducer; the range shape must scale with partitions instead.
 3. item-item CF at 1x / 8x ORDERS with fixed basket size — pair
    fan-out is per-basket, so growth must stay ~linear.
+4. cumsum_scan (vectorized) throughput: 1M and 8M rows across many
+   keys, plus ONE 4M-point key — the per-key-window formulation
+   would put the whole key on one reducer; the scan must spread it.
 
 Prints one JSON line per probe. Run manually; results cited in
 ROUND7.md.
@@ -35,6 +38,7 @@ from library_data_warehouse_and_business_analytics_system_spark.operators.rankin
     with_group_rank,
 )
 from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (  # noqa: E402
+    cumsum_scan,
     ewma_scan,
 )
 from library_data_warehouse_and_business_analytics_system_spark.session import (  # noqa: E402
@@ -120,6 +124,15 @@ def main() -> None:
         bi = baskets(n)
         cfres[mult] = _timed(lambda b=bi: cf(b))
     out["item_cf_pairs"] = cfres
+
+    # --- 4. cumsum_scan throughput (vectorized Arrow passes) ----------
+    cs = {}
+    for label, (nk, nt) in {"1M": (10_000, 100), "8M": (20_000, 400),
+                            "one_key_4M": (1, 4_000_000)}.items():
+        df = series(nk, nt) if nk > 1 else series(1, nt)
+        cs[label] = _timed(
+            lambda d=df: cumsum_scan(d, "k", "t", "x").count())
+    out["cumsum_scan"] = cs
 
     print(json.dumps(out))
 

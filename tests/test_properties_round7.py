@@ -83,3 +83,75 @@ def test_bpe_matches_reference_random(spark, tmp_path_factory, words,
     assert got_merges == want_merges
     assert {r["symbol"]: r["freq"]
             for r in vocab_df.collect()} == want_vocab
+
+
+# --- scan family ≡ sequential fold under random series -------------------
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (  # noqa: E402
+    cumsum_scan, ewma_scan, holt_scan,
+)
+
+_series = st.lists(
+    st.tuples(st.integers(0, 3),                       # key
+              st.integers(0, 40),                      # t
+              st.floats(-1e3, 1e3, allow_nan=False,
+                        allow_infinity=False)),
+    min_size=1, max_size=30,
+    unique_by=lambda r: (r[0], r[1]))
+
+
+def _seq_scans(rows, alpha):
+    ew, cs, state_e, state_c = {}, {}, {}, {}
+    for k, t, x in sorted(rows):
+        if k not in state_e:
+            state_e[k] = x
+        else:
+            state_e[k] = (1 - alpha) * state_e[k] + alpha * x
+        s, mn, mx = state_c.get(k, (0.0, float("inf"), float("-inf")))
+        s += x
+        state_c[k] = (s, min(mn, s), max(mx, s))
+        ew[(k, t)] = state_e[k]
+        cs[(k, t)] = state_c[k]
+    return ew, cs
+
+
+@given(rows=_series,
+       parts=st.sampled_from([1, 3, 17]),
+       alpha=st.sampled_from([0.25, 0.5, 1.0]))
+@settings(**_SETTINGS)
+def test_scan_family_matches_sequential(spark, rows, parts, alpha):
+    rows = [(f"k{k}", t, x) for k, t, x in rows]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    ew_ref, cs_ref = _seq_scans(rows, alpha)
+
+    for r in ewma_scan(df, "k", "t", "x", alpha=alpha,
+                       n_partitions=parts).collect():
+        e = ew_ref[(r["k"], r["t"])]
+        assert abs(r["ewma"] - e) <= 1e-9 * max(1.0, abs(e))
+
+    for r in cumsum_scan(df, "k", "t", "x", n_partitions=parts).collect():
+        es, emn, emx = cs_ref[(r["k"], r["t"])]
+        assert abs(r["run_sum"] - es) <= 1e-9 * max(1.0, abs(es))
+        assert abs(r["run_min"] - emn) <= 1e-9 * max(1.0, abs(emn))
+        assert abs(r["run_max"] - emx) <= 1e-9 * max(1.0, abs(emx))
+
+
+@given(rows=_series, parts=st.sampled_from([1, 5, 23]))
+@settings(**_SETTINGS)
+def test_holt_matches_sequential_property(spark, rows, parts):
+    rows = [(f"k{k}", t, x) for k, t, x in rows]
+    df = spark.createDataFrame(rows, "k string, t int, x double")
+    # driver-side sequential Holt (alpha=gamma=0.5, l1=x1, b1=0)
+    state, ref = {}, {}
+    for k, t, x in sorted(rows):
+        if k not in state:
+            state[k] = (x, 0.0)
+        else:
+            lev, trd = state[k]
+            l_new = 0.5 * (lev + trd) + 0.5 * x
+            state[k] = (l_new, 0.5 * (l_new - lev) + 0.5 * trd)
+        ref[(k, t)] = state[k]
+    for r in holt_scan(df, "k", "t", "x", n_partitions=parts).collect():
+        el, eb = ref[(r["k"], r["t"])]
+        assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el))
+        assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb))
