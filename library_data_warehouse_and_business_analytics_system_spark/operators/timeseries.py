@@ -1,29 +1,54 @@
-"""Time-series gap filling with linear interpolation — the series
-regularization pass a training pipeline runs over event/sensor
-streams before windowed featurization (models want a dense, evenly
-spaced series; raw logs have holes).
+"""Time-series gap filling and distributed scans (EWMA / Holt /
+running stats) — the series passes a training pipeline runs over
+event/sensor streams before windowed featurization.
 
-Per series key: build the contiguous day spine from the key's own
-first to last observation, left-join the observed values, and fill
-each hole by linear interpolation between the nearest observed
-values on either side (flat extrapolation at the edges, where only
-one side exists).
+Scan-family regime (ewma_scan / holt_scan / cumsum_scan)
+--------------------------------------------------------
 
-Scale shape: everything is per-key — the spine explode is bounded by
-each key's own date range, and the prev/next scans are two
-``Window.partitionBy(key)`` passes (``last(ignorenulls)`` forward,
-``first(ignorenulls)`` backward), so no global window and no
-single-reducer sort; keys are numerous by construction (that's what
-makes it a series table). Interpolation is plain IEEE arithmetic over
-day offsets, so a SQL engine computing the identical expression
-matches bit-for-bit — the driver gate `events_gapfill_interpolate`
-relies on exactly that.
+The two-phase range scan ("ranged" mode) exists for the FEW KEYS x
+LONG SERIES regime — the case `Window.partitionBy(key)` (or grouped
+applyInPandas) cannot handle, because a single key's billion-point
+timeline would serialize on one reducer. Its cost is a driver-side
+carry chain: one collected block summary per (partition, key) and a
+broadcast carry map — O(#keys + #partitions), perfect for dozens of
+keys, fatal for billions (the summaries collect and the broadcast
+both scale with key count).
+
+The NUMEROUS-KEYS regime needs none of that machinery: many keys
+hash-distribute evenly, so each key's (short) series fits one
+partition and a plain per-key sequential fold is exact and carry-free
+("grouped" mode: repartition on the key, sortWithinPartitions, one
+Arrow pass, zero driver state).
+
+All three scans therefore dispatch: ``mode="auto"`` (default) probes
+``approx_count_distinct(key)`` (one cheap agg pass) and picks
+"grouped" above ``max_carry_keys`` (default 100k), "ranged" below.
+Callers that know their regime pass ``mode="ranged"`` or
+``mode="grouped"`` explicitly and skip the probe. The one shape
+neither mode loves — billions of keys AND one billion-point key —
+wants a pre-split of the hot keys (salt the hot key through "ranged",
+union with the "grouped" rest); the dispatch intentionally does not
+guess that.
+
+Numerics: both modes stay inside the same few-ulp reassociation
+envelope (tests pin 1e-9 against the sequential fold; driver gates
+snap to a fixed grid). The Arrow passes are numpy-vectorized per key
+segment — EWMA via chunked rescaled cumulative sums (chunk length
+bounded so the in-chunk rescale ratio stays ~e^30, far from both
+underflow and double overflow), Holt via the eigen-decomposition of
+its 2x2 affine transition (two independent complex-geometry EWMA
+channels), running stats via np.cumsum / minimum.accumulate.
+Degenerate parameters (alpha->1 extremes, defective Holt transition)
+fall back to the exact scalar row loop.
 """
 
 from __future__ import annotations
 
+import cmath
+import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window
@@ -33,7 +58,17 @@ from pyspark.sql import functions as F
 def gapfill_interpolate(df: DataFrame, key_col: str, date_col: str,
                         val_col: str) -> DataFrame:
     """``(key_col, date_col, v_filled, was_gap)`` on the dense per-key
-    day spine; ``df`` must hold one row per (key, date)."""
+    day spine; ``df`` must hold one row per (key, date).
+
+    Per series key: build the contiguous day spine from the key's own
+    first to last observation, left-join the observed values, and fill
+    each hole by linear interpolation between the nearest observed
+    values on either side (flat extrapolation at the edges). Scale
+    shape: everything is per-key — the spine explode is bounded by
+    each key's own date range, and the prev/next scans are two
+    ``Window.partitionBy(key)`` passes, so no global window and no
+    single-reducer sort; keys are numerous by construction.
+    """
     bounds = (df.groupBy(key_col)
               .agg(F.min(date_col).alias("_d0"),
                    F.max(date_col).alias("_d1")))
@@ -66,104 +101,221 @@ def gapfill_interpolate(df: DataFrame, key_col: str, date_col: str,
 
 
 # ---------------------------------------------------------------------------
+# Shared scan machinery.
+#
+# The ranged ("two-phase") layout: repartitionByRange on (key, t) so
+# each partition holds a contiguous slice of each key's timeline;
+# localCheckpoint freezes the layout (same contract as pack_sequences)
+# so the summaries pass and the fold pass see identical partitions.
+# One Arrow pass computes per-(partition, key) block summaries; the
+# driver chains carries per key across partitions in pid order (exact
+# algebra of the linear recurrence); a second Arrow pass folds each
+# block from its broadcast carry-in. A key with a billion points uses
+# every partition its range covers; nothing funnels through one task.
+#
+# The grouped layout: hash repartition on the key alone + sort within
+# partitions — every key lives wholly inside one partition, the fold
+# pass runs with an EMPTY carry map (every first-seen key starts at
+# the head convention), and no summaries pass / collect / broadcast
+# exists at all. This is the numerous-keys path (see module docstring).
+
+_SCALE_LIMIT = 30.0           # ln(max in-chunk rescale ratio)
+_VEC_MIN_DECAY = 1e-250       # below this, rescaling over/underflows
+_MAX_CHUNK = 32768
+_DEFAULT_MAX_CARRY_KEYS = 100_000
+
+
+def _segments(pdf: pd.DataFrame):
+    """Yield (key, lo, hi) for each contiguous key run in a sorted
+    batch (keys are contiguous within a sorted partition)."""
+    keys = pdf["k"].to_numpy()
+    cut = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+    for lo, hi in zip(np.r_[0, cut], np.r_[cut, len(keys)]):
+        yield keys[lo], int(lo), int(hi)
+
+
+def _base_frame(df: DataFrame, key_col: str, order_col: str,
+                val_col: str) -> DataFrame:
+    return df.select(
+        F.col(key_col).cast("string").alias("k"),
+        F.col(order_col).alias("t"),
+        F.col(val_col).cast("double").alias("x"))
+
+
+def _ranged_layout(base: DataFrame, parts: int) -> DataFrame:
+    return (base.repartitionByRange(parts, "k", "t")
+            .sortWithinPartitions("k", "t")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint())
+
+
+def _grouped_layout(base: DataFrame, parts: int) -> DataFrame:
+    return (base.repartition(parts, "k")
+            .sortWithinPartitions("k", "t")
+            .withColumn("_pid", F.spark_partition_id()))
+
+
+def _resolve_mode(base: DataFrame, mode: str, max_carry_keys: int) -> str:
+    if mode not in ("auto", "ranged", "grouped"):
+        raise ValueError(f"mode must be auto|ranged|grouped, got {mode!r}")
+    if mode != "auto":
+        return mode
+    nkeys = base.agg(
+        F.approx_count_distinct("k").alias("n")).first()["n"]
+    return "grouped" if nkeys > max_carry_keys else "ranged"
+
+
+def _geom_chunk(decay: float) -> int:
+    """Rows per vectorized chunk so decay**-chunk stays ≲ e^30."""
+    if decay >= 1.0:
+        return _MAX_CHUNK
+    return max(1, min(_MAX_CHUNK, int(_SCALE_LIMIT / -math.log(decay))))
+
+
+# ---------------------------------------------------------------------------
 # Exponentially weighted moving average as a DISTRIBUTED SCAN.
 #
 # The recurrence s_1 = x_1, s_t = (1-α)·s_{t-1} + α·x_t is the textbook
 # smoothing pass every monitoring / forecasting pipeline runs over its
 # series, and the naive Spark expression — a window ordered by time —
 # either doesn't exist (no recursive window functions) or collapses a
-# key onto one reducer via applyInPandas(key). This is the same
-# single-reducer trap packing/surrogate/ranking already solve with the
-# two-phase range shape, applied to a scan with a MULTIPLICATIVE carry:
+# key onto one reducer via applyInPandas(key). Ranged mode is the
+# two-phase range shape (see above) with a MULTIPLICATIVE carry:
+# s_end = carry·(1-α)^n + zero-carry fold, the exact algebra of the
+# linear recurrence.
 #
-#   1. repartitionByRange on (key, t): each partition holds a
-#      contiguous slice of each key's timeline; localCheckpoint
-#      freezes the layout (same contract as pack_sequences).
-#   2. one Arrow pass computes per-(partition, key) block summaries:
-#      block length n, the fold from a ZERO carry, and the fold under
-#      the s_1 = x_1 head convention.  #blocks ≤ #partitions + #keys —
-#      a tiny driver collect, like packing's offsets.
-#   3. the driver chains carries per key across partitions in pid
-#      order: first block keeps its head-convention fold; after that
-#      s_end = carry·(1-α)^n + zero-carry fold (exact algebra of the
-#      linear recurrence).
-#   4. a second Arrow pass over the SAME frozen layout folds each
-#      block sequentially from its broadcast carry-in and emits every
-#      row's smoothed value.
-#
-# So a key with a billion points uses every partition its range
-# covers; nothing ever funnels through one task. Numerics: steps 3-4
-# regroup the float recurrence (carry·decay + local instead of one
-# long chain), which can differ from the strict sequential fold by a
-# few ulps — callers that need cross-engine hash equality round the
-# output (the `events_daily_ewma` gate snaps to the 1e-4 grid with a
-# pure-IEEE floor quantizer against a DuckDB recursive CTE; `tests/test_timeseries.py` pins the two-phase
-# result to the pure sequential fold at 1e-9).
+# Vectorization: within a chunk of m rows folded from state s0,
+#   s_j = (1-α)^j · (s0 + α · Σ_{i≤j} (1-α)^{-i} x_i)
+# so one power array + one rescaled cumsum per chunk replaces the row
+# loop (~50x per-batch throughput, same story as cumsum_scan's
+# e123837 commit). Chunk length is capped so (1-α)^{-i} never exceeds
+# ~e^30 — far from overflow, and the precision loss of mixing scales
+# mirrors exactly the true decay of old contributions, keeping the
+# result within the 1e-9 envelope the tests pin.
+
+
+def _ewma_fold_from(s: float, xs: np.ndarray, one_minus: float,
+                    alpha: float, dcache: np.ndarray | None) -> float:
+    """State after folding xs from s via s ← (1-α)s + αx."""
+    if dcache is None:                      # extreme decay: exact rows
+        for x in xs:
+            s = one_minus * s + alpha * float(x)
+        return s
+    chunk = len(dcache)
+    for i in range(0, len(xs), chunk):
+        seg = xs[i:i + chunk]
+        m = len(seg)
+        d = dcache[:m]
+        s = d[m - 1] * (s + alpha * float(np.dot(seg, 1.0 / d)))
+    return s
+
+
+def _ewma_emit_from(s: float, xs: np.ndarray, out: np.ndarray, lo0: int,
+                    one_minus: float, alpha: float,
+                    dcache: np.ndarray | None) -> float:
+    """Write the folded values of xs into out[lo0:]; return final s."""
+    if dcache is None:
+        for j, x in enumerate(xs):
+            s = one_minus * s + alpha * float(x)
+            out[lo0 + j] = s
+        return s
+    chunk = len(dcache)
+    for i in range(0, len(xs), chunk):
+        seg = xs[i:i + chunk]
+        m = len(seg)
+        d = dcache[:m]
+        vals = d * (s + alpha * np.cumsum(seg / d))
+        out[lo0 + i:lo0 + i + m] = vals
+        s = float(vals[-1])
+    return s
 
 
 def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
               alpha: float = 0.5, n_partitions: int | None = None,
+              mode: str = "auto",
+              max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
               ) -> DataFrame:
     """``(key_col, order_col, val_col, ewma)`` — one row per input row;
-    ``(key_col, order_col)`` must be unique. ``alpha`` in (0, 1]."""
+    ``(key_col, order_col)`` must be unique. ``alpha`` in (0, 1].
+
+    ``mode``: "ranged" = two-phase range scan (few keys x long series;
+    driver carry is O(#keys)); "grouped" = per-key hash partition, no
+    driver state (numerous keys); "auto" = probe approx key count and
+    dispatch at ``max_carry_keys``. See the module docstring.
+    """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(key_col).cast("string").alias("k"),
-        F.col(order_col).alias("t"),
-        F.col(val_col).cast("double").alias("x"))
-    ranged = (base.repartitionByRange(parts, "k", "t")
-              .sortWithinPartitions("k", "t")
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint())
-
+    base = _base_frame(df, key_col, order_col, val_col)
     one_minus = 1.0 - alpha
+    if one_minus == 0.0:
+        # s_t = x_t under both conventions — no scan state at all.
+        return base.select(
+            F.col("k").alias(key_col), F.col("t").alias(order_col),
+            F.col("x").alias(val_col), F.col("x").alias("ewma"))
 
-    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # streaming per-partition fold; blocks may span Arrow batches
-        state: dict[str, tuple[int, float, float, int]] = {}
-        pid_seen = None
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid_seen = int(pdf["_pid"].iloc[0])
-            for k, x in zip(pdf["k"].to_numpy(), pdf["x"].to_numpy()):
-                n, l0, l1, _ = state.get(k, (0, 0.0, 0.0, pid_seen))
-                x = float(x)
-                l0 = one_minus * l0 + alpha * x
-                l1 = x if n == 0 else one_minus * l1 + alpha * x
-                state[k] = (n + 1, l0, l1, pid_seen)
-        rows = [(k, pid, n, l0, l1)
-                for k, (n, l0, l1, pid) in state.items()]
-        yield pd.DataFrame(
-            rows, columns=["k", "_pid", "n", "l0_end", "l1_end"])
+    dcache = (one_minus ** np.arange(1.0, _geom_chunk(one_minus) + 1.0)
+              if one_minus >= _VEC_MIN_DECAY else None)
+    mode = _resolve_mode(base, mode, max_carry_keys)
 
-    summ = ranged.mapInPandas(
-        summaries,
-        "k string, _pid int, n long, l0_end double, l1_end double",
-    ).collect()
+    if mode == "grouped":
+        ranged = _grouped_layout(base, parts)
+        bc = None
+    else:
+        ranged = _ranged_layout(base, parts)
 
-    # chain carries per key across partitions, in pid order
-    carries: dict[tuple[str, int], float | None] = {}
-    by_key: dict[str, list] = {}
-    for r in summ:
-        by_key.setdefault(r["k"], []).append(r)
-    for k, blocks in by_key.items():
-        blocks.sort(key=lambda r: r["_pid"])
-        carry: float | None = None  # None → block starts the key (s_1 = x_1)
-        for b in blocks:
-            carries[(k, b["_pid"])] = carry
-            if carry is None:
-                carry = b["l1_end"]
-            else:
-                carry = carry * (one_minus ** b["n"]) + b["l0_end"]
+        def summaries(batches: Iterator[pd.DataFrame],
+                      ) -> Iterator[pd.DataFrame]:
+            # per-(partition, key): block length n, the fold from a
+            # ZERO carry (l0), and the fold under the s_1 = x_1 head
+            # convention (l1); blocks may span Arrow batches.
+            state: dict[str, tuple[int, float, float, int]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                xs = pdf["x"].to_numpy(dtype="float64")
+                for k, lo, hi in _segments(pdf):
+                    n, l0, l1, _ = state.get(k, (0, 0.0, 0.0, pid))
+                    seg = xs[lo:hi]
+                    l0 = _ewma_fold_from(l0, seg, one_minus, alpha,
+                                         dcache)
+                    if n == 0:
+                        l1 = _ewma_fold_from(float(seg[0]), seg[1:],
+                                             one_minus, alpha, dcache)
+                    else:
+                        l1 = _ewma_fold_from(l1, seg, one_minus, alpha,
+                                             dcache)
+                    state[k] = (n + len(seg), l0, l1, pid)
+            yield pd.DataFrame(
+                [(k, pid, n, l0, l1)
+                 for k, (n, l0, l1, pid) in state.items()],
+                columns=["k", "_pid", "n", "l0_end", "l1_end"])
 
-    bc = spark.sparkContext.broadcast(carries)
+        summ = ranged.mapInPandas(
+            summaries,
+            "k string, _pid int, n long, l0_end double, l1_end double",
+        ).collect()
+
+        # chain carries per key across partitions, in pid order
+        carries: dict[tuple[str, int], float | None] = {}
+        by_key: dict[str, list] = {}
+        for r in summ:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, blocks in by_key.items():
+            blocks.sort(key=lambda r: r["_pid"])
+            carry: float | None = None   # None → block starts the key
+            for b in blocks:
+                carries[(k, b["_pid"])] = carry
+                if carry is None:
+                    carry = b["l1_end"]
+                else:
+                    carry = carry * (one_minus ** b["n"]) + b["l0_end"]
+        bc = spark.sparkContext.broadcast(carries)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmap = bc.value
+        cmap = bc.value if bc is not None else {}
         cur_key: str | None = None
         s = 0.0
         started = False
@@ -171,19 +323,26 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
-            out = []
-            for k, t, x in zip(pdf["k"].to_numpy(), pdf["t"].to_numpy(),
-                               pdf["x"].to_numpy()):
+            xs = pdf["x"].to_numpy(dtype="float64")
+            out = np.empty(len(xs))
+            for k, lo, hi in _segments(pdf):
                 if k != cur_key:
-                    cur_key, started = k, False
+                    cur_key = k
                     carry = cmap.get((k, pid))
-                    if carry is not None:
-                        s, started = carry, True
-                x = float(x)
-                s = (one_minus * s + alpha * x) if started else x
-                started = True
-                out.append((k, t, x, s))
-            yield pd.DataFrame(out, columns=["k", "t", "x", "ewma"])
+                    started = carry is not None
+                    s = carry if started else 0.0
+                seg = xs[lo:hi]
+                if not started:
+                    out[lo] = s = float(seg[0])
+                    started = True
+                    s = _ewma_emit_from(s, seg[1:], out, lo + 1,
+                                        one_minus, alpha, dcache)
+                else:
+                    s = _ewma_emit_from(s, seg, out, lo,
+                                        one_minus, alpha, dcache)
+            yield pd.DataFrame(
+                {"k": pdf["k"].to_numpy(), "t": pdf["t"].to_numpy(),
+                 "x": xs, "ewma": out})
 
     t_type = dict(ranged.dtypes)["t"]
     res = ranged.mapInPandas(
@@ -199,36 +358,26 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
 # carry. The recurrence
 #     l_t = (1-α)·(l_{t-1} + b_{t-1}) + α·x_t
 #     b_t = γ·(l_t − l_{t-1}) + (1-γ)·b_{t-1}
-# is affine in the state s = (l, b): s_t = M·s_{t-1} + v·x_t. A block
-# of n rows therefore composes to s_out = Mⁿ·s_in + u, where u is the
+# is affine in the state s = (l, b): s_t = M·s_{t-1} + v·x_t with
+#     M = [[1-α, 1-α], [-γα, 1-γα]],   v = (α, γα).
+# A block of n rows composes to s_out = Mⁿ·s_in + u, where u is the
 # block's fold from the zero state — the classic Blelloch-scan algebra
 # for linear recurrences, which is what makes the per-partition
 # summaries chainable on the driver (Mⁿ via numpy matrix_power, log n
 # squarings; #blocks ≤ #partitions + #keys as in ewma_scan). Head
 # convention: l_1 = x_1, b_1 = 0.
+#
+# Vectorization: diagonalize M = P·diag(λ1, λ2)·P⁻¹. In eigencoords
+# z = P⁻¹·s the recurrence splits into two INDEPENDENT scalar channels
+# z_t = λ·z_{t-1} + w·x_t — each exactly the EWMA shape above with a
+# (generally complex — for α=γ=0.5 the eigenvalues are a conjugate
+# pair) decay, so the same chunked rescaled-cumsum trick applies in
+# complex128; converting back (s = P·z, take the real part) costs one
+# small matmul per chunk. Defective / degenerate transitions (repeated
+# eigenvalue, α=1) fall back to the exact scalar row loop.
 
 
-def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
-              alpha: float = 0.5, gamma: float = 0.5,
-              n_partitions: int | None = None) -> DataFrame:
-    """``(key_col, order_col, val_col, level, trend)`` — one row per
-    input row; ``(key_col, order_col)`` must be unique."""
-    import numpy as np
-
-    if not 0.0 < alpha <= 1.0 or not 0.0 < gamma <= 1.0:
-        raise ValueError(f"alpha/gamma must be in (0, 1], got "
-                         f"{alpha}/{gamma}")
-    spark = df.sparkSession
-    parts = n_partitions or spark.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(key_col).cast("string").alias("k"),
-        F.col(order_col).alias("t"),
-        F.col(val_col).cast("double").alias("x"))
-    ranged = (base.repartitionByRange(parts, "k", "t")
-              .sortWithinPartitions("k", "t")
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint())
-
+def _holt_step_fn(alpha: float, gamma: float):
     om_a, om_g = 1.0 - alpha, 1.0 - gamma
 
     def step(level: float, trend: float, x: float) -> tuple[float, float]:
@@ -236,82 +385,239 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
         b_new = gamma * (l_new - level) + om_g * trend
         return l_new, b_new
 
-    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-(partition, key): n, zero-state fold, head-convention fold
-        state: dict[str, tuple[int, float, float, float, float, int]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            for k, x in zip(pdf["k"].to_numpy(), pdf["x"].to_numpy()):
-                n, l0, b0, l1, b1, _ = state.get(k, (0, 0.0, 0.0,
-                                                     0.0, 0.0, pid))
-                x = float(x)
-                l0, b0 = step(l0, b0, x)
-                if n == 0:
-                    l1, b1 = x, 0.0
-                else:
-                    l1, b1 = step(l1, b1, x)
-                state[k] = (n + 1, l0, b0, l1, b1, pid)
-        yield pd.DataFrame(
-            [(k, pid, n, l0, b0, l1, b1)
-             for k, (n, l0, b0, l1, b1, pid) in state.items()],
-            columns=["k", "_pid", "n", "l0", "b0", "l1", "b1"])
+    return step
 
-    summ = ranged.mapInPandas(
-        summaries,
-        "k string, _pid int, n long, l0 double, b0 double,"
-        " l1 double, b1 double").collect()
 
-    M = np.array([[om_a, om_a], [-gamma * alpha, 1.0 - gamma * alpha]])
-    carries: dict[tuple[str, int], tuple[float, float] | None] = {}
-    by_key: dict[str, list] = {}
-    for r in summ:
-        by_key.setdefault(r["k"], []).append(r)
-    for k, blocks in by_key.items():
-        blocks.sort(key=lambda r: r["_pid"])
-        carry: tuple[float, float] | None = None
-        for b in blocks:
-            carries[(k, b["_pid"])] = carry
-            if carry is None:
-                carry = (b["l1"], b["b1"])
+def _holt_setup(alpha: float, gamma: float):
+    """Eigen machinery (lam, P, Pinv, w, dpow_cache) for the
+    vectorized path, or None when the transition is degenerate or
+    (near-)defective and the exact row loop should run instead."""
+    a = 1.0 - alpha
+    d2 = 1.0 - gamma * alpha
+    tr, det = a + d2, a                   # det(M) = 1-α
+    sq = cmath.sqrt(complex(tr * tr - 4.0 * det))
+    lam1, lam2 = (tr + sq) / 2.0, (tr - sq) / 2.0
+    # Pinv carries 1/(λ1-λ2); keep the amplification ≤ ~1e3 so the
+    # round trip stays far inside the 1e-9 envelope.
+    if a == 0.0 or abs(lam1 - lam2) < 1e-3:
+        return None
+    lmin = min(abs(lam1), abs(lam2))
+    if lmin < _VEC_MIN_DECAY:
+        return None
+    P = np.array([[a, a], [lam1 - a, lam2 - a]], dtype=complex)
+    Pinv = np.linalg.inv(P)
+    w = Pinv @ np.array([alpha, gamma * alpha], dtype=complex)
+    lam = np.array([lam1, lam2], dtype=complex)
+    chunk = _geom_chunk(lmin) if lmin < 1.0 else _MAX_CHUNK
+    dpow = lam[None, :] ** np.arange(1.0, chunk + 1.0)[:, None]
+    return lam, P, Pinv, w, dpow
+
+
+def _holt_fold_from(z: np.ndarray, xs: np.ndarray, lam: np.ndarray,
+                    w: np.ndarray, dpow: np.ndarray) -> np.ndarray:
+    """Eigencoord state after folding xs from z."""
+    chunk = len(dpow)
+    for i in range(0, len(xs), chunk):
+        seg = xs[i:i + chunk]
+        m = len(seg)
+        d = dpow[:m]
+        dot = (seg[:, None] / d).sum(axis=0)
+        z = d[m - 1] * (z + w * dot)
+    return z
+
+
+def _holt_emit_from(z: np.ndarray, xs: np.ndarray, out_l: np.ndarray,
+                    out_b: np.ndarray, lo0: int, lam: np.ndarray,
+                    P: np.ndarray, w: np.ndarray, dpow: np.ndarray,
+                    ) -> np.ndarray:
+    chunk = len(dpow)
+    for i in range(0, len(xs), chunk):
+        seg = xs[i:i + chunk]
+        m = len(seg)
+        d = dpow[:m]
+        cum = np.cumsum(seg[:, None] / d, axis=0)
+        zs = d * (z[None, :] + w[None, :] * cum)
+        svals = zs @ P.T                    # rows are (l_j, b_j)
+        out_l[lo0 + i:lo0 + i + m] = svals[:, 0].real
+        out_b[lo0 + i:lo0 + i + m] = svals[:, 1].real
+        z = zs[-1]
+    return z
+
+
+def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
+              alpha: float = 0.5, gamma: float = 0.5,
+              n_partitions: int | None = None, mode: str = "auto",
+              max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
+              ) -> DataFrame:
+    """``(key_col, order_col, val_col, level, trend)`` — one row per
+    input row; ``(key_col, order_col)`` must be unique. ``mode`` as in
+    :func:`ewma_scan` (module docstring documents the regimes)."""
+    if not 0.0 < alpha <= 1.0 or not 0.0 < gamma <= 1.0:
+        raise ValueError(f"alpha/gamma must be in (0, 1], got "
+                         f"{alpha}/{gamma}")
+    spark = df.sparkSession
+    parts = n_partitions or spark.sparkContext.defaultParallelism
+    base = _base_frame(df, key_col, order_col, val_col)
+    step = _holt_step_fn(alpha, gamma)
+    eig = _holt_setup(alpha, gamma)
+    mode = _resolve_mode(base, mode, max_carry_keys)
+
+    if mode == "grouped":
+        ranged = _grouped_layout(base, parts)
+        bc = None
+    else:
+        ranged = _ranged_layout(base, parts)
+
+        def summaries(batches: Iterator[pd.DataFrame],
+                      ) -> Iterator[pd.DataFrame]:
+            # per-(partition, key): n, zero-state fold (l0, b0), head-
+            # convention fold (l1, b1); eigencoord state when eig is
+            # available, scalar row loop otherwise.
+            if eig is not None:
+                lam, P, Pinv, w, dpow = eig
+                zstate: dict[str, tuple[int, np.ndarray, np.ndarray,
+                                        int]] = {}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    pid = int(pdf["_pid"].iloc[0])
+                    xs = pdf["x"].to_numpy(dtype="float64")
+                    for k, lo, hi in _segments(pdf):
+                        n, z0, z1, _ = zstate.get(
+                            k, (0, np.zeros(2, dtype=complex),
+                                np.zeros(2, dtype=complex), pid))
+                        seg = xs[lo:hi]
+                        z0 = _holt_fold_from(z0, seg, lam, w, dpow)
+                        if n == 0:
+                            z1 = _holt_fold_from(
+                                Pinv[:, 0] * float(seg[0]), seg[1:],
+                                lam, w, dpow)
+                        else:
+                            z1 = _holt_fold_from(z1, seg, lam, w, dpow)
+                        zstate[k] = (n + len(seg), z0, z1, pid)
+                rows = []
+                for k, (n, z0, z1, pid) in zstate.items():
+                    s0 = P @ z0
+                    s1 = P @ z1
+                    rows.append((k, pid, n, s0[0].real, s0[1].real,
+                                 s1[0].real, s1[1].real))
             else:
-                mn = np.linalg.matrix_power(M, int(b["n"]))
-                s_in = np.array([carry[0], carry[1]])
-                s_out = mn @ s_in + np.array([b["l0"], b["b0"]])
-                carry = (float(s_out[0]), float(s_out[1]))
+                state: dict[str, tuple[int, float, float, float, float,
+                                       int]] = {}
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    pid = int(pdf["_pid"].iloc[0])
+                    for k, x in zip(pdf["k"].to_numpy(),
+                                    pdf["x"].to_numpy()):
+                        n, l0, b0, l1, b1, _ = state.get(
+                            k, (0, 0.0, 0.0, 0.0, 0.0, pid))
+                        x = float(x)
+                        l0, b0 = step(l0, b0, x)
+                        if n == 0:
+                            l1, b1 = x, 0.0
+                        else:
+                            l1, b1 = step(l1, b1, x)
+                        state[k] = (n + 1, l0, b0, l1, b1, pid)
+                rows = [(k, pid, n, l0, b0, l1, b1)
+                        for k, (n, l0, b0, l1, b1, pid) in state.items()]
+            yield pd.DataFrame(
+                rows,
+                columns=["k", "_pid", "n", "l0", "b0", "l1", "b1"])
 
-    bc = spark.sparkContext.broadcast(carries)
+        summ = ranged.mapInPandas(
+            summaries,
+            "k string, _pid int, n long, l0 double, b0 double,"
+            " l1 double, b1 double").collect()
+
+        om_a = 1.0 - alpha
+        M = np.array([[om_a, om_a],
+                      [-gamma * alpha, 1.0 - gamma * alpha]])
+        carries: dict[tuple[str, int], tuple[float, float] | None] = {}
+        by_key: dict[str, list] = {}
+        for r in summ:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, blocks in by_key.items():
+            blocks.sort(key=lambda r: r["_pid"])
+            carry: tuple[float, float] | None = None
+            for b in blocks:
+                carries[(k, b["_pid"])] = carry
+                if carry is None:
+                    carry = (b["l1"], b["b1"])
+                else:
+                    mn = np.linalg.matrix_power(M, int(b["n"]))
+                    s_out = (mn @ np.array([carry[0], carry[1]])
+                             + np.array([b["l0"], b["b0"]]))
+                    carry = (float(s_out[0]), float(s_out[1]))
+        bc = spark.sparkContext.broadcast(carries)
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmap = bc.value
-        cur_key: str | None = None
-        lev = trd = 0.0
-        started = False
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            out = []
-            for k, t, x in zip(pdf["k"].to_numpy(), pdf["t"].to_numpy(),
-                               pdf["x"].to_numpy()):
-                if k != cur_key:
-                    cur_key, started = k, False
-                    carry = cmap.get((k, pid))
-                    if carry is not None:
-                        lev, trd, started = carry[0], carry[1], True
-                x = float(x)
-                if started:
-                    lev, trd = step(lev, trd, x)
-                else:
-                    lev, trd, started = x, 0.0, True
-                out.append((k, t, x, lev, trd))
-            yield pd.DataFrame(
-                out, columns=["k", "t", "x", "level", "trend"])
+        cmap = bc.value if bc is not None else {}
+        if eig is not None:
+            lam, P, Pinv, w, dpow = eig
+            cur_key: str | None = None
+            z = np.zeros(2, dtype=complex)
+            started = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                xs = pdf["x"].to_numpy(dtype="float64")
+                out_l = np.empty(len(xs))
+                out_b = np.empty(len(xs))
+                for k, lo, hi in _segments(pdf):
+                    if k != cur_key:
+                        cur_key = k
+                        carry = cmap.get((k, pid))
+                        started = carry is not None
+                        if started:
+                            z = Pinv @ np.array(
+                                [carry[0], carry[1]], dtype=complex)
+                    seg = xs[lo:hi]
+                    if not started:
+                        x1 = float(seg[0])
+                        out_l[lo], out_b[lo] = x1, 0.0
+                        started = True
+                        z = _holt_emit_from(
+                            Pinv[:, 0] * x1, seg[1:], out_l, out_b,
+                            lo + 1, lam, P, w, dpow)
+                    else:
+                        z = _holt_emit_from(z, seg, out_l, out_b, lo,
+                                            lam, P, w, dpow)
+                yield pd.DataFrame(
+                    {"k": pdf["k"].to_numpy(),
+                     "t": pdf["t"].to_numpy(), "x": xs,
+                     "level": out_l, "trend": out_b})
+        else:
+            cur_key = None
+            lev = trd = 0.0
+            started = False
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                out = []
+                for k, t, x in zip(pdf["k"].to_numpy(),
+                                   pdf["t"].to_numpy(),
+                                   pdf["x"].to_numpy()):
+                    if k != cur_key:
+                        cur_key, started = k, False
+                        carry = cmap.get((k, pid))
+                        if carry is not None:
+                            lev, trd, started = carry[0], carry[1], True
+                    x = float(x)
+                    if started:
+                        lev, trd = step(lev, trd, x)
+                    else:
+                        lev, trd, started = x, 0.0, True
+                    out.append((k, t, x, lev, trd))
+                yield pd.DataFrame(
+                    out, columns=["k", "t", "x", "level", "trend"])
 
     t_type = dict(ranged.dtypes)["t"]
     res = ranged.mapInPandas(
-        fold, f"k string, t {t_type}, x double, level double, trend double")
+        fold, f"k string, t {t_type}, x double, level double,"
+              " trend double")
     return res.select(
         F.col("k").alias(key_col), F.col("t").alias(order_col),
         F.col("x").alias(val_col), "level", "trend")
@@ -327,7 +633,9 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
 
 
 def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
-                n_partitions: int | None = None) -> DataFrame:
+                n_partitions: int | None = None, mode: str = "auto",
+                max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
+                ) -> DataFrame:
     """``(key_col, order_col, val_col, run_sum, run_min, run_max)`` —
     prefix sum and prefix extrema OF THE PREFIX SUMS per key;
     ``(key_col, order_col)`` must be unique. Carries are (sum, min,
@@ -335,71 +643,68 @@ def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     state is sum' = sum + block_sum, min' = min(min, sum + block_min)
     (and symmetrically for max) — exact algebra of the additive scan,
     so only float reassociation (a few ulps) separates this from the
-    sequential fold; gates snap to a grid as with ewma_scan."""
+    sequential fold; gates snap to a grid as with ewma_scan. ``mode``
+    as in :func:`ewma_scan`."""
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
-    base = df.select(
-        F.col(key_col).cast("string").alias("k"),
-        F.col(order_col).alias("t"),
-        F.col(val_col).cast("double").alias("x"))
-    ranged = (base.repartitionByRange(parts, "k", "t")
-              .sortWithinPartitions("k", "t")
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint())
+    base = _base_frame(df, key_col, order_col, val_col)
+    mode = _resolve_mode(base, mode, max_carry_keys)
 
     # Both Arrow passes are numpy-vectorized per key SEGMENT (keys are
     # contiguous within a sorted partition): np.cumsum is a sequential
     # accumulate, np.minimum/maximum.accumulate are exact selections —
     # ~50x the row-loop throughput, and still within the same few-ulp
     # reassociation envelope the tests pin at 1e-9.
-    import numpy as np
 
-    def _segments(pdf: pd.DataFrame):
-        keys = pdf["k"].to_numpy()
-        cut = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        for lo, hi in zip(np.r_[0, cut], np.r_[cut, len(keys)]):
-            yield keys[lo], lo, hi
+    if mode == "grouped":
+        ranged = _grouped_layout(base, parts)
+        bc = None
+    else:
+        ranged = _ranged_layout(base, parts)
 
-    def summaries(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        state: dict[str, tuple[float, float, float, int]] = {}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            pid = int(pdf["_pid"].iloc[0])
-            xs = pdf["x"].to_numpy(dtype="float64")
-            for k, lo, hi in _segments(pdf):
-                s, mn, mx, _ = state.get(
-                    k, (0.0, float("inf"), float("-inf"), pid))
-                run = s + np.cumsum(xs[lo:hi])
-                state[k] = (float(run[-1]),
-                            min(mn, float(run.min())),
-                            max(mx, float(run.max())), pid)
-        yield pd.DataFrame(
-            [(k, pid, s, mn, mx) for k, (s, mn, mx, pid) in state.items()],
-            columns=["k", "_pid", "bsum", "bmin", "bmax"])
+        def summaries(batches: Iterator[pd.DataFrame],
+                      ) -> Iterator[pd.DataFrame]:
+            state: dict[str, tuple[float, float, float, int]] = {}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                xs = pdf["x"].to_numpy(dtype="float64")
+                for k, lo, hi in _segments(pdf):
+                    s, mn, mx, _ = state.get(
+                        k, (0.0, float("inf"), float("-inf"), pid))
+                    run = s + np.cumsum(xs[lo:hi])
+                    state[k] = (float(run[-1]),
+                                min(mn, float(run.min())),
+                                max(mx, float(run.max())), pid)
+            yield pd.DataFrame(
+                [(k, pid, s, mn, mx)
+                 for k, (s, mn, mx, pid) in state.items()],
+                columns=["k", "_pid", "bsum", "bmin", "bmax"])
 
-    summ = ranged.mapInPandas(
-        summaries,
-        "k string, _pid int, bsum double, bmin double, bmax double",
-    ).collect()
+        summ = ranged.mapInPandas(
+            summaries,
+            "k string, _pid int, bsum double, bmin double, bmax double",
+        ).collect()
 
-    carries: dict[tuple[str, int], tuple[float, float, float]] = {}
-    by_key: dict[str, list] = {}
-    for r in summ:
-        by_key.setdefault(r["k"], []).append(r)
-    for k, blocks in by_key.items():
-        blocks.sort(key=lambda r: r["_pid"])
-        c = (0.0, float("inf"), float("-inf"))
-        for b in blocks:
-            carries[(k, b["_pid"])] = c
-            c = (c[0] + b["bsum"],
-                 min(c[1], c[0] + b["bmin"]),
-                 max(c[2], c[0] + b["bmax"]))
+        carries: dict[tuple[str, int], tuple[float, float, float]] = {}
+        by_key: dict[str, list] = {}
+        for r in summ:
+            by_key.setdefault(r["k"], []).append(r)
+        for k, blocks in by_key.items():
+            blocks.sort(key=lambda r: r["_pid"])
+            c = (0.0, float("inf"), float("-inf"))
+            for b in blocks:
+                carries[(k, b["_pid"])] = c
+                c = (c[0] + b["bsum"],
+                     min(c[1], c[0] + b["bmin"]),
+                     max(c[2], c[0] + b["bmax"]))
+        bc = spark.sparkContext.broadcast(carries)
 
-    bc = spark.sparkContext.broadcast(carries)
+    _zero_carry = (0.0, float("inf"), float("-inf"))
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cmap = bc.value
+        cmap = bc.value if bc is not None else {}
         cur_key: str | None = None
         s = mn = mx = 0.0
         for pdf in batches:
@@ -413,7 +718,7 @@ def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
             for k, lo, hi in _segments(pdf):
                 if k != cur_key:
                     cur_key = k
-                    s, mn, mx = cmap[(k, pid)]
+                    s, mn, mx = cmap.get((k, pid), _zero_carry)
                 seg = s + np.cumsum(xs[lo:hi])
                 run[lo:hi] = seg
                 rmin[lo:hi] = np.minimum(mn, np.minimum.accumulate(seg))
