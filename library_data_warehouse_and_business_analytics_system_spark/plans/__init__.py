@@ -14,98 +14,114 @@ from . import streaming_ops  # noqa: E402,F401
 from . import library_gate  # noqa: E402,F401
 from . import search_ops  # noqa: E402,F401
 
-# Explicit gate ordering. Round 1's driver correctness gate recorded
-# exactly 50 rows and silently dropped the two queries registered last
-# (media_decode_stats / media_frame_counts) — consistent with a harness
-# truncation at 50. Defend against it: single-coverage queries and
-# queries still needing a fresh green row (never gated, errored last
-# round, or new this round) run first; queries that already have a
-# green row in some CORRECTNESS_r*.json AND whose SURVEY §2 operator
-# families have several other oracle-green rows go last, so a
-# truncation only drops redundant signal. The union of green rows per
-# query across rounds is tracked in COVERAGE.md.
-# Round-7 rotation (the documented reservoir plan, continued): the 40
-# queries whose freshest green row is r5 — round 6's tail — move back
-# INTO the 50-row window, together with (a) this round's new
-# registration (merge_parts_orders), (b) the three queries whose
-# PLANS changed this round and therefore need fresh green rows under
-# the new shapes (doc_token_familiarity / boilerplate_line_scrub:
-# broadcast hints removed; temperature_mixture_sample: two-phase
-# cumsum), (c) the two whose underlying operators were edited
-# (merge_upsert insert semantics; dedup_new_batch candidate path),
-# and (d) two single-green r6 rows to fill the window. Everything
-# else went green in r6 and rotates to the tail. Invariant: after r7,
-# no registry query's freshest green row is older than two rounds.
-# The 23 late-round-7 registrations (gapfill/retention/co-occurrence/
-# WAU/hard-negatives/CMS/dup-rate, then search/BM25/tfidf, k-means,
-# SemDeDup, prototype-prune, CDC, consecutive-collapse, DQ audit,
-# hybrid RRF, PageRank, time-travel, incremental-agg, weighted
-# sampling) land in the middle group below — after the 50-row r7
-# window, FRONTING the r8 window alongside the r7-green tail
-# rotation. They are pytest-differentially gated (bit-exact vs
-# DuckDB) from day one; the driver row lands in r8. The session-3/4
-# registrations (batch-5/6 relational, search/kmeans/CDC/DQ, DSIR,
-# substring scrub, CDC chunking, PQ, linkage, OHLC, gini, EWMA/Holt
-# scans, Markov transitions, MAD outliers, item-CF, rate anomalies,
-# canonical keep) land in the same middle group for the same reason.
-_EARLY = ["media_decode_stats", "media_frame_counts",  # pinned first
-          # new this round — never gated:
-          "merge_parts_orders", "doc_ngram_novelty",
-          "srp_diverse_sample",
-          # plans changed this round — must re-gate under the new shape:
-          "doc_token_familiarity", "temperature_mixture_sample",
-          "boilerplate_line_scrub",
-          # operator code touched this round:
-          "merge_upsert_orders", "dedup_incremental",
-          # freshest green row is r5 (the full r6 tail, rotated in):
-          "orders_data_profile", "events_funnel", "dedup_kept_corpus",
-          "fact_surrogate_keys_audit", "media_audio_stats",
-          "lqy_query1", "lqy_query2", "lqy_query3",
-          "cube_order_stats", "grouping_sets_orders",
-          "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
-          "order_size_distribution", "suppliers_of_large_shipments",
-          "nation_customer_counts", "events_sliding_1h30m",
-          "regexp_function_surface", "date_function_surface",
-          "order_quantity_arrays", "daily_order_window_frames",
-          "order_price_percentiles", "math_function_surface",
-          "nation_list_per_region", "events_sessionize",
-          "customer_spend_scd2_versions", "salted_event_type_counts",
-          "approx_distinct_check", "approx_quantile_check",
-          "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
-          "ivf_ann_topk", "embedding_near_dups_strict",
-          "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
-          "source_token_budget", "events_interval_join",
-          "events_asof_purchase_view"]
-_LATE = [  # all green r6 (most multiply green overall); families
-         # covered by in-window mates. They rotate back in r8.
-         "scd2_dimbook_apply", "matryoshka_topk",  # single-green r6 —
-         # yielded their filler slots to the two NEW registrations
-         "lqy_query1_f", "lqy_query3_states", "lqy_query2_suppliers",
-         "media_video_stats", "borrowing_not_exists_append",
-         "pricing_summary", "revenue_by_nation", "yoy_nation_revenue",
-         "market_share", "rollup_year_quarter", "top_orders_global",
-         "customers_without_orders", "region_status_universe",
-         "date_spine_daily_orders", "order_price_bands",
-         "param_filter_orders", "string_function_surface",
-         "surrogate_keys_customers", "cosine_topk",
-         "doc_fingerprint_dedup", "doc_token_stats",
-         "lang_id_confusion", "events_tumbling_hourly",
-         "events_session_windows", "nation_set_ops",
-         "events_json_extract", "dedup_exact", "text_quality_scores",
-         "ngram_jaccard_dups", "embedding_near_dups",
-         "top_customers_per_nation", "doc_bpe_token_counts",
-         "orders_scalar_subquery",
-         "lsh_ann_topk_forced", "doc_repetition_scores",
-         "benchmark_contamination", "events_json_props",
-         "stratified_doc_sample", "doc_chunk_packing",
-         "quality_topn_per_source", "pii_scrub_stats"]
+# Explicit gate ordering. The driver's correctness gate records 50
+# rows per round in registry order (observed truncation at 50 since
+# round 1), so the order below IS the rotation schedule. Round 7 grew
+# the registry 90->170; the r7 verdict's one structural gap is the 77
+# queries that have never earned a driver green row. Round 8
+# therefore FREEZES registry growth (one exception: the covariance-
+# spectrum gate the verdict itself requested) and spends the whole
+# 50-row window on never-gated queries:
+#
+#   _R8_WINDOW (50): the four timeseries-scan gates first (their
+#   operator was rewritten this round - vectorized EWMA/Holt +
+#   cardinality dispatch - so they re-gate under the new code), the
+#   new covariance gate, then the transactional layer, the batch-4/5/6
+#   TPC-H shapes, search/clustering/graph, and the two heavy scrub/ANN
+#   gates. All 50 have DuckDB-differential pytest coverage already.
+#
+#   _R9_FRONT (28): the remaining never-gated tail - analytics
+#   (retention/WAU/co-occurrence/deciles/hierarchy/gini/histogram/
+#   transitions/outliers/CF/anomalies/chi-squared), sampling
+#   (hard-negatives/CMS/dup-rate/DSIR/weighted), CDC/chunking/linkage/
+#   IVM/OHLC/DQ/BPE. These front the r9 window; r9's remaining ~22
+#   slots rotate the OLDEST green rows (the r6 list below, FIFO).
+#
+#   _R6_GREEN (43) then _R7_GREEN (50): ever-green queries ordered
+#   oldest-first so any window slack always refreshes the stalest row.
+#   The two-round freshness invariant relaxes to three rounds for the
+#   r6 cohort during the backlog burn-down (r9 re-gates 22 of them,
+#   r10 the rest) - deliberate: a never-gated query has NO hard signal
+#   at all, a two-round-old green row still has one.
+_R8_WINDOW = [
+    # timeseries scans - operator rewritten this round (e33d79c)
+    "events_daily_ewma", "events_daily_holt", "events_daily_cusum",
+    "events_gapfill_interpolate",
+    # new this round (the r7 verdict item 5)
+    "embedding_covariance_spectrum",
+    # transactional layer
+    "txlog_time_travel", "incremental_agg_orders", "mor_delete_orders",
+    "restore_orders_version", "clone_orders_isolated",
+    "warehouse_consistent_read", "optimize_zorder_orders",
+    "stats_skipping_orders", "parts_skipping_orders",
+    "bloom_point_lookup", "incremental_minmax_orders",
+    "bucketed_join_revenue",
+    # batch-4/5/6 relational (TPC-H shapes)
+    "waiting_suppliers", "top_revenue_supplier", "large_quantity_orders",
+    "priority_pivot_unpivot", "window_value_functions",
+    "array_function_surface", "nation_pair_revenue",
+    "part_supplier_coverage", "shipping_priority_top10",
+    "local_supplier_volume", "returned_item_top_customers",
+    "dnf_predicate_revenue", "priority_late_order_counts",
+    "forecast_revenue", "nation_profit_by_year",
+    "returnflag_priority_counts", "customer_order_distribution",
+    "promo_revenue_share", "small_quantity_revenue",
+    "excess_stock_suppliers", "min_cost_supplier_parts",
+    "important_parts_stock", "idle_rich_customers",
+    # search / clustering / graph
+    "bm25_search_topk", "tfidf_top_terms", "hybrid_rrf_search",
+    "kmeans_assign_sizes", "semantic_dedup_pairs",
+    "cluster_prototype_prune", "copurchase_pagerank",
+    "copurchase_triangles",
+    # heavy scrub / ANN
+    "exact_substring_scrub", "pq_ann_topk",
+]
+_R9_FRONT = [
+    "user_retention_cohorts", "parts_ordered_together",
+    "weekly_active_users", "customer_value_deciles",
+    "part_hierarchy_rollup", "keep_dense_rank_summary",
+    "orders_category_gini", "order_price_histogram",
+    "event_type_transitions", "order_price_outliers",
+    "item_cf_similar_parts", "event_rate_anomalies",
+    "event_type_weekday_chisq", "hard_negative_topk",
+    "token_cms_estimates", "dedup_rate_by_source",
+    "dsir_importance_weights", "cdc_chunk_dedup",
+    "part_name_fuzzy_matches", "ivm_join_refresh",
+    "self_repeat_scrub", "dedup_canonical_keep", "events_ohlc_15m",
+    "cdc_orders_snapshot", "events_collapse_consecutive",
+    "weighted_doc_sample", "dq_expectations_summary", "bpe_pair_stats",
+]
+_R6_GREEN = [
+    "benchmark_contamination", "borrowing_not_exists_append",
+    "cosine_topk", "customers_without_orders",
+    "date_spine_daily_orders", "dedup_exact", "doc_bpe_token_counts",
+    "doc_chunk_packing", "doc_fingerprint_dedup",
+    "doc_repetition_scores", "doc_token_stats", "embedding_near_dups",
+    "events_json_extract", "events_json_props",
+    "events_session_windows", "events_tumbling_hourly",
+    "lang_id_confusion", "lqy_query1_f", "lqy_query2_suppliers",
+    "lqy_query3_states", "lsh_ann_topk_forced", "market_share",
+    "matryoshka_topk", "media_video_stats", "nation_set_ops",
+    "ngram_jaccard_dups", "order_price_bands", "orders_scalar_subquery",
+    "param_filter_orders", "pii_scrub_stats", "pricing_summary",
+    "quality_topn_per_source", "region_status_universe",
+    "revenue_by_nation", "rollup_year_quarter", "scd2_dimbook_apply",
+    "stratified_doc_sample", "string_function_surface",
+    "surrogate_keys_customers", "text_quality_scores",
+    "top_customers_per_nation", "top_orders_global",
+    "yoy_nation_revenue",
+]
 
 
 def _reorder() -> None:
+    listed = set(_R8_WINDOW) | set(_R9_FRONT) | set(_R6_GREEN)
     ordered = (
-        [n for n in _EARLY if n in QUERIES]
-        + [n for n in QUERIES if n not in _EARLY and n not in _LATE]
-        + [n for n in _LATE if n in QUERIES]
+        [n for n in _R8_WINDOW if n in QUERIES]
+        + [n for n in _R9_FRONT if n in QUERIES]
+        + [n for n in _R6_GREEN if n in QUERIES]
+        # r7-green tail (and anything newly registered but unlisted -
+        # none expected while growth is frozen): registration order.
+        + [n for n in QUERIES if n not in listed]
     )
     snapshot = dict(QUERIES)
     QUERIES.clear()

@@ -2257,3 +2257,91 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      & (F.col("doc_id") == -F.col("_b._nd")))
                     .alias("is_kept"))
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# Per-group embedding covariance spectrum (collapse diagnostics).
+
+
+@register(
+    "embedding_covariance_spectrum",
+    """
+    WITH pts AS (
+      SELECT label,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ), mom AS (
+      SELECT label, COUNT(*) AS n,
+             SUM(x) / CAST(COUNT(*) AS DOUBLE) AS mx,
+             SUM(y) / CAST(COUNT(*) AS DOUBLE) AS my,
+             SUM(x * x) / CAST(COUNT(*) AS DOUBLE) AS sxx,
+             SUM(x * y) / CAST(COUNT(*) AS DOUBLE) AS sxy,
+             SUM(y * y) / CAST(COUNT(*) AS DOUBLE) AS syy
+      FROM pts GROUP BY label
+    ), cov AS (
+      SELECT label, n, sxx - mx * mx AS a, sxy - mx * my AS b,
+             syy - my * my AS c
+      FROM mom
+    ), eig AS (
+      SELECT label, n, a + c AS tr,
+             (a + c) / CAST(2 AS DOUBLE)
+               + SQRT(((a - c) / CAST(2 AS DOUBLE))
+                      * ((a - c) / CAST(2 AS DOUBLE)) + b * b) AS l1,
+             GREATEST((a + c) / CAST(2 AS DOUBLE)
+               - SQRT(((a - c) / CAST(2 AS DOUBLE))
+                      * ((a - c) / CAST(2 AS DOUBLE)) + b * b),
+               CAST(0 AS DOUBLE)) AS l2
+      FROM cov
+    ), ent AS (
+      SELECT label, n, tr, l1,
+             (CASE WHEN l1 > 0 THEN -(l1 / tr) * LN(l1 / tr)
+                   ELSE CAST(0 AS DOUBLE) END)
+             + (CASE WHEN l2 > 0 THEN -(l2 / tr) * LN(l2 / tr)
+                     ELSE CAST(0 AS DOUBLE) END) AS h
+      FROM eig
+    )
+    SELECT label, n,
+           FLOOR(tr * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS trace,
+           FLOOR(l1 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS top_eig,
+           FLOOR(EXP(h) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+             / CAST(1000000 AS DOUBLE) AS effective_rank
+    FROM ent
+    ORDER BY label
+    """,
+    operators=("A1",),
+)
+def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str,
+                                  ) -> DataFrame:
+    """Embedding-collapse diagnostics per label: covariance trace, top
+    eigenvalue, and effective rank (exp of the eigenvalue entropy) of
+    each label's embedding cloud, PROJECTED to the first two
+    coordinates so the oracle can state the spectrum in closed form
+    (2x2 symmetric eigenvalues are quadratic roots — SQL can't
+    eigendecompose the full 64-dim covariance, and the projection
+    exercises the identical operator path: grouped applyInPandas,
+    np.cov, eigvalsh). The operator's centered two-pass covariance and
+    the oracle's raw-moment closed form agree to ~1e-12 relative on
+    unit-scale embeddings; both sides snap to the 1e-6 grid with the
+    pure-IEEE floor quantizer (see events_daily_ewma for why never
+    ROUND(double)). The full-dim variant stays pytest-differential
+    (numpy oracle in tests/test_llm_ops.py). Scale contract in the
+    operator docstring: per-GROUP memory, bounded groups (labels)."""
+    from ..operators.embeddings import group_covariance_spectrum
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    two = emb.select(
+        "label",
+        F.array(F.col("embedding").getItem(0).cast("double"),
+                F.col("embedding").getItem(1).cast("double")).alias("e2"))
+    spec = group_covariance_spectrum(two, "e2", "label")
+
+    def snap(c: str):
+        return (F.floor(F.col(c) * F.lit(1000000.0) + F.lit(0.5))
+                .cast("double") / F.lit(1000000.0)).alias(c)
+
+    return (spec.select("label", "n", snap("trace"), snap("top_eig"),
+                        snap("effective_rank"))
+            .orderBy("label"))

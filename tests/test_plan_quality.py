@@ -136,53 +136,49 @@ def test_aggregates_have_partial_phase(plans):
 
 
 def test_registry_gate_ordering():
-    """The driver's correctness gate truncated at 50 rows in round 1
-    (the last-registered queries silently got no row). plans/__init__
-    pins the order: media queries early, family-redundant queries last
-    — keep that invariant when registering new queries."""
+    """The driver's correctness gate truncates at 50 rows (observed in
+    round 1), so the registry order IS the rotation schedule. Round-8
+    plan (the r7 verdict's top item): the whole 50-row window is spent
+    on never-gated queries — no query with an existing green row may
+    occupy a slot — and the next 28 positions are the remaining
+    never-gated tail, fronting the r9 window. Registry growth is
+    frozen this round (sole exception: embedding_covariance_spectrum,
+    which the verdict itself requested — it is also never-gated)."""
+    from library_data_warehouse_and_business_analytics_system_spark.plans import (
+        _R6_GREEN,
+        _R8_WINDOW,
+        _R9_FRONT,
+    )
+
     names = list(QUERIES)
-    assert names.index("media_decode_stats") <= 2
-    assert names.index("media_frame_counts") <= 2
-    # Round-7 window: the entire r6 tail (freshest green row = r5)
-    # rotates back in, plus the new merge_parts_orders, plus the three
-    # changed-plan queries and two touched-operator queries that need
-    # fresh green rows under their new shapes — so after r7 no query's
-    # freshest green row is older than two rounds.
-    for must_gate in (
-            # new / plan-changed / operator-touched this round:
-            "merge_parts_orders", "doc_ngram_novelty",
-            "srp_diverse_sample", "doc_token_familiarity",
-            "temperature_mixture_sample", "boilerplate_line_scrub",
-            "merge_upsert_orders", "dedup_incremental",
-            # freshest green = r5 (the full r6 tail):
-            "orders_data_profile", "events_funnel", "dedup_kept_corpus",
-            "fact_surrogate_keys_audit", "media_audio_stats",
-            "lqy_query1", "lqy_query2", "lqy_query3",
-            "cube_order_stats", "grouping_sets_orders",
-            "brand_revenue_share", "acctbal_banding", "quarterly_pivot",
-            "order_size_distribution", "suppliers_of_large_shipments",
-            "nation_customer_counts", "events_sliding_1h30m",
-            "regexp_function_surface", "date_function_surface",
-            "order_quantity_arrays", "daily_order_window_frames",
-            "order_price_percentiles", "math_function_surface",
-            "nation_list_per_region", "events_sessionize",
-            "customer_spend_scd2_versions", "salted_event_type_counts",
-            "approx_distinct_check", "approx_quantile_check",
-            "minhash_lsh_pairs", "simhash_pairs", "lsh_ann_topk",
-            "ivf_ann_topk", "embedding_near_dups_strict",
-            "dedup_clusters", "doc_hash_split", "top_tokens_per_lang",
-            "source_token_budget", "events_interval_join",
-            "events_asof_purchase_view"):
-        assert names.index(must_gate) < 50, must_gate
-    # r6-green queries rotate to the tail (back in for r8)
-    redundant_tail = {"pricing_summary", "revenue_by_nation",
-                      "yoy_nation_revenue", "market_share",
-                      "lqy_query1_f", "lqy_query3_states",
-                      "lqy_query2_suppliers", "media_video_stats",
-                      "borrowing_not_exists_append", "dedup_exact",
-                      "ngram_jaccard_dups", "embedding_near_dups",
-                      "lsh_ann_topk_forced", "pii_scrub_stats"}
-    assert redundant_tail <= set(names[-41:])
+    # the committed window is exactly the first 50 registry entries
+    assert names[:50] == _R8_WINDOW
+    assert len(_R8_WINDOW) == 50
+    # ... followed by the rest of the never-gated backlog for r9
+    assert names[50:50 + len(_R9_FRONT)] == _R9_FRONT
+    # no window slot is wasted on an ever-green query (driver rows
+    # recorded in the committed CORRECTNESS_r*.json artifacts)
+    import glob
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    green: set[str] = set()
+    for f in glob.glob(str(repo / "CORRECTNESS_r0*.json")):
+        for q, r in json.load(open(f)).items():
+            if (r.get("rows_match") and r.get("schema_match")
+                    and not r.get("err")):
+                green.add(q)
+    if green:  # artifacts present: window must be 100% never-gated
+        assert [q for q in _R8_WINDOW if q in green] == []
+        assert [q for q in _R9_FRONT if q in green] == []
+        # and the ever-green cohorts rotate behind, oldest first
+        assert set(_R6_GREEN) <= green
+    # the operator rewritten this round re-gates inside the window
+    for touched in ("events_daily_ewma", "events_daily_holt",
+                    "events_daily_cusum", "events_gapfill_interpolate",
+                    "embedding_covariance_spectrum"):
+        assert names.index(touched) < 50, touched
 
 
 def test_broadcast_joins_for_dimensions(plans):
