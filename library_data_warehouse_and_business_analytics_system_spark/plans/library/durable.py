@@ -179,23 +179,43 @@ def subsequent_load_durable(spark: SparkSession, root: str,
 def maintain_warehouse(spark: SparkSession, root: str, *,
                        vacuum_retention_sec: float = 3600.0,
                        keep_checkpoints: int = 1,
-                       zorder: dict[str, list[str]] | None = None) -> dict:
+                       zorder: dict[str, list[str]] | None = None,
+                       stats: dict[str, list[str]] | None = None,
+                       bloom: dict[str, list[str]] | None = None) -> dict:
     """Metadata/disk maintenance after N daily loads (the warehouse
-    analogue of the dedup index's ``maintain_index``): per table,
-    optionally OPTIMIZE (``zorder`` maps fact name → clustering
-    columns; each listed fact is rewritten Z-ordered via
-    ``tx_optimize_parts`` before its metadata pass), then checkpoint
-    the current state, truncate the replayed log, expire old
-    checkpoints, and vacuum unreferenced generations — so a year of
-    daily loads leaves O(1) log files and only the LIVE partition
-    generations on disk, at the price of time travel into
-    pre-maintenance snapshots (which raises, never misreads).
+    analogue of the dedup index's ``maintain_index``). Per table, in
+    order:
 
-    Without ``zorder``, fact DATA is untouched: partition dirs
-    referenced by the current state survive vacuum byte-identical (a
-    maintenance pass is then a pure metadata operation because
-    partition-scoped merges already keep one live generation per
-    touched partition). Returns {table: reclaimed dir count}."""
+    1. COMPACT live merge-on-read deletes (``tx_compact_deletes``) —
+       a table that took cheap equality deletes since the last pass
+       refuses plain reads and checkpoints until its delete eras are
+       rolled into one copy-on-write commit; maintenance is exactly
+       where that rollup belongs (VERDICT r7 item 4).
+    2. Optionally OPTIMIZE (``zorder`` maps fact name → clustering
+       columns; each listed fact is rewritten Z-ordered via
+       ``tx_optimize_parts``).
+    3. REFRESH skipping sidecars (``stats``/``bloom`` map table name →
+       columns): OPTIMIZE and compaction publish fresh dirs with no
+       stats and no bloom sidecars, so pruning would silently degrade
+       to always-read; ``tx_refresh_stats`` re-harvests footer min/max
+       and rebuilds missing bloom sidecars for the live generation,
+       and the checkpoint below carries the registrations past log
+       truncation.
+    4. Checkpoint the current state, truncate the replayed log,
+       expire old checkpoints, and vacuum unreferenced generations —
+       so a year of daily loads leaves O(1) log files and only the
+       LIVE partition generations on disk, at the price of time
+       travel into pre-maintenance snapshots (which raises, never
+       misreads).
+
+    Without ``zorder``/deletes, fact DATA is untouched: partition
+    dirs referenced by the current state survive vacuum
+    byte-identical (a maintenance pass is then a pure metadata
+    operation because partition-scoped merges already keep one live
+    generation per touched partition). Returns {table: reclaimed dir
+    count}."""
+    from ...sources.mor import tx_compact_deletes, tx_has_live_deletes
+    from ...sources.skipping import tx_refresh_stats
     from ...sources.txlog import (
         tx_checkpoint, tx_expire_checkpoints, tx_optimize_parts,
         tx_truncate_log, tx_vacuum,
@@ -204,8 +224,14 @@ def maintain_warehouse(spark: SparkSession, root: str, *,
     out: dict[str, int] = {}
     for name in (*DIMS, *FACT_KEYS):
         t = f"{root}/{name}"
+        if tx_has_live_deletes(t):
+            tx_compact_deletes(spark, t)
         if zorder and name in zorder:
             tx_optimize_parts(spark, t, YEAR_KEY, zorder[name])
+        scols = stats.get(name) if stats else None
+        bcols = bloom.get(name) if bloom else None
+        if scols or bcols:
+            tx_refresh_stats(spark, t, scols, bcols)
         tx_checkpoint(t)
         tx_truncate_log(t)
         tx_expire_checkpoints(t, keep=keep_checkpoints)

@@ -78,6 +78,8 @@ def _mor_state(table: str, as_of: int | None):
 
     def apply(state, e):
         data, dels = state
+        if e["mode"] == "meta":
+            return state          # stats/bloom registration: no data
         if "parts" in e:
             raise ValueError(
                 f"{table}: partitioned commit {e['id']} in a "
@@ -123,6 +125,23 @@ def tx_read_mor(spark: SparkSession, table: str,
             df = df.join(kdf, on=list(keys), how="left_anti")
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def tx_has_live_deletes(table: str) -> bool:
+    """True when the current snapshot carries equality-delete commits
+    no later overwrite superseded — the state in which ``tx_read`` /
+    ``tx_checkpoint`` refuse and ``tx_compact_deletes`` is required.
+    Metadata-only (log replay, no data touched); False for
+    partitioned tables (the MoR path is plain-table only)."""
+    from .txlog import _is_partitioned
+
+    try:
+        if _is_partitioned(table):
+            return False
+    except FileNotFoundError:
+        return False
+    _, dels = _mor_state(table, None)
+    return bool(dels)
 
 
 def tx_compact_deletes(spark: SparkSession, table: str,

@@ -143,12 +143,19 @@ def tx_write_stats(df: DataFrame, table: str, stats_cols: list[str],
 
 
 def _dir_stats(table: str) -> dict[str, dict]:
-    """dir → stats map from the surviving log entries (checkpointed
-    history has no stats — those dirs simply never prune)."""
+    """dir → stats map: the latest checkpoint's carried registrations
+    (tx_checkpoint folds live dirs' stats into its payload, so
+    truncation no longer strips them), write-path ``stats`` entries,
+    and ``meta`` refresh commits' ``dirstats`` — newest wins. Dirs
+    with no registration anywhere simply never prune."""
     out: dict[str, dict] = {}
-    for e in _entries(table):
+    cp = _latest_checkpoint(table)
+    if cp:
+        out.update(cp.get("dirstats", {}))
+    for e in sorted(_entries(table), key=lambda x: x["id"]):
         if "stats" in e and "dir" in e:
             out[e["dir"]] = e["stats"]
+        out.update(e.get("dirstats", {}))
     return out
 
 
@@ -341,9 +348,16 @@ def tx_read_point(spark: SparkSession, table: str, col: str, value,
     if not dirs:
         raise FileNotFoundError(f"tx_read_point: no commits in {table}")
     blooms: dict[str, dict] = {}
-    for e in _entries(table):
+    if cp:
+        for d, b in cp.get("dirbloom", {}).items():
+            if col in b:
+                blooms[d] = b[col]
+    for e in sorted(_entries(table), key=lambda x: x["id"]):
         if "bloom" in e and "dir" in e and col in e["bloom"]:
             blooms[e["dir"]] = e["bloom"][col]
+        for d, b in e.get("dirbloom", {}).items():
+            if col in b:
+                blooms[d] = b[col]
     keep = [d for d in dirs
             if d not in blooms
             or _bloom_might_contain(table, d, col, blooms[d], value)]
@@ -448,14 +462,19 @@ def tx_write_parts_stats(df: DataFrame, table: str, part_col: str,
 
 
 def _part_dir_stats(table: str) -> dict[str, dict]:
-    """(staged dir) → stats, from surviving entries' pstats maps."""
+    """(staged dir) → stats: checkpoint-carried registrations,
+    write-path ``pstats`` maps, and ``meta`` refresh commits'
+    ``dirstats`` — newest wins."""
     out: dict[str, dict] = {}
-    for e in _entries(table):
-        if "pstats" not in e or "parts" not in e:
-            continue
-        for value, d in e["parts"].items():
-            if d is not None and value in e["pstats"]:
-                out[d] = e["pstats"][value]
+    cp = _latest_checkpoint(table)
+    if cp:
+        out.update(cp.get("dirstats", {}))
+    for e in sorted(_entries(table), key=lambda x: x["id"]):
+        if "pstats" in e and "parts" in e:
+            for value, d in e["parts"].items():
+                if isinstance(d, str) and value in e["pstats"]:
+                    out[d] = e["pstats"][value]
+        out.update(e.get("dirstats", {}))
     return out
 
 
@@ -503,3 +522,83 @@ def tx_read_parts_pruned(spark: SparkSession, table: str, col: str,
         c2 = F.col(col) <= F.lit(hi)
         cond = c2 if cond is None else cond & c2
     return df.where(cond) if cond is not None else df
+
+
+# ---------------------------------------------------------------------------
+# Sidecar refresh — the maintenance half of data skipping.
+
+
+def tx_refresh_stats(spark: SparkSession, table: str,
+                     stats_cols: list[str] | None = None,
+                     bloom_cols: list[str] | None = None,
+                     fpp: float = 0.01, max_retries: int = 10) -> int:
+    """(Re)register skipping metadata for the CURRENT visible dirs —
+    the maintenance pass that keeps pruning alive across rewrites.
+    OPTIMIZE / compaction / restore publish fresh dirs with no stats
+    and no bloom sidecars, so point/range reads silently degrade to
+    always-read; this harvests per-dir min/max for ``stats_cols``
+    from the parquet footers (metadata-only, no data scan), builds a
+    bloom sidecar inside every dir missing one for ``bloom_cols``
+    (one distributed bit-OR aggregate per missing sidecar), and
+    publishes ONE ``meta`` commit carrying the dir-keyed
+    registrations. The commit moves no data (replay treats ``meta``
+    as a no-op), is conflict-checked against the snapshot it
+    harvested (a racing writer raises ``TxConflict``), and
+    ``tx_checkpoint`` folds the registrations into its payload so
+    ``tx_truncate_log`` can no longer strip them. Works on plain and
+    partitioned tables. Returns the meta commit id (or the current
+    latest id when there was nothing to register)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    from .txlog import _is_partitioned, _visible_dirs, _visible_parts, \
+        tx_latest_id
+
+    latest = tx_latest_id(table)
+    if _is_partitioned(table):
+        state = _visible_parts(table, as_of=latest)
+        dirs = [d for ds in state.values() for d in ds]
+    else:
+        dirs = _visible_dirs(table, as_of=latest)
+
+    dirstats: dict[str, dict] = {}
+    if stats_cols:
+        for d in dirs:
+            s = _footer_stats(Path(table) / d, list(stats_cols))
+            if s:
+                dirstats[d] = s
+
+    dirbloom: dict[str, dict] = {}
+    if bloom_cols:
+        for d in dirs:
+            dpath = Path(table) / d
+            per_col: dict[str, dict] = {}
+            for c in bloom_cols:
+                sidecar = dpath / f"_bloom_{c}.json"
+                if sidecar.exists():
+                    # re-register the surviving sidecar's parameters
+                    # (its entry may have been truncated away)
+                    try:
+                        raw = _json.loads(sidecar.read_text())
+                        per_col[c] = {"m": int(raw["m"]),
+                                      "k": int(raw["k"])}
+                        continue
+                    except (OSError, ValueError, KeyError):
+                        pass  # unreadable: rebuild below
+                n_rows = sum(pq.ParquetFile(f).metadata.num_rows
+                             for f in dpath.rglob("*.parquet"))
+                per_col[c] = _build_bloom_sidecar(spark, dpath, c,
+                                                  n_rows, fpp)
+            if per_col:
+                dirbloom[d] = per_col
+
+    if not dirstats and not dirbloom:
+        return latest
+    payload: dict = {"mode": "meta"}
+    if dirstats:
+        payload["dirstats"] = dirstats
+    if dirbloom:
+        payload["dirbloom"] = dirbloom
+    return _publish(table, payload, max_retries, txn_id=None,
+                    expect_latest=latest)

@@ -141,6 +141,11 @@ def _replay(cp: dict | None, entries: list[dict], table: str,
     live_delete = [0]   # id of a delete no later overwrite superseded
 
     def apply(dirs: list[str], e: dict) -> list[str]:
+        if e["mode"] == "meta":
+            # stats/bloom registration for EXISTING dirs (skipping.
+            # tx_refresh_stats) — carries no data, visible state
+            # unchanged
+            return dirs
         if "parts" in e:
             raise ValueError(
                 f"{table}: partitioned commit {e['id']} in an "
@@ -187,6 +192,8 @@ def _replay_parts(cp: dict | None, entries: list[dict], table: str,
     commit (every row deleted — a CDC delete batch can do this);
     replay resets it to no dirs instead of carrying stale ones."""
     def apply(parts: dict[str, list[str]], e: dict):
+        if e["mode"] == "meta":
+            return parts          # stats/bloom registration: no data
         if "parts" not in e:
             raise ValueError(
                 f"{table}: unpartitioned commit {e['id']} in a "
@@ -370,6 +377,34 @@ def tx_read(spark: SparkSession, table: str,
     return reader.parquet(*[str(Path(table) / d) for d in dirs])
 
 
+def _live_dir_meta(cp: dict | None, entries: list[dict],
+                   live: set[str]) -> tuple[dict, dict]:
+    """(dir → stats, dir → bloom meta) surviving into a checkpoint:
+    the prior checkpoint's carried maps plus every entry's write-path
+    stats/bloom (``stats``/``bloom``/``pstats``, keyed by the staged
+    dir) and refresh registrations (``dirstats``/``dirbloom``, from
+    ``meta`` commits), restricted to the checkpointed live dirs.
+    Newer registrations win (entries fold in id order)."""
+    stats: dict[str, dict] = {}
+    bloom: dict[str, dict] = {}
+    if cp:
+        stats.update(cp.get("dirstats", {}))
+        bloom.update(cp.get("dirbloom", {}))
+    for e in sorted(entries, key=lambda x: x["id"]):
+        if "stats" in e and "dir" in e:
+            stats[e["dir"]] = e["stats"]
+        if "bloom" in e and "dir" in e:
+            bloom[e["dir"]] = e["bloom"]
+        if "pstats" in e and "parts" in e:
+            for v, d in e["parts"].items():
+                if isinstance(d, str) and v in e["pstats"]:
+                    stats[d] = e["pstats"][v]
+        stats.update(e.get("dirstats", {}))
+        bloom.update(e.get("dirbloom", {}))
+    return ({d: s for d, s in stats.items() if d in live},
+            {d: b for d, b in bloom.items() if d in live})
+
+
 def tx_checkpoint(table: str) -> int:
     """Summarize the table's visible state at its latest commit into
     ``_txlog/checkpoints/<id>.json`` (what Delta writes every 10
@@ -399,10 +434,22 @@ def tx_checkpoint(table: str) -> int:
     cp = _latest_checkpoint(table, last)
     if any("parts" in e for e in entries) or (cp and "parts" in cp):
         parts = _replay_parts(cp, entries, table, as_of=last)
-        payload = json.dumps({"id": last, "parts": parts})
+        body: dict = {"id": last, "parts": parts}
+        live = {d for ds in parts.values() for d in ds}
     else:
         dirs = _replay(cp, entries, table, as_of=last)
-        payload = json.dumps({"id": last, "dirs": dirs})
+        body = {"id": last, "dirs": dirs}
+        live = set(dirs)
+    # Carry each live dir's stats/bloom registration into the
+    # checkpoint: without this, tx_truncate_log would silently strip
+    # the skipping metadata of every checkpointed commit and pruning
+    # would degrade to always-read after each maintenance pass.
+    dstats, dbloom = _live_dir_meta(cp, entries, live)
+    if dstats:
+        body["dirstats"] = dstats
+    if dbloom:
+        body["dirbloom"] = dbloom
+    payload = json.dumps(body)
     tmp = d / f".{uuid.uuid4().hex}.tmp"
     tmp.write_text(payload)
     try:
@@ -898,7 +945,8 @@ def tx_optimize_parts(spark: SparkSession, table: str, part_col: str,
 
 
 def _is_partitioned(table: str) -> bool:
-    es = _entries(table)
+    # meta commits (stats/bloom registrations) carry no layout signal
+    es = [e for e in _entries(table) if e.get("mode") != "meta"]
     if es:
         return "parts" in max(es, key=lambda e: e["id"])
     cp = _latest_checkpoint(table)
