@@ -234,7 +234,7 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
               alpha: float = 0.5, n_partitions: int | None = None,
               mode: str = "auto",
               max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
-              ) -> DataFrame:
+              vectorize: bool = True) -> DataFrame:
     """``(key_col, order_col, val_col, ewma)`` — one row per input row;
     ``(key_col, order_col)`` must be unique. ``alpha`` in (0, 1].
 
@@ -242,6 +242,13 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     driver carry is O(#keys)); "grouped" = per-key hash partition, no
     driver state (numerous keys); "auto" = probe approx key count and
     dispatch at ``max_carry_keys``. See the module docstring.
+
+    ``vectorize=False`` folds each segment with the exact scalar
+    recurrence instead of the chunked rescaled cumsum — bit-identical
+    to a sequential engine's fold within every block, which is what a
+    hash-exact cross-engine gate needs (the vectorized fold's few-ulp
+    reassociation can flip a floor-grid boundary row; tests pin it at
+    1e-9 instead).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -256,7 +263,7 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
             F.col("x").alias(val_col), F.col("x").alias("ewma"))
 
     dcache = (one_minus ** np.arange(1.0, _geom_chunk(one_minus) + 1.0)
-              if one_minus >= _VEC_MIN_DECAY else None)
+              if vectorize and one_minus >= _VEC_MIN_DECAY else None)
     mode = _resolve_mode(base, mode, max_carry_keys)
 
     if mode == "grouped":
@@ -448,10 +455,13 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
               alpha: float = 0.5, gamma: float = 0.5,
               n_partitions: int | None = None, mode: str = "auto",
               max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
-              ) -> DataFrame:
+              vectorize: bool = True) -> DataFrame:
     """``(key_col, order_col, val_col, level, trend)`` — one row per
-    input row; ``(key_col, order_col)`` must be unique. ``mode`` as in
-    :func:`ewma_scan` (module docstring documents the regimes)."""
+    input row; ``(key_col, order_col)`` must be unique. ``mode`` and
+    ``vectorize`` as in :func:`ewma_scan` (``vectorize=False`` runs
+    the exact scalar recurrence — the eigen channels' complex-rotation
+    round trips reassociate a few more ulps than EWMA's real-valued
+    cumsum, enough to flip a floor-grid gate row)."""
     if not 0.0 < alpha <= 1.0 or not 0.0 < gamma <= 1.0:
         raise ValueError(f"alpha/gamma must be in (0, 1], got "
                          f"{alpha}/{gamma}")
@@ -459,7 +469,7 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     parts = n_partitions or spark.sparkContext.defaultParallelism
     base = _base_frame(df, key_col, order_col, val_col)
     step = _holt_step_fn(alpha, gamma)
-    eig = _holt_setup(alpha, gamma)
+    eig = _holt_setup(alpha, gamma) if vectorize else None
     mode = _resolve_mode(base, mode, max_carry_keys)
 
     if mode == "grouped":

@@ -83,7 +83,12 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("_s"))
              .select("event_type", "day",
                      F.col("_s").cast("double").alias("daily_value")))
-    sm = ewma_scan(daily, "event_type", "day", "daily_value", alpha=0.5)
+    # vectorize=False for the same reason as events_daily_holt: the
+    # gate pins the distributed decomposition bit-exactly against the
+    # sequential CTE; the vectorized rescaled-cumsum fold carries its
+    # own 1e-9 differential + hypothesis coverage.
+    sm = ewma_scan(daily, "event_type", "day", "daily_value", alpha=0.5,
+                   vectorize=False)
     quant = (F.floor(F.col("ewma") * F.lit(10000.0) + F.lit(0.5))
              .cast("double") / F.lit(10000.0))
     return (sm.select("event_type", "day", "daily_value",
@@ -422,8 +427,15 @@ def events_daily_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("_s"))
              .select("event_type", "day",
                      F.col("_s").cast("double").alias("daily_value")))
+    # vectorize=False: the gate pins the DISTRIBUTED DECOMPOSITION
+    # (two-phase blocks + matrix carries ≡ the oracle's sequential
+    # recurrence) with the exact scalar fold — the vectorized eigen
+    # fold reassociates a few more ulps, enough to flip a floor-grid
+    # boundary row (one row at sf0.001 in round 8), and SQL cannot
+    # reproduce that reassociation; the vectorized path is pinned at
+    # 1e-9 by tests/test_timeseries.py + hypothesis instead.
     sm = holt_scan(daily, "event_type", "day", "daily_value",
-                   alpha=0.5, gamma=0.5)
+                   alpha=0.5, gamma=0.5, vectorize=False)
 
     def quant(c):
         return (F.floor(c * F.lit(10000.0) + F.lit(0.5)).cast("double")

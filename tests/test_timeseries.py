@@ -334,3 +334,30 @@ def test_holt_degenerate_falls_back_to_row_loop(spark):
             el, eb = ref[(r["k"], r["t"])]
             assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el)), (a, g)
             assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb)), (a, g)
+
+
+def test_vectorize_false_is_exact_and_close_to_vectorized(spark):
+    """vectorize=False folds the exact scalar recurrence — within a
+    single partition it is BIT-identical to the sequential reference
+    (what the floor-grid driver gates rely on); the vectorized fold
+    must stay within the 1e-9 envelope of it."""
+    rows = [(f"key{i % 3}", t, math.sin(0.3 * t + i) * 50 + 10 * t + 7)
+            for i in range(3) for t in range(200)]
+    df = _mkdf(spark, rows)
+    ref_e = _sequential(rows, alpha=0.5)
+    exact = ewma_scan(df, "k", "t", "x", alpha=0.5, n_partitions=1,
+                      vectorize=False).collect()
+    for r in exact:
+        assert r["ewma"] == ref_e[(r["k"], r["t"])], (r["k"], r["t"])
+    vec = {(r["k"], r["t"]): r["ewma"]
+           for r in ewma_scan(df, "k", "t", "x", alpha=0.5,
+                              n_partitions=6).collect()}
+    for key, e in ref_e.items():
+        assert abs(vec[key] - e) <= 1e-9 * max(1.0, abs(e))
+
+    ref_h = _holt_sequential(rows, 0.5, 0.5)
+    exact_h = holt_scan(df, "k", "t", "x", alpha=0.5, gamma=0.5,
+                        n_partitions=1, vectorize=False).collect()
+    for r in exact_h:
+        el, eb = ref_h[(r["k"], r["t"])]
+        assert r["level"] == el and r["trend"] == eb, (r["k"], r["t"])
