@@ -562,16 +562,28 @@ def tx_refresh_stats(spark: SparkSession, table: str,
     else:
         dirs = _visible_dirs(table, as_of=latest)
 
+    # Per-dir work fans out on a driver thread pool: footer harvesting
+    # is tiny pyarrow metadata I/O, and each missing bloom is one small
+    # Spark aggregate — Spark's scheduler runs concurrently-submitted
+    # jobs in parallel, so a maintenance window over a 1000-commit
+    # table issues ~8 inflight bloom jobs instead of 1000 sequential
+    # ones. Thread count stays modest: each job already parallelizes
+    # across executors; the pool only hides per-job submit latency.
+    from concurrent.futures import ThreadPoolExecutor
+
     dirstats: dict[str, dict] = {}
     if stats_cols:
-        for d in dirs:
-            s = _footer_stats(Path(table) / d, list(stats_cols))
-            if s:
-                dirstats[d] = s
+        def harvest(d: str):
+            return d, _footer_stats(Path(table) / d, list(stats_cols))
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for d, s in pool.map(harvest, dirs):
+                if s:
+                    dirstats[d] = s
 
     dirbloom: dict[str, dict] = {}
     if bloom_cols:
-        for d in dirs:
+        def build(d: str):
             dpath = Path(table) / d
             per_col: dict[str, dict] = {}
             for c in bloom_cols:
@@ -590,8 +602,12 @@ def tx_refresh_stats(spark: SparkSession, table: str,
                              for f in dpath.rglob("*.parquet"))
                 per_col[c] = _build_bloom_sidecar(spark, dpath, c,
                                                   n_rows, fpp)
-            if per_col:
-                dirbloom[d] = per_col
+            return d, per_col
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            for d, per_col in pool.map(build, dirs):
+                if per_col:
+                    dirbloom[d] = per_col
 
     if not dirstats and not dirbloom:
         return latest

@@ -117,28 +117,31 @@ def _seq_scans(rows, alpha):
 
 @given(rows=_series,
        parts=st.sampled_from([1, 3, 17]),
-       alpha=st.sampled_from([0.25, 0.5, 1.0]))
+       alpha=st.sampled_from([0.25, 0.5, 1.0]),
+       mode=st.sampled_from(["ranged", "grouped"]))
 @settings(**_SETTINGS)
-def test_scan_family_matches_sequential(spark, rows, parts, alpha):
+def test_scan_family_matches_sequential(spark, rows, parts, alpha, mode):
     rows = [(f"k{k}", t, x) for k, t, x in rows]
     df = spark.createDataFrame(rows, "k string, t int, x double")
     ew_ref, cs_ref = _seq_scans(rows, alpha)
 
     for r in ewma_scan(df, "k", "t", "x", alpha=alpha,
-                       n_partitions=parts).collect():
+                       n_partitions=parts, mode=mode).collect():
         e = ew_ref[(r["k"], r["t"])]
         assert abs(r["ewma"] - e) <= 1e-9 * max(1.0, abs(e))
 
-    for r in cumsum_scan(df, "k", "t", "x", n_partitions=parts).collect():
+    for r in cumsum_scan(df, "k", "t", "x", n_partitions=parts,
+                         mode=mode).collect():
         es, emn, emx = cs_ref[(r["k"], r["t"])]
         assert abs(r["run_sum"] - es) <= 1e-9 * max(1.0, abs(es))
         assert abs(r["run_min"] - emn) <= 1e-9 * max(1.0, abs(emn))
         assert abs(r["run_max"] - emx) <= 1e-9 * max(1.0, abs(emx))
 
 
-@given(rows=_series, parts=st.sampled_from([1, 5, 23]))
+@given(rows=_series, parts=st.sampled_from([1, 5, 23]),
+       mode=st.sampled_from(["ranged", "grouped"]))
 @settings(**_SETTINGS)
-def test_holt_matches_sequential_property(spark, rows, parts):
+def test_holt_matches_sequential_property(spark, rows, parts, mode):
     rows = [(f"k{k}", t, x) for k, t, x in rows]
     df = spark.createDataFrame(rows, "k string, t int, x double")
     # driver-side sequential Holt (alpha=gamma=0.5, l1=x1, b1=0)
@@ -151,7 +154,8 @@ def test_holt_matches_sequential_property(spark, rows, parts):
             l_new = 0.5 * (lev + trd) + 0.5 * x
             state[k] = (l_new, 0.5 * (l_new - lev) + 0.5 * trd)
         ref[(k, t)] = state[k]
-    for r in holt_scan(df, "k", "t", "x", n_partitions=parts).collect():
+    for r in holt_scan(df, "k", "t", "x", n_partitions=parts,
+                       mode=mode).collect():
         el, eb = ref[(r["k"], r["t"])]
         assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el))
         assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb))
