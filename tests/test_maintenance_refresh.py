@@ -203,3 +203,46 @@ def test_meta_commit_is_replay_neutral(spark, tmp_path):
     empty = str(tmp_path / "t2")
     tx_write(df1, empty, mode="overwrite")
     assert tx_refresh_stats(spark, empty) == 1
+
+
+def test_refresh_registrations_survive_restore_and_vacuum(spark, tmp_path):
+    """Data dirs are immutable, so a dir's stats/bloom registration
+    stays valid through RESTORE (old dirs coming back are still the
+    bytes the registration described) and through vacuum (reclaimed
+    dirs simply never appear in a replay, so their stale registrations
+    are never consulted)."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_restore, tx_vacuum,
+    )
+
+    t = str(tmp_path / "t")
+    for base in (0, 1000):
+        df = spark.range(base, base + 50).select(F.col("id").alias("k"))
+        tx_write(df, t, mode="append")                    # commits 1, 2
+    tx_refresh_stats(spark, t, stats_cols=["k"], bloom_cols=["k"])  # 3
+    df3 = spark.range(2000, 2050).select(F.col("id").alias("k"))
+    tx_write(df3, t, mode="overwrite")                    # commit 4
+    tx_restore(t, to_version=3)                           # commit 5: back
+
+    # restored dirs prune exactly as they did pre-overwrite
+    seen: list[str] = []
+    real_parquet = type(spark.read).parquet
+
+    def spy(reader, *paths):
+        seen.extend(paths)
+        return real_parquet(reader, *paths)
+
+    with pytest.MonkeyPatch.context() as mp:
+        mp.setattr(type(spark.read), "parquet", spy)
+        got = _collect(tx_read_pruned(spark, t, "k", lo=1000, hi=1049))
+        n_range = len(seen)
+        hit = _collect(tx_read_point(spark, t, "k", 7))
+    assert got == [(k,) for k in range(1000, 1050)]
+    assert n_range == 1                       # stats pruned 1 of 2 dirs
+    assert hit == [(7,)]
+    assert len(seen) - n_range == 1           # bloom pruned 1 of 2 dirs
+
+    # vacuum with zero retention: the overwritten commit-4 dir is still
+    # log-referenced (never reclaimed), snapshot unchanged
+    tx_vacuum(t, retention_sec=0.0)
+    assert tx_read(spark, t).count() == 100
