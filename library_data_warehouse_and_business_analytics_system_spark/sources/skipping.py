@@ -28,13 +28,15 @@ granularity. The log entry records only {m, k}; the bitset lives in
 the sidecar, so log entries stay O(1) bytes.
 
 Honesty notes:
-- Stats survive in the LOG ENTRIES; a checkpoint summarizes dirs
-  only, so after ``tx_truncate_log`` pruning degrades to reading all
-  checkpointed dirs (still CORRECT — dirs without known stats are
-  never skipped). Re-appending through maintenance restores stats.
-  Bloom sidecars live WITH the data dirs, so they survive
-  checkpoints; a deleted/corrupt sidecar likewise degrades to
-  reading that dir.
+- Stats are recorded in the LOG ENTRIES at write time; since round 8
+  ``tx_checkpoint`` folds every live dir's stats/bloom registration
+  into its payload, so ``tx_truncate_log`` no longer strips them, and
+  ``tx_refresh_stats`` (one replay-neutral ``meta`` commit)
+  re-harvests stats / rebuilds bloom sidecars for dirs produced by
+  OPTIMIZE or compaction. Dirs that still have no registration
+  anywhere are simply always read (never wrongly skipped). Bloom
+  BITSETS live WITH the data dirs (the entry carries only {m, k});
+  a deleted/corrupt sidecar likewise degrades to reading that dir.
 - Only int/float/str/date/timestamp columns carry stats (what
   parquet footers expose losslessly); others are ignored. Bloom
   columns are restricted to int/string keys (types whose Spark
