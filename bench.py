@@ -268,13 +268,57 @@ def main() -> None:
         except Exception:
             errors.setdefault(spec.name,
                               traceback.format_exc(limit=2)[-400:])
+    # Median-of-3 for the WHOLE breadth tail, budget-opportunistic
+    # (VERDICT r8 item 8: single-sample tail numbers like
+    # order_price_bands' 8.86-vs-0.89s swing polluted cross-round
+    # diffs). Pass 1 is the old behavior and always completes within
+    # budget (skips recorded as before); passes 2-3 run only while
+    # budget remains — under the driver's default 840 s at sf0.1
+    # that's usually partial, so round-close runs raise
+    # SPARK_GRAFT_BENCH_BUDGET_SEC (1800) to land all three passes
+    # and the committed canonical artifact carries true medians. The
+    # estimate is the LOWER median of collected samples (for 2
+    # samples: the min — timing noise is one-sided, contention only
+    # ever adds).
+    # Historically-noisy pinned queries first (their 3 runs are
+    # mandatory signal — they must not lose the budget race to the
+    # tail's opportunistic passes 2-3).
     for spec in specs:
-        if spec.bench:
+        if spec.bench or spec.name not in PIN_MEDIAN:
             continue
         if time.perf_counter() - t_begin > budget:
             skipped.append(spec.name)
             continue
         time_spec(spec)
+    tail_samples: dict[str, list[float]] = {}
+    for pass_i in range(3):
+        out_of_budget = False
+        for spec in specs:
+            if spec.bench or spec.name in PIN_MEDIAN:
+                continue  # already timed median-of-3 by time_spec
+            if time.perf_counter() - t_begin > budget:
+                out_of_budget = True
+                if pass_i == 0 and spec.name not in tail_samples:
+                    skipped.append(spec.name)
+                continue
+            start = time.perf_counter()
+            try:
+                spec.fn(spark, sf_dir).collect()
+            except Exception:
+                errors.setdefault(spec.name,
+                                  traceback.format_exc(limit=2)[-400:])
+                continue
+            tail_samples.setdefault(spec.name, []).append(
+                time.perf_counter() - start)
+        if out_of_budget:
+            break
+    for name, samples in tail_samples.items():
+        samples.sort()
+        timings[name] = round(samples[(len(samples) - 1) // 2], 4)
+        if len(samples) > 1:
+            stats[name] = [round(samples[0], 4),
+                           round(samples[(len(samples) - 1) // 2], 4),
+                           round(samples[-1], 4)]
 
     # Host stamp (VERDICT r6 item 8): round-6's committed numbers were
     # contention artifacts of a busy driver host; recording load lets

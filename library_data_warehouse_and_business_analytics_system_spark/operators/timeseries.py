@@ -24,11 +24,18 @@ All three scans therefore dispatch: ``mode="auto"`` (default) probes
 ``approx_count_distinct(key)`` (one cheap agg pass) and picks
 "grouped" above ``max_carry_keys`` (default 100k), "ranged" below.
 Callers that know their regime pass ``mode="ranged"`` or
-``mode="grouped"`` explicitly and skip the probe. The one shape
-neither mode loves — billions of keys AND one billion-point key —
-wants a pre-split of the hot keys (salt the hot key through "ranged",
-union with the "grouped" rest); the dispatch intentionally does not
-guess that.
+``mode="grouped"`` explicitly and skip the probe.
+
+The one shape neither base mode loves — numerous keys AND a few
+oversized keys whose series would blow a single grouped partition —
+has an explicit escape hatch: ``mode="split"`` pays one exact
+per-key count pass, routes keys above ``split_threshold`` rows
+through the ranged carry machinery (range-split across partitions,
+driver state O(#hot keys x #partitions) — bounded because a key only
+qualifies by being huge, so there can only be a handful), and the
+long tail through grouped, then unions. Auto deliberately does NOT
+guess this: the count pass is a real extra shuffle, so the caller
+opts in.
 
 Numerics: both modes stay inside the same few-ulp reassociation
 envelope (tests pin 1e-9 against the sequential fold; driver gates
@@ -123,6 +130,10 @@ _SCALE_LIMIT = 30.0           # ln(max in-chunk rescale ratio)
 _VEC_MIN_DECAY = 1e-250       # below this, rescaling over/underflows
 _MAX_CHUNK = 32768
 _DEFAULT_MAX_CARRY_KEYS = 100_000
+# mode="split": a key above this many rows no longer belongs on one
+# grouped partition (~16 MB of (key, ts, double) rows) and is routed
+# through the ranged carry machinery instead.
+_DEFAULT_SPLIT_THRESHOLD = 2_000_000
 
 
 def _segments(pdf: pd.DataFrame):
@@ -155,9 +166,24 @@ def _grouped_layout(base: DataFrame, parts: int) -> DataFrame:
             .withColumn("_pid", F.spark_partition_id()))
 
 
+def _split_oversized(df: DataFrame, key_col: str, threshold: int,
+                     ) -> tuple[DataFrame, DataFrame]:
+    """(hot, rest) for mode="split": keys with more than ``threshold``
+    rows vs the tail. One exact count pass (partial-aggregated, so the
+    shuffle is #keys not #rows); the hot key set is broadcast for the
+    semi/anti routing — bounded by construction, a key qualifies only
+    by holding >threshold rows so at N total rows there are at most
+    N/threshold of them."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.filter(F.col("_n") > threshold).select(key_col)
+    return (df.join(F.broadcast(hot), key_col, "left_semi"),
+            df.join(F.broadcast(hot), key_col, "left_anti"))
+
+
 def _resolve_mode(base: DataFrame, mode: str, max_carry_keys: int) -> str:
     if mode not in ("auto", "ranged", "grouped"):
-        raise ValueError(f"mode must be auto|ranged|grouped, got {mode!r}")
+        raise ValueError(
+            f"mode must be auto|ranged|grouped|split, got {mode!r}")
     if mode != "auto":
         return mode
     nkeys = base.agg(
@@ -234,24 +260,37 @@ def ewma_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
               alpha: float = 0.5, n_partitions: int | None = None,
               mode: str = "auto",
               max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
-              vectorize: bool = True) -> DataFrame:
+              vectorize: bool = True,
+              split_threshold: int = _DEFAULT_SPLIT_THRESHOLD) -> DataFrame:
     """``(key_col, order_col, val_col, ewma)`` — one row per input row;
     ``(key_col, order_col)`` must be unique. ``alpha`` in (0, 1].
 
     ``mode``: "ranged" = two-phase range scan (few keys x long series;
     driver carry is O(#keys)); "grouped" = per-key hash partition, no
     driver state (numerous keys); "auto" = probe approx key count and
-    dispatch at ``max_carry_keys``. See the module docstring.
+    dispatch at ``max_carry_keys``; "split" = exact-count keys once,
+    ranged for keys above ``split_threshold`` rows, grouped for the
+    tail (the numerous-keys-AND-oversized-key shape neither base mode
+    handles alone). See the module docstring.
 
     ``vectorize=False`` folds each segment with the exact scalar
     recurrence instead of the chunked rescaled cumsum — bit-identical
     to a sequential engine's fold within every block, which is what a
     hash-exact cross-engine gate needs (the vectorized fold's few-ulp
     reassociation can flip a floor-grid boundary row; tests pin it at
-    1e-9 instead).
+    1e-9 instead — except on dyadic-exact inputs, where the
+    events_daily_ewma_vec gate pins the vectorized fold bit-exactly).
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if mode == "split":
+        hot, rest = _split_oversized(df, key_col, split_threshold)
+        kw = dict(alpha=alpha, n_partitions=n_partitions,
+                  max_carry_keys=max_carry_keys, vectorize=vectorize)
+        return (ewma_scan(hot, key_col, order_col, val_col,
+                          mode="ranged", **kw)
+                .unionByName(ewma_scan(rest, key_col, order_col, val_col,
+                                       mode="grouped", **kw)))
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     base = _base_frame(df, key_col, order_col, val_col)
@@ -455,7 +494,8 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
               alpha: float = 0.5, gamma: float = 0.5,
               n_partitions: int | None = None, mode: str = "auto",
               max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
-              vectorize: bool = True) -> DataFrame:
+              vectorize: bool = True,
+              split_threshold: int = _DEFAULT_SPLIT_THRESHOLD) -> DataFrame:
     """``(key_col, order_col, val_col, level, trend)`` — one row per
     input row; ``(key_col, order_col)`` must be unique. ``mode`` and
     ``vectorize`` as in :func:`ewma_scan` (``vectorize=False`` runs
@@ -465,6 +505,14 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     if not 0.0 < alpha <= 1.0 or not 0.0 < gamma <= 1.0:
         raise ValueError(f"alpha/gamma must be in (0, 1], got "
                          f"{alpha}/{gamma}")
+    if mode == "split":
+        hot, rest = _split_oversized(df, key_col, split_threshold)
+        kw = dict(alpha=alpha, gamma=gamma, n_partitions=n_partitions,
+                  max_carry_keys=max_carry_keys, vectorize=vectorize)
+        return (holt_scan(hot, key_col, order_col, val_col,
+                          mode="ranged", **kw)
+                .unionByName(holt_scan(rest, key_col, order_col, val_col,
+                                       mode="grouped", **kw)))
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     base = _base_frame(df, key_col, order_col, val_col)
@@ -645,6 +693,7 @@ def holt_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
 def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
                 n_partitions: int | None = None, mode: str = "auto",
                 max_carry_keys: int = _DEFAULT_MAX_CARRY_KEYS,
+                split_threshold: int = _DEFAULT_SPLIT_THRESHOLD,
                 ) -> DataFrame:
     """``(key_col, order_col, val_col, run_sum, run_min, run_max)`` —
     prefix sum and prefix extrema OF THE PREFIX SUMS per key;
@@ -655,6 +704,13 @@ def cumsum_scan(df: DataFrame, key_col: str, order_col: str, val_col: str,
     so only float reassociation (a few ulps) separates this from the
     sequential fold; gates snap to a grid as with ewma_scan. ``mode``
     as in :func:`ewma_scan`."""
+    if mode == "split":
+        hot, rest = _split_oversized(df, key_col, split_threshold)
+        kw = dict(n_partitions=n_partitions, max_carry_keys=max_carry_keys)
+        return (cumsum_scan(hot, key_col, order_col, val_col,
+                            mode="ranged", **kw)
+                .unionByName(cumsum_scan(rest, key_col, order_col, val_col,
+                                         mode="grouped", **kw)))
     spark = df.sparkSession
     parts = n_partitions or spark.sparkContext.defaultParallelism
     base = _base_frame(df, key_col, order_col, val_col)

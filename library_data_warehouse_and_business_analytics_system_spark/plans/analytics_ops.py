@@ -97,6 +97,78 @@ def events_daily_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The PRODUCTION ewma codepath (vectorize=True, the default) under a
+# hash-exact gate. events_daily_ewma must pin the scalar fold because
+# its decimal-valued series makes the chunked-cumsum reassociation
+# visible at the last ulp; THIS gate constructs inputs on which the
+# vectorized fold is provably EXACT, so the default codepath faces the
+# driver's bit-exact hash too (r8 verdict item 5).
+
+
+@register(
+    "events_daily_ewma_vec",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT event_type, day, x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT event_type, day, rn, x, x AS s FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.event_type, i.day, i.rn, i.x,
+             CAST(0.5 AS DOUBLE) * r.s + CAST(0.5 AS DOUBLE) * i.x
+      FROM idx i JOIN rec r
+        ON i.event_type = r.event_type AND i.rn = r.rn + 1
+    )
+    SELECT event_type, day, CAST(x AS BIGINT) AS daily_events, s AS ewma
+    FROM rec
+    ORDER BY event_type, day
+    """,
+    operators=("A1", "W1"),
+)
+def events_daily_ewma_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: the daily EVENT COUNT series smoothed by
+    `ewma_scan` with its production defaults — ``vectorize=True``
+    (chunked rescaled-cumsum fold) and ``mode="auto"`` (5 keys →
+    ranged two-phase scan, so the multiplicative carry chain is live).
+
+    Why this can be hash-exact with NO output quantization, where the
+    decimal-valued `events_daily_ewma` cannot: every intermediate on
+    both engines is an exactly-representable dyadic rational.
+
+    - inputs are integer daily counts < 2^10 (max observed 739 at
+      sf0.1), and the series is ≤ 31 points per key (the events table
+      spans one month at every SF) — one fold chunk (cap 43 at α=.5);
+    - α = 1/2, so every decay power, rescale 2^i, and halving is an
+      exact power-of-two scale (error-free in IEEE754);
+    - the fold's in-chunk terms x_i·2^(i-1) are exact integers
+      ≤ 2^40, so every partial sum — np.cumsum's sequential order,
+      np.dot's pairwise order, AND the oracle CTE's step order —
+      is an exact integer ≤ 2^45: summation order cannot matter;
+    - states are dyadic rationals with denominator ≤ 2^30 and
+      numerator ≤ 2^45 (< 2^53): s0 + α·Σ, the block carries
+      carry·2^-n + fold, and the scalar recurrence all round to
+      themselves.
+
+    Hence vectorized fold ≡ scalar recurrence ≡ the oracle's
+    sequential recursive CTE, bit for bit, and the gate certifies the
+    code users actually run (the 1e-9 envelope on general floats
+    stays pinned by tests/test_timeseries.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("daily_events")))
+    sm = ewma_scan(daily, "event_type", "day", "daily_events", alpha=0.5)
+    return (sm.select("event_type", "day",
+                      F.col("daily_events").cast("long")
+                      .alias("daily_events"), "ewma")
+            .orderBy("event_type", "day"))
+
+
+# ---------------------------------------------------------------------------
 # First-order Markov transition matrix over per-user event sequences.
 
 

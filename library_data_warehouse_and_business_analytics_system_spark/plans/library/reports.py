@@ -24,6 +24,21 @@ def _csv_upper_list(csv: str) -> list[str]:
     return [s.strip().upper() for s in csv.split(",") if s.strip()]
 
 
+def _dec_sum(col: str):
+    """SQL*Plus COMPUTE sums the DISPLAYED rows. The displayed money
+    columns are doubles that originated as DECIMAL(18,4) (fixture
+    magnitudes ~1e7 with 4dp = ≤12 significant digits, well inside a
+    double's 15), so re-casting to decimal recovers the exact printed
+    value and the subtotal is an exact, order-independent decimal sum
+    on both engines — no float-summation-order hazard in the gate."""
+    return (F.sum(F.col(col).cast("decimal(18,4)"))
+            .cast("double").alias(col))
+
+
+def _qnum_of(quarter_col: str):
+    return F.substring(quarter_col, 2, 1).cast("int")
+
+
 # ---------------------------------------------------------------------------
 # Query 1 — Quarterly Analysis of Highest-Performing Sales Genres
 # (LQY_query1.txt:39-111)
@@ -294,3 +309,115 @@ def query3(dw: dict[str, DataFrame], year_from: int, year_to: int,
         .orderBy("year", "qnum", "state")
         .drop("qnum")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL*Plus COMPUTE subtotal variants (r8 verdict item 6). The
+# reference reports print per-break subtotal lines via the SQL*Plus
+# presentation layer:
+#   LQY_query1.txt:36-37  BREAK ON year;
+#                         COMPUTE SUM OF q1..q4_amt tot_qty tot_amt ON year
+#   LQY_query2.txt:53-54  BREAK ON year, quarter;
+#                         COMPUTE SUM OF spend qty_pur po_cnt_qtr ON year quarter
+#   LQY_query3.txt:59-60  BREAK ON year, quarter;
+#                         COMPUTE SUM OF total_revenue total_cost total_gm
+#                                 ON quarter year
+# These variants emit the same report WITH those rows: detail rows
+# tagged row_kind='detail', one 'total' row per year (q1) / one
+# 'qtr_total' per (year, quarter) plus one 'year_total' per year
+# (q2, q3), non-summed columns NULL exactly as SQL*Plus leaves them
+# blank. The two-level variants are ONE `.rollup` pass over the
+# (tiny, already top-N-clipped) report output — grouping-sets
+# semantics (A9), not two scans.
+
+
+def query1_subtotals(dw: dict[str, DataFrame], year_from: int, year_to: int,
+                     limit: int = 5, gender: str = "ALL") -> DataFrame:
+    detail = query1(dw, year_from, year_to, limit, gender)
+    nd = F.lit(None).cast("double")
+    totals = (
+        detail.groupBy("year")
+        .agg(_dec_sum("q1_amt"), _dec_sum("q2_amt"), _dec_sum("q3_amt"),
+             _dec_sum("q4_amt"),
+             F.sum("tot_qty").cast("long").alias("tot_qty"),
+             _dec_sum("tot_amt"))
+        .select("year", F.lit(None).cast("string").alias("genre"),
+                "q1_amt", "q2_amt", "q3_amt", "q4_amt",
+                nd.alias("pct_q1_q2"), nd.alias("pct_q2_q3"),
+                nd.alias("pct_q3_q4"), "tot_qty",
+                nd.alias("qty_diff_pct"), "tot_amt",
+                nd.alias("amt_diff_pct"))
+    )
+    return (
+        detail.withColumn("row_kind", F.lit("detail"))
+        .unionByName(totals.withColumn("row_kind", F.lit("total")))
+        # 'detail' < 'total' sorts the year's detail block first
+        .orderBy("year", "row_kind", F.col("tot_amt").desc(), "genre")
+    )
+
+
+def query2_subtotals(dw: dict[str, DataFrame], year_from: int, year_to: int,
+                     topn: int = 11, suppliers_csv: str = "%") -> DataFrame:
+    detail = query2(dw, year_from, year_to, topn, suppliers_csv)
+    nd = F.lit(None).cast("double")
+    gid = F.grouping_id()
+    totals = (
+        detail.withColumn("qnum", _qnum_of("quarter"))
+        .rollup("year", "qnum")
+        .agg(F.sum(F.col("spend").cast("decimal(18,4)")).alias("_spend"),
+             F.sum("po_cnt_qtr").alias("_po"),
+             F.sum("qty_pur").alias("_qty"),
+             gid.alias("_gid"))
+        .filter(F.col("_gid").isin(0, 1))  # (year,qnum) + (year); no grand
+        .select(
+            "year",
+            F.when(F.col("_gid") == 0,
+                   F.concat(F.lit("Q"), F.col("qnum"))).alias("quarter"),
+            F.lit(None).cast("string").alias("genre"),
+            F.col("_spend").cast("double").alias("spend"),
+            nd.alias("pct_qoq"),
+            F.col("_po").cast("long").alias("po_cnt_qtr"),
+            nd.alias("aov"),
+            F.col("_qty").cast("long").alias("qty_pur"),
+            F.when(F.col("_gid") == 0, F.lit("qtr_total"))
+            .otherwise(F.lit("year_total")).alias("row_kind"))
+    )
+    out = detail.withColumn("row_kind", F.lit("detail")).unionByName(totals)
+    # detail < qtr_total < year_total alphabetically; year totals sort
+    # after Q4 via the NULL-quarter → 9 key.
+    return out.orderBy(
+        "year", F.coalesce(_qnum_of("quarter"), F.lit(9)), "row_kind",
+        F.col("spend").desc(), "genre")
+
+
+def query3_subtotals(dw: dict[str, DataFrame], year_from: int, year_to: int,
+                     states_csv: str = "%",
+                     target_gm_pct: float = 15.0) -> DataFrame:
+    detail = query3(dw, year_from, year_to, states_csv, target_gm_pct)
+    nd = F.lit(None).cast("double")
+    gid = F.grouping_id()
+    totals = (
+        detail.withColumn("qnum", _qnum_of("quarter"))
+        .rollup("year", "qnum")
+        .agg(F.sum(F.col("total_revenue").cast("decimal(18,4)")).alias("_r"),
+             F.sum(F.col("total_cost").cast("decimal(18,4)")).alias("_c"),
+             F.sum(F.col("total_gm").cast("decimal(18,4)")).alias("_g"),
+             gid.alias("_gid"))
+        .filter(F.col("_gid").isin(0, 1))
+        .select(
+            "year",
+            F.when(F.col("_gid") == 0,
+                   F.concat(F.lit("Q"), F.col("qnum"))).alias("quarter"),
+            F.lit(None).cast("string").alias("state"),
+            F.col("_r").cast("double").alias("total_revenue"),
+            F.col("_c").cast("double").alias("total_cost"),
+            F.col("_g").cast("double").alias("total_gm"),
+            nd.alias("total_gm_pct"), nd.alias("gm_pct_qoq"),
+            F.lit(None).cast("string").alias("signal"),
+            F.when(F.col("_gid") == 0, F.lit("qtr_total"))
+            .otherwise(F.lit("year_total")).alias("row_kind"))
+    )
+    out = detail.withColumn("row_kind", F.lit("detail")).unionByName(totals)
+    return out.orderBy(
+        "year", F.coalesce(_qnum_of("quarter"), F.lit(9)), "row_kind",
+        "state")

@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from .library import query1, query2, query3
+from .library import (query1, query1_subtotals, query2, query2_subtotals,
+                      query3, query3_subtotals)
 from .registry import register
 
 FIXTURE_DIR = (pathlib.Path(__file__).resolve().parents[2]
@@ -712,3 +713,155 @@ def borrowing_not_exists_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("returnRate").cast("double").alias("returnRate"))
         .orderBy("dateKey", "memberKey", "bookKey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL*Plus COMPUTE subtotal variants (r8 verdict item 6): the
+# reference reports PRINT per-break subtotal lines via the SQL*Plus
+# presentation layer (LQY_query1.txt:36-37, LQY_query2.txt:53-54,
+# LQY_query3.txt:59-60) which the plain gates above don't emit. These
+# three gates run plans/library/reports.py::query{1,2,3}_subtotals —
+# detail rows + the COMPUTE SUM rows (one rollup pass, grouping-sets
+# semantics) — against DuckDB GROUPING SETS oracles over the same
+# independently-translated detail SQL. Subtotals are decimal-exact
+# sums of the displayed values on both sides, so the compare stays
+# the driver's usual bit-exact hash.
+
+
+Q1_SUBTOTALS_TAIL = """
+, totals AS (
+  SELECT year, CAST(NULL AS VARCHAR) AS genre,
+         CAST(SUM(CAST(q1_amt AS DECIMAL(18,4))) AS DOUBLE) AS q1_amt,
+         CAST(SUM(CAST(q2_amt AS DECIMAL(18,4))) AS DOUBLE) AS q2_amt,
+         CAST(SUM(CAST(q3_amt AS DECIMAL(18,4))) AS DOUBLE) AS q3_amt,
+         CAST(SUM(CAST(q4_amt AS DECIMAL(18,4))) AS DOUBLE) AS q4_amt,
+         CAST(NULL AS DOUBLE) AS pct_q1_q2,
+         CAST(NULL AS DOUBLE) AS pct_q2_q3,
+         CAST(NULL AS DOUBLE) AS pct_q3_q4,
+         CAST(SUM(tot_qty) AS BIGINT) AS tot_qty,
+         CAST(NULL AS DOUBLE) AS qty_diff_pct,
+         CAST(SUM(CAST(tot_amt AS DECIMAL(18,4))) AS DOUBLE) AS tot_amt,
+         CAST(NULL AS DOUBLE) AS amt_diff_pct
+  FROM detail GROUP BY year
+)
+, uni AS (
+  SELECT *, 'detail' AS row_kind FROM detail
+  UNION ALL
+  SELECT *, 'total' AS row_kind FROM totals
+)
+SELECT * FROM uni ORDER BY year, row_kind, tot_amt DESC, genre
+"""
+
+
+@register(
+    "lqy_query1_subtotals",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + "detail AS (\n"
+    + Q1_SQL.format(yf=2018, yt=2022, g="ALL", lim=5)
+    + "\n)" + Q1_SUBTOTALS_TAIL,
+    operators=("EP1", "A9", "A2", "W2"),
+    bench=False,
+)
+def lqy_query1_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query1.txt:36-37 — BREAK ON year / COMPUTE SUM OF
+    q1..q4_amt tot_qty tot_amt ON year: the report WITH its per-year
+    subtotal rows, as a user of the original SQL*Plus output sees it."""
+    return query1_subtotals(load_warehouse(spark), 2018, 2022, limit=5,
+                            gender="ALL")
+
+
+Q2_SUBTOTALS_TAIL = """
+, det AS (
+  SELECT *, CAST(SUBSTRING(quarter, 2, 1) AS INT) AS qnum FROM detail
+), totals AS (
+  SELECT year,
+         CASE WHEN GROUPING(qnum) = 0 THEN 'Q' || qnum END AS quarter,
+         CAST(NULL AS VARCHAR) AS genre,
+         CAST(SUM(CAST(spend AS DECIMAL(18,4))) AS DOUBLE) AS spend,
+         CAST(NULL AS DOUBLE) AS pct_qoq,
+         CAST(SUM(po_cnt_qtr) AS BIGINT) AS po_cnt_qtr,
+         CAST(NULL AS DOUBLE) AS aov,
+         CAST(SUM(qty_pur) AS BIGINT) AS qty_pur,
+         CASE WHEN GROUPING(qnum) = 0 THEN 'qtr_total'
+              ELSE 'year_total' END AS row_kind
+  FROM det GROUP BY GROUPING SETS ((year, qnum), (year))
+)
+, uni AS (
+  SELECT year, quarter, genre, spend, pct_qoq, po_cnt_qtr, aov, qty_pur,
+         'detail' AS row_kind
+  FROM detail
+  UNION ALL
+  SELECT * FROM totals
+)
+SELECT * FROM uni
+ORDER BY year, COALESCE(CAST(SUBSTRING(quarter, 2, 1) AS INT), 9),
+         row_kind, spend DESC, genre
+"""
+
+
+@register(
+    "lqy_query2_subtotals",
+    "WITH " + _fixture_ctes("fact_purchase", "dim_date", "dim_book",
+                            "dim_suppliers") + ",\n"
+    + "detail AS (\n"
+    + Q2_SQL.format(yf=2017, yt=2020, topn=5, sup="1=1")
+    + "\n)" + Q2_SUBTOTALS_TAIL,
+    operators=("EP1", "A9", "A5", "O4"),
+    bench=False,
+)
+def lqy_query2_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query2.txt:53-54 — BREAK ON year, quarter / COMPUTE SUM OF
+    spend qty_pur po_cnt_qtr ON year quarter: per-quarter AND per-year
+    subtotal rows via one rollup pass (grouping-sets oracle)."""
+    return query2_subtotals(load_warehouse(spark), 2017, 2020, topn=5)
+
+
+Q3_SUBTOTALS_TAIL = """
+, det AS (
+  SELECT *, CAST(SUBSTRING(quarter, 2, 1) AS INT) AS qnum FROM detail
+), totals AS (
+  SELECT year,
+         CASE WHEN GROUPING(qnum) = 0 THEN 'Q' || qnum END AS quarter,
+         CAST(NULL AS VARCHAR) AS state,
+         CAST(SUM(CAST(total_revenue AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_revenue,
+         CAST(SUM(CAST(total_cost AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_cost,
+         CAST(SUM(CAST(total_gm AS DECIMAL(18,4))) AS DOUBLE) AS total_gm,
+         CAST(NULL AS DOUBLE) AS total_gm_pct,
+         CAST(NULL AS DOUBLE) AS gm_pct_qoq,
+         CAST(NULL AS VARCHAR) AS signal,
+         CASE WHEN GROUPING(qnum) = 0 THEN 'qtr_total'
+              ELSE 'year_total' END AS row_kind
+  FROM det GROUP BY GROUPING SETS ((year, qnum), (year))
+)
+, uni AS (
+  SELECT year, quarter, state, total_revenue, total_cost, total_gm,
+         total_gm_pct, gm_pct_qoq, signal, 'detail' AS row_kind
+  FROM detail
+  UNION ALL
+  SELECT * FROM totals
+)
+SELECT * FROM uni
+ORDER BY year, COALESCE(CAST(SUBSTRING(quarter, 2, 1) AS INT), 9),
+         row_kind, state
+"""
+
+
+@register(
+    "lqy_query3_subtotals",
+    "WITH " + _fixture_ctes("fact_sales", "dim_date", "dim_book",
+                            "dim_members") + ",\n"
+    + "detail AS (\n"
+    + Q3_SQL.format(yf=2016, yt=2020, cov=15, sp="1=1")
+    + "\n)" + Q3_SUBTOTALS_TAIL,
+    operators=("EP1", "A9", "A1", "W1"),
+    bench=False,
+)
+def lqy_query3_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LQY_query3.txt:59-60 — BREAK ON year, quarter / COMPUTE SUM OF
+    total_revenue total_cost total_gm ON quarter year: the GM report
+    with its per-quarter and per-year subtotal rows."""
+    return query3_subtotals(load_warehouse(spark), 2016, 2020,
+                            states_csv="%", target_gm_pct=15.0)

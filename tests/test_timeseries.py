@@ -361,3 +361,97 @@ def test_vectorize_false_is_exact_and_close_to_vectorized(spark):
     for r in exact_h:
         el, eb = ref_h[(r["k"], r["t"])]
         assert r["level"] == el and r["trend"] == eb, (r["k"], r["t"])
+
+
+# --- mode="split": the oversized-key escape hatch (r8 verdict #7) ---
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.timeseries import (  # noqa: E402
+    _DEFAULT_SPLIT_THRESHOLD,
+    _ranged_layout,
+    _split_oversized,
+)
+
+
+def test_split_oversized_partitions_keys(spark):
+    rows = ([("hot", t, 1.0) for t in range(500)]
+            + [(f"k{i}", t, 1.0) for i in range(50) for t in range(4)])
+    hot, rest = _split_oversized(_mkdf(spark, rows), "k", threshold=100)
+    assert set(r["k"] for r in hot.select("k").distinct().collect()) \
+        == {"hot"}
+    assert hot.count() == 500 and rest.count() == 200
+    assert rest.filter(F.col("k") == "hot").count() == 0
+
+
+def test_split_mode_matches_sequential_all_scans(spark):
+    """One 600-row hot key (> threshold 100 → ranged branch) plus a
+    40-key tail (grouped branch): all three scans under mode="split"
+    stay in the sequential 1e-9 envelope and emit every row once."""
+    rows = ([("hot", t, math.sin(0.3 * t) * 40 + 9.0)
+             for t in range(600)]
+            + [(f"k{i}", t, float((t * 31 + i * 7) % 23) - 11.0)
+               for i in range(40) for t in range(30)])
+    df = _mkdf(spark, rows)
+
+    ref_e = _sequential(rows, alpha=0.5)
+    got = ewma_scan(df, "k", "t", "x", alpha=0.5, n_partitions=8,
+                    mode="split", split_threshold=100).collect()
+    assert len(got) == len(rows)
+    for r in got:
+        e = ref_e[(r["k"], r["t"])]
+        assert abs(r["ewma"] - e) <= 1e-9 * max(1.0, abs(e))
+
+    ref_h = _holt_sequential(rows, 0.25, 0.5)
+    for r in holt_scan(df, "k", "t", "x", alpha=0.25, gamma=0.5,
+                       n_partitions=8, mode="split",
+                       split_threshold=100).collect():
+        el, eb = ref_h[(r["k"], r["t"])]
+        assert abs(r["level"] - el) <= 1e-9 * max(1.0, abs(el))
+        assert abs(r["trend"] - eb) <= 1e-9 * max(1.0, abs(eb))
+
+    ref_c = _cumsum_sequential(rows)
+    for r in cumsum_scan(df, "k", "t", "x", n_partitions=8,
+                         mode="split", split_threshold=100).collect():
+        es, emn, emx = ref_c[(r["k"], r["t"])]
+        assert abs(r["run_sum"] - es) <= 1e-9 * max(1.0, abs(es))
+        assert abs(r["run_min"] - emn) <= 1e-9 * max(1.0, abs(emn))
+        assert abs(r["run_max"] - emx) <= 1e-9 * max(1.0, abs(emx))
+
+
+def test_split_10m_point_key_bounded_partitions(spark):
+    """The documented dead zone (numerous keys AND one oversized key):
+    one 10M-point key among 100k two-row keys. mode="split" routes the
+    hot key through the ranged carry machinery — its rows RANGE-SPLIT
+    across partitions (max per-partition load asserted ≤ 3x ideal, so
+    no single grouped partition ever holds the 10M-point series) —
+    and the tail through grouped (zero driver state). Exactness via
+    closed forms: x=1 ⇒ hot run_sum at position t is t+1."""
+    n_hot, n_tail = 10_000_000, 100_000
+    hot = spark.range(n_hot).select(
+        F.lit("hot").alias("k"), F.col("id").cast("int").alias("t"),
+        F.lit(1.0).alias("x"))
+    tail = spark.range(n_tail * 2).select(
+        (F.col("id") % n_tail).cast("string").alias("k"),
+        (F.col("id") / n_tail).cast("int").alias("t"),
+        F.lit(2.0).alias("x"))
+    df = hot.unionByName(tail)
+
+    parts = 32
+    hot_df, rest_df = _split_oversized(df, "k", _DEFAULT_SPLIT_THRESHOLD)
+    layout = _ranged_layout(
+        _base_frame(hot_df, "k", "t", "x"), parts)
+    per_part = [r["c"] for r in layout.groupBy(F.spark_partition_id())
+                .agg(F.count("*").alias("c")).collect()]
+    assert max(per_part) <= 3 * (n_hot // parts)
+    assert rest_df.filter(F.col("k") == "hot").count() == 0
+
+    res = cumsum_scan(df, "k", "t", "x", n_partitions=parts, mode="split")
+    # hot key: run_sum(t) = t+1 exactly (integer-valued doubles)
+    probe = (res.filter((F.col("k") == "hot")
+                        & F.col("t").isin(0, 1, 4_999_999, 9_999_999))
+             .select("t", "run_sum").collect())
+    assert {r["t"]: r["run_sum"] for r in probe} == {
+        0: 1.0, 1: 2.0, 4_999_999: 5_000_000.0, 9_999_999: 10_000_000.0}
+    # tail: every key's final run_sum is 4.0; count proves full cover
+    fin = res.filter((F.col("k") != "hot") & (F.col("t") == 1)).agg(
+        F.count("*").alias("c"), F.sum("run_sum").alias("s")).first()
+    assert fin["c"] == n_tail and fin["s"] == 4.0 * n_tail
