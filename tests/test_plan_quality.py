@@ -37,6 +37,9 @@ CARTESIAN_OK = {
                             # (LQY_query2.txt:133-151) — broadcast side
                             # is the distinct genre list
     "lqy_query2_suppliers",  # same universe fill, supplier-filtered
+    "lqy_query2_subtotals",  # embeds the same lqy_query2 universe fill
+                             # as its detail block; the subtotal rows
+                             # themselves are one rollup aggregation
     "brand_revenue_share",  # scalar total broadcast-crossed into groups
     "idle_rich_customers",  # 1-row (n_pos, sum_pos) average frame
                             # broadcast-crossed into the customer scan (Q22)
@@ -316,3 +319,22 @@ def test_core_sql5_plan_contracts(plans):
 
     q13 = plans["customer_order_distribution"]
     assert "LeftOuter" in q13, "join-time filter must keep the outer join"
+
+
+def test_round9_plan_contracts(plans):
+    """Shapes for the round-9 gates.
+
+    - the two-level COMPUTE subtotal reports produce their quarter AND
+      year total rows from ONE grouping-sets aggregation (an Expand
+      node feeding the rollup agg), not a second scan of the detail;
+    - the single-level q1 subtotal keeps the detail's broadcast-dim
+      star joins (the totals must not force the fact join to shuffle);
+    - the vectorized-fold gate runs the scan family's Arrow passes
+      (no per-row Python anywhere — the module-wide
+      test_no_python_row_udfs already pins BatchEvalPython out).
+    """
+    for name in ("lqy_query2_subtotals", "lqy_query3_subtotals"):
+        assert "Expand" in plans[name], name
+    q1s = plans["lqy_query1_subtotals"]
+    assert "BroadcastHashJoin" in q1s
+    assert "MapInPandas" in plans["events_daily_ewma_vec"]
