@@ -1,0 +1,167 @@
+"""Persisted IVF ANN index with incremental maintenance.
+
+``similarity.ivf_topk`` re-assigns the whole corpus to its coarse
+quantizer on every call — right for one-shot analytics, wrong at
+100 TB where the corpus is long-lived and queries are continuous.
+This module persists the index as txlog tables and maintains it
+incrementally (the similarity-search sibling of the persisted dedup
+band index, ``operators/dedup_index.py``):
+
+- **build** — train the coarse quantizer (``similarity.kmeans_fit``,
+  decimal-exact → deterministic), assign every vector to its max-dot
+  cell once, publish ``<root>/centroids`` (one atomic ``tx_write``)
+  and ``<root>/assignments`` PARTITIONED BY CELL (one atomic
+  ``tx_write_parts``). Per-row norm² is precomputed and stored so
+  queries never touch the raw vectors twice.
+- **query** — rank cells by query·centroid, read ONLY the probed
+  cells' partitions (``tx_read_parts(part_values=…)``: metadata-only
+  pruning — unprobed cells' files are never listed, never read),
+  exact cosine re-rank inside the candidates. Query cost is
+  proportional to the probed fraction of the corpus, not the corpus.
+- **upsert** — assign NEW vectors to the EXISTING centroids and
+  partition-scoped-merge them into only the touched cells
+  (``tx_merge_parts``: untouched cells' parquet stays byte-identical,
+  read/write cost proportional to the delta). ``txn_id`` passes
+  through for exactly-once ingest under redelivery.
+- **cell_stats** — per-cell sizes from the assignments table, the
+  drift signal that tells an operator when to retrain (a rebuild is
+  just ``ann_index_build`` at the same root: one atomic overwrite per
+  table, readers never see a half-built index).
+
+Index layout mirrors FAISS's IVF-flat, re-expressed as partitioned
+parquet + a commit log; probing all cells degenerates to exact
+brute-force search (cells partition the corpus), which is what lets
+the driver gate pin the full build→upsert→query lifecycle bit-exactly
+against a plain SQL top-k oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
+from ..sources.txlog import (
+    tx_merge_parts,
+    tx_read,
+    tx_read_parts,
+    tx_write,
+    tx_write_parts,
+)
+from .similarity import _nearest_cells, kmeans_fit
+
+_CENTROIDS = "centroids"
+_ASSIGNMENTS = "assignments"
+
+
+def _tables(root: str) -> tuple[str, str]:
+    return f"{root}/{_CENTROIDS}", f"{root}/{_ASSIGNMENTS}"
+
+
+def _load_centroids(spark: SparkSession, root: str) -> list[list[float]]:
+    cent_t, _ = _tables(root)
+    rows = sorted(tx_read(spark, cent_t).collect(), key=lambda r: r["cell"])
+    assert [r["cell"] for r in rows] == list(range(len(rows))), \
+        "centroid table is missing cells or has duplicates"
+    return [list(r["centroid"]) for r in rows]
+
+
+def _assign(df: DataFrame, id_col: str, vec_col: str,
+            cents: list[list[float]]) -> DataFrame:
+    """(id, vec, norm_sq, cell) — each vector's max-dot cell (score
+    desc, cell asc tie-break, same convention as ivf_topk)."""
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        l2_norm_sq(F.col(vec_col)).alias("norm_sq"),
+        _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
+
+
+def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
+                    vec_col: str, root: str, dim: int, n_cells: int = 16,
+                    max_iter: int = 5, seed: int = 42) -> None:
+    """Train + assign + publish. Overwrites any existing index at
+    ``root`` atomically (readers on the old snapshot are unaffected
+    until the new commits land; each table flips in one commit)."""
+    cent_t, asg_t = _tables(root)
+    cents = kmeans_fit(corpus, vec_col, dim=dim, k=n_cells,
+                       max_iter=max_iter, seed=seed)
+    cent_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "cell int, centroid array<double>")
+    tx_write(cent_df, cent_t, mode="overwrite")
+    tx_write_parts(_assign(corpus, id_col, vec_col, cents), asg_t,
+                   part_col="cell", mode="overwrite")
+
+
+def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
+                     id_col: str, vec_col: str,
+                     txn_id: str | None = None) -> int:
+    """Merge new/updated vectors into the index under the EXISTING
+    quantizer: assign to the current centroids, then partition-scoped
+    merge — only the cells receiving vectors are read and rewritten.
+    Returns the commit id. An id that already exists in a touched cell
+    is UPDATED (its vector/norm replace the stored ones).
+
+    Constraint (inherited from tx_merge_parts's partition-immutability
+    contract): updating an existing id with a vector whose max-dot
+    cell DIFFERS from its stored cell is not supported through upsert
+    — the old copy would survive in the unread old cell. Re-embedding
+    that moves vectors across cells is a rebuild
+    (:func:`ann_index_build`), which is also when the quantizer itself
+    should be retrained."""
+    cents = _load_centroids(spark, root)
+    _, asg_t = _tables(root)
+    delta = _assign(new_vectors, id_col, vec_col, cents)
+    return tx_merge_parts(spark, asg_t, delta, keys=["id"],
+                          part_col="cell",
+                          update_cols=["vec", "norm_sq"],
+                          txn_id=txn_id)
+
+
+def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
+                    id_col: str, vec_col: str, k: int = 10,
+                    n_probe: int = 3) -> DataFrame:
+    """``(query_id, neighbor_id, cos, rank)`` — top-``k`` by exact
+    cosine within the probed cells. The probed cell set is the union
+    over queries of each query's ``n_probe`` max-dot centroids
+    (bounded by ``n_cells``, collected from the SMALL query side);
+    only those partitions are read. ``n_probe >= n_cells`` probes
+    everything and is exactly brute-force top-k."""
+    cents = _load_centroids(spark, root)
+    _, asg_t = _tables(root)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        l2_norm_sq(F.col(vec_col)).alias("nq"),
+        F.transform(_nearest_cells(F.col(vec_col), cents,
+                                   min(n_probe, len(cents))),
+                    lambda s: s.cell).alias("cells"))
+    probed = sorted({c for r in q.select(F.explode("cells").alias("c"))
+                     .distinct().collect() for c in [r["c"]]})
+    cand = tx_read_parts(spark, asg_t,
+                         part_values=[str(c) for c in probed])
+    q_cells = q.select("query_id", "qv", "nq",
+                       F.explode("cells").alias("cell"))
+    scored = (
+        F.broadcast(q_cells)
+        .join(cand, q_cells.cell == cand.cell)
+        .filter(F.col("query_id") != F.col("id"))
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                cosine_from_norms(dot(F.col("qv"), F.col("vec")),
+                                  F.col("nq"),
+                                  F.col("norm_sq")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
+def ann_index_cell_stats(spark: SparkSession, root: str) -> DataFrame:
+    """``(cell, n_vectors)`` — the balance/drift signal. A cell that
+    outgrows its siblings by an order of magnitude means the quantizer
+    no longer fits the data distribution: retrain via
+    :func:`ann_index_build`."""
+    _, asg_t = _tables(root)
+    return (tx_read_parts(spark, asg_t)
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
+            .orderBy("cell"))

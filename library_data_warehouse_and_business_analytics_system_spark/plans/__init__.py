@@ -35,6 +35,9 @@ from . import search_ops  # noqa: E402,F401
 # Behind the window: the remaining r6 cohort (r10 re-gates them), then
 # the r7/r8 cohorts in registration order - freshness invariant: no
 # green row older than three rounds once the r10 rotation lands.
+# ann_index_lifecycle (registered later in r9, the persisted-ANN-index
+# lifecycle gate) lands at the tail: it FRONTS the r10 window together
+# with any other r9 registration that misses this round's 50 rows.
 _R8_WINDOW = [
     # timeseries scans - operator rewritten this round (e33d79c)
     "events_daily_ewma", "events_daily_holt", "events_daily_cusum",

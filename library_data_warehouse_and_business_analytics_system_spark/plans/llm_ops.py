@@ -686,6 +686,76 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Persisted-ANN-index lifecycle under the driver hash (round 9): the
+# per-call ivf_ann_topk above re-trains and re-assigns on every query;
+# operators/ann_index.py is the 100 TB shape — build once, upsert the
+# delta into only its touched cells, query by reading only the probed
+# partitions. Probing ALL cells degenerates to exact brute-force
+# (cells partition the corpus), so the full lifecycle — kmeans build,
+# partitioned publish, partition-scoped upsert merge, pruned read,
+# re-rank — faces the SAME exact top-k oracle as cosine_topk: any
+# vector lost, duplicated, or corrupted anywhere in the lifecycle
+# flips the hash.
+
+
+@register(
+    "ann_index_lifecycle",
+    f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='e.embedding')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='e.embedding', b='e.embedding')}), 0)
+               AS cos
+      FROM q, embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-IVF", "S5", "E9"),
+)
+def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the index on 80% of the embeddings (vec_id % 5 != 0),
+    upsert the remaining 20% under the trained quantizer
+    (partition-scoped merge into only the touched cells), then query
+    with n_probe = n_cells. Full probe ≡ exact brute-force top-10
+    over the WHOLE corpus — the oracle is cosine_topk's, so the gate
+    certifies the persisted lifecycle bit-for-bit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (
+        ann_index_build,
+        ann_index_query,
+        ann_index_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_index_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    delta = emb.filter(F.col("vec_id") % 5 == 0)
+    ann_index_build(spark, base, "vec_id", "embedding", root,
+                    dim=64, n_cells=8, max_iter=2, seed=7)
+    ann_index_upsert(spark, root, delta, "vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (ann_index_query(spark, root, queries, "vec_id", "embedding",
+                            k=10, n_probe=8)
+            .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs. The Spark side hashes shingles
 # (xxhash64) before set ops so shuffles move longs; Jaccard over the
 # distinct hash sets equals Jaccard over the distinct shingle strings
