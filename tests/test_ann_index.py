@@ -124,3 +124,58 @@ def test_cell_stats_cover_corpus(spark, sf_dir, tmp_path):
     stats = ann_index_cell_stats(spark, root).collect()
     assert sum(r["n_vectors"] for r in stats) == emb.count()
     assert all(r["n_vectors"] > 0 for r in stats)
+
+
+def test_streaming_ingest_equals_sequential_upserts(spark, sf_dir,
+                                                    tmp_path):
+    """start_ann_ingest over per-file micro-batches ≡ sequential
+    ann_index_upsert calls: full-probe queries over the streamed
+    index match brute force over build ∪ delta, and the assignments
+    tables hold identical contents."""
+    import os
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read_parts,
+    )
+    from library_data_warehouse_and_business_analytics_system_spark.streaming.ann_ingest import (
+        ingest_batch, start_ann_ingest,
+    )
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    delta = emb.filter(F.col("vec_id") % 4 == 0)
+    chunks = [delta.filter(F.col("vec_id") % 8 == 0),
+              delta.filter(F.col("vec_id") % 8 != 0)]
+    src = str(tmp_path / "src")
+    t0 = 1_700_000_000
+    for i, c in enumerate(chunks):
+        d = f"{src}/b{i}"
+        c.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):       # file mtime orders the triggers
+            os.utime(os.path.join(d, f), (t0 + i * 10, t0 + i * 10))
+
+    root_s = str(tmp_path / "idx_s")
+    ann_index_build(spark, base, "vec_id", "embedding", root_s,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{src}/*"))
+    q = start_ann_ingest(stream, root_s, str(tmp_path / "ck"),
+                         id_col="vec_id", vec_col="embedding")
+    q.awaitTermination()
+
+    root_b = str(tmp_path / "idx_b")
+    ann_index_build(spark, base, "vec_id", "embedding", root_b,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    for i, c in enumerate(chunks):
+        ingest_batch(c, i, root_b, id_col="vec_id", vec_col="embedding")
+
+    a = tx_read_parts(spark, f"{root_s}/assignments")
+    b = tx_read_parts(spark, f"{root_b}/assignments")
+    assert a.count() == b.count() == emb.count()
+    assert a.exceptAll(b).count() == 0
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    got = ann_index_query(spark, root_s, queries, "vec_id", "embedding",
+                          k=10, n_probe=_CELLS)
+    want = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    assert _rows(got) == _rows(want)
