@@ -120,10 +120,17 @@ _R9_WINDOW = (["returnflag_priority_counts"] + _R9_FRONT + _R9_NEW
               + _R6_GREEN[:17])
 
 
+# Never-gated r9 registrations that missed the 50-row window: pinned
+# immediately after it, fronting the r10 window (the _R9_FRONT
+# convention).
+_R10_FRONT = ["ann_index_lifecycle"]
+
+
 def _reorder() -> None:
-    listed = set(_R9_WINDOW) | set(_R6_GREEN)
+    listed = set(_R9_WINDOW) | set(_R10_FRONT) | set(_R6_GREEN)
     ordered = (
         [n for n in _R9_WINDOW if n in QUERIES]
+        + [n for n in _R10_FRONT if n in QUERIES]
         + [n for n in _R6_GREEN[17:] if n in QUERIES]
         # r7/r8-green tail (and anything newly registered but
         # unlisted - none expected while growth is frozen):
