@@ -23,10 +23,15 @@ band index, ``operators/dedup_index.py``):
   (``tx_merge_parts``: untouched cells' parquet stays byte-identical,
   read/write cost proportional to the delta). ``txn_id`` passes
   through for exactly-once ingest under redelivery.
-- **cell_stats** — per-cell sizes from the assignments table, the
-  drift signal that tells an operator when to retrain (a rebuild is
-  just ``ann_index_build`` at the same root: one atomic overwrite per
-  table, readers never see a half-built index).
+- **delete** — merge-on-read tombstones: ids append to a tiny deletes
+  table (no assignment partition read or rewritten), queries anti-join
+  them out, upserting a deleted id resurrects it, and a rebuild folds
+  tombstones away physically.
+- **cell_stats** — physical per-cell sizes from the assignments
+  table, the drift/garbage signal that tells an operator when to
+  retrain (a rebuild is just ``ann_index_build`` at the same root:
+  one atomic overwrite per table, readers never see a half-built
+  index).
 
 Index layout mirrors FAISS's IVF-flat, re-expressed as partitioned
 parquet + a commit log; probing all cells degenerates to exact
@@ -42,6 +47,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
 from ..sources.txlog import (
+    tx_exists,
     tx_merge_parts,
     tx_read,
     tx_read_parts,
@@ -52,10 +58,26 @@ from .similarity import _nearest_cells, kmeans_fit
 
 _CENTROIDS = "centroids"
 _ASSIGNMENTS = "assignments"
+_DELETES = "deletes"
 
 
 def _tables(root: str) -> tuple[str, str]:
     return f"{root}/{_CENTROIDS}", f"{root}/{_ASSIGNMENTS}"
+
+
+def _deletes_table(root: str) -> str:
+    return f"{root}/{_DELETES}"
+
+
+def _live_tombstones(spark: SparkSession, root: str) -> DataFrame | None:
+    """Current tombstoned ids, or None when none exist. The deletes
+    table is merge-on-read: tiny (ids only), rewritten whole on
+    resurrection, folded away entirely by a rebuild."""
+    t = _deletes_table(root)
+    if not tx_exists(t):
+        return None
+    ids = tx_read(spark, t).select("id").distinct()
+    return ids if ids.limit(1).count() else None
 
 
 def _load_centroids(spark: SparkSession, root: str) -> list[list[float]]:
@@ -91,6 +113,11 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
     tx_write(cent_df, cent_t, mode="overwrite")
     tx_write_parts(_assign(corpus, id_col, vec_col, cents), asg_t,
                    part_col="cell", mode="overwrite")
+    # a rebuild folds tombstones away physically: reset the deletes
+    # table (the corpus passed in IS the live set by definition)
+    if tx_exists(_deletes_table(root)):
+        tx_write(corpus.select(F.col(id_col).alias("id")).limit(0),
+                 _deletes_table(root), mode="overwrite")
 
 
 def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
@@ -112,10 +139,22 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
     delta = _assign(new_vectors, id_col, vec_col, cents)
-    return tx_merge_parts(spark, asg_t, delta, keys=["id"],
-                          part_col="cell",
-                          update_cols=["vec", "norm_sq"],
-                          txn_id=txn_id)
+    cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
+                         part_col="cell",
+                         update_cols=["vec", "norm_sq"],
+                         txn_id=txn_id)
+    # resurrect: an upserted id sheds any tombstone. Runs AFTER the
+    # merge commit; a crash between the two is healed on redelivery
+    # (the merge no-ops via txn_id, the tombstone clear re-runs) and
+    # the rewrite itself is a no-op when nothing overlaps — so the
+    # whole upsert stays idempotent.
+    tomb = _live_tombstones(spark, root)
+    if tomb is not None:
+        upserted = delta.select("id").distinct()
+        if tomb.join(upserted, "id", "left_semi").limit(1).count():
+            tx_write(tomb.join(upserted, "id", "left_anti"),
+                     _deletes_table(root), mode="overwrite")
+    return cid
 
 
 def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
@@ -139,6 +178,9 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
                      .distinct().collect() for c in [r["c"]]})
     cand = tx_read_parts(spark, asg_t,
                          part_values=[str(c) for c in probed])
+    tomb = _live_tombstones(spark, root)
+    if tomb is not None:  # merge-on-read: tombstoned ids never score
+        cand = cand.join(F.broadcast(tomb), "id", "left_anti")
     q_cells = q.select("query_id", "qv", "nq",
                        F.explode("cells").alias("cell"))
     scored = (
@@ -156,10 +198,25 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
             .filter(F.col("rank") <= k))
 
 
+def ann_index_delete(spark: SparkSession, root: str, ids: DataFrame,
+                     id_col: str, txn_id: str | None = None) -> int:
+    """Tombstone-delete: append the ids to the (tiny, ids-only)
+    deletes table — NO assignment partition is read or rewritten, the
+    merge-on-read pattern applied at index level. Deleted ids vanish
+    from queries immediately (anti-joined at score time); physical
+    removal happens at the next :func:`ann_index_build` rebuild, and
+    :func:`ann_index_upsert` of a deleted id resurrects it.
+    ``txn_id`` gives exactly-once semantics under redelivery."""
+    return tx_write(ids.select(F.col(id_col).alias("id")).distinct(),
+                    _deletes_table(root), mode="append", txn_id=txn_id)
+
+
 def ann_index_cell_stats(spark: SparkSession, root: str) -> DataFrame:
-    """``(cell, n_vectors)`` — the balance/drift signal. A cell that
-    outgrows its siblings by an order of magnitude means the quantizer
-    no longer fits the data distribution: retrain via
+    """``(cell, n_vectors)`` — PHYSICAL per-cell sizes (tombstoned
+    rows still occupy their cell until a rebuild folds them away):
+    the balance/drift/garbage signal. A cell that outgrows its
+    siblings by an order of magnitude means the quantizer no longer
+    fits the data distribution: retrain via
     :func:`ann_index_build`."""
     _, asg_t = _tables(root)
     return (tx_read_parts(spark, asg_t)

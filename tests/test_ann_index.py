@@ -179,3 +179,54 @@ def test_streaming_ingest_equals_sequential_upserts(spark, sf_dir,
                           k=10, n_probe=_CELLS)
     want = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
     assert _rows(got) == _rows(want)
+
+
+def test_delete_resurrect_rebuild(spark, sf_dir, tmp_path):
+    """Merge-on-read deletes: tombstoned ids vanish from queries
+    without touching any assignment partition; upserting a deleted id
+    resurrects it; a rebuild folds tombstones away physically. Every
+    stage compared against brute force over the LIVE set."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.ann_index import (
+        ann_index_delete,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    queries = emb.filter(F.col("vec_id") < 6)
+
+    victims = emb.filter(F.col("vec_id") % 7 == 0)
+    cid1 = ann_index_delete(spark, root, victims.select("vec_id"),
+                            "vec_id", txn_id="del-1")
+    cid2 = ann_index_delete(spark, root, victims.select("vec_id"),
+                            "vec_id", txn_id="del-1")  # redelivery
+    assert cid1 == cid2
+
+    live = emb.join(victims.select("vec_id"), "vec_id", "left_anti")
+    got = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                          k=10, n_probe=_CELLS)
+    want = brute_force_topk(live, queries, "embedding", "vec_id", k=10)
+    assert _rows(got) == _rows(want)
+    # tombstones are metadata-only: physical cell sizes are unchanged
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == emb.count()
+
+    # resurrect half the victims by upserting them again
+    back = victims.filter(F.col("vec_id") % 14 == 0)
+    ann_index_upsert(spark, root, back, "vec_id", "embedding",
+                     txn_id="res-1")
+    live2 = live.unionByName(back)
+    got2 = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                           k=10, n_probe=_CELLS)
+    want2 = brute_force_topk(live2, queries, "embedding", "vec_id", k=10)
+    assert _rows(got2) == _rows(want2)
+
+    # rebuild over the live set folds the tombstones away physically
+    ann_index_build(spark, live2, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == live2.count()
+    got3 = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                           k=10, n_probe=_CELLS)
+    assert _rows(got3) == _rows(want2)
