@@ -222,3 +222,57 @@ def ann_index_cell_stats(spark: SparkSession, root: str) -> DataFrame:
     return (tx_read_parts(spark, asg_t)
             .groupBy("cell").agg(F.count(F.lit(1)).alias("n_vectors"))
             .orderBy("cell"))
+
+
+def ann_index_maintain(spark: SparkSession, root: str,
+                       rebuild_tombstone_frac: float = 0.2,
+                       dim: int | None = None, n_cells: int | None = None,
+                       max_iter: int = 5, seed: int = 42,
+                       vacuum_retention_sec: float = 3600.0,
+                       id_col: str = "id", vec_col: str = "vec") -> dict:
+    """Operational upkeep, the index-level twin of the warehouse
+    maintenance cycle: if tombstones exceed ``rebuild_tombstone_frac``
+    of the physical rows, REBUILD from the live set (retraining the
+    quantizer — requires ``dim``/``n_cells``; skipped with a warning
+    flag otherwise, garbage is only a read-side anti-join cost);
+    then checkpoint + truncate + expire + vacuum each of the index's
+    txlog tables so log/file counts stay O(1) regardless of upsert /
+    delete history. Readers are never blocked: every step is the
+    commit log's atomic machinery. Returns a small report dict."""
+    from ..sources.txlog import (
+        tx_checkpoint,
+        tx_expire_checkpoints,
+        tx_truncate_log,
+        tx_vacuum,
+    )
+
+    cent_t, asg_t = _tables(root)
+    report: dict = {"rebuilt": False, "tombstone_frac": 0.0}
+    tomb = _live_tombstones(spark, root)
+    if tomb is not None:
+        n_phys = tx_read_parts(spark, asg_t).count()
+        n_tomb = tomb.count()
+        frac = n_tomb / max(n_phys, 1)
+        report["tombstone_frac"] = round(frac, 4)
+        if frac > rebuild_tombstone_frac:
+            if dim is None or n_cells is None:
+                report["rebuild_skipped_missing_params"] = True
+            else:
+                live = (tx_read_parts(spark, asg_t)
+                        .join(F.broadcast(tomb), "id", "left_anti")
+                        .select(F.col("id").alias(id_col),
+                                F.col("vec").alias(vec_col)))
+                ann_index_build(spark, live, id_col, vec_col, root,
+                                dim=dim, n_cells=n_cells,
+                                max_iter=max_iter, seed=seed)
+                report["rebuilt"] = True
+    tables = [cent_t, asg_t]
+    if tx_exists(_deletes_table(root)):
+        tables.append(_deletes_table(root))
+    for t in tables:
+        tx_checkpoint(t)
+        tx_truncate_log(t)
+        tx_expire_checkpoints(t, keep=1)
+        tx_vacuum(t, retention_sec=vacuum_retention_sec)
+    report["tables_maintained"] = len(tables)
+    return report

@@ -123,7 +123,7 @@ _R9_WINDOW = (["returnflag_priority_counts"] + _R9_FRONT + _R9_NEW
 # Never-gated r9 registrations that missed the 50-row window: pinned
 # immediately after it, fronting the r10 window (the _R9_FRONT
 # convention).
-_R10_FRONT = ["ann_index_lifecycle"]
+_R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 
 
 def _reorder() -> None:

@@ -755,6 +755,61 @@ def ann_index_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("query_id", "rank"))
 
 
+# The PRUNED probe path under a driver row too: the lifecycle gate
+# above reads every cell (full probe = exact); this one probes 3 of 8
+# cells — the plan that actually skips partitions — and must recover
+# >= 3 of the exact top-10 per query. Observed minima with the
+# trained quantizer: 4 / 3 / 4 at sf0.001 / 0.01 / 0.1 —
+# deterministic, because kmeans_fit's decimal-exact updates make the
+# centroids (hence cells, hence candidates) bit-stable run to run.
+
+
+@register(
+    "ann_index_pruned_probe",
+    """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings
+    WHERE vec_id < 8
+    ORDER BY query_id
+    """,
+    operators=("ANN-IVF",),
+)
+def ann_index_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persisted index over the full embeddings table, then
+    query at n_probe=3 (partition-pruned read, tests pin the file set)
+    and assert per-query recall >= 3 of the exact top-10. A recall
+    regression turns a row FALSE (hash mismatch); a lost query drops
+    a row (count mismatch)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import ann_index_build, ann_index_query
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_probe_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=64, n_cells=8, max_iter=2, seed=7)
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = similarity.brute_force_topk(
+        emb, queries, "embedding", "vec_id", k=10
+    ).select("query_id", "neighbor_id")
+    approx = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                             k=10, n_probe=3).select("query_id",
+                                                     "neighbor_id")
+    hits = (exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id").agg(F.count(F.lit(1)).alias("hits")))
+    qids = queries.select(F.col("vec_id").alias("query_id"))
+    return (
+        qids.join(hits, "query_id", "left")
+        .select("query_id",
+                (F.coalesce(F.col("hits"), F.lit(0)) >= 3)
+                .alias("recall_ok"))
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact n-gram Jaccard near-dup pairs. The Spark side hashes shingles
 # (xxhash64) before set ops so shuffles move longs; Jaccard over the

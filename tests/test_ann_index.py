@@ -230,3 +230,55 @@ def test_delete_resurrect_rebuild(spark, sf_dir, tmp_path):
     got3 = ann_index_query(spark, root, queries, "vec_id", "embedding",
                            k=10, n_probe=_CELLS)
     assert _rows(got3) == _rows(want2)
+
+
+def test_maintain_rebuilds_on_tombstone_pressure(spark, sf_dir, tmp_path):
+    """ann_index_maintain: tombstones past the threshold trigger a
+    rebuild from the live set (deletes folded away physically), the
+    commit logs collapse to O(1) files, and queries are unchanged
+    across the whole cycle."""
+    import os
+
+    from library_data_warehouse_and_business_analytics_system_spark.operators.ann_index import (
+        ann_index_delete, ann_index_maintain,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    victims = emb.filter(F.col("vec_id") % 3 == 0)     # ~33% > 20%
+    ann_index_delete(spark, root, victims.select("vec_id"), "vec_id")
+
+    queries = emb.filter(F.col("vec_id") < 6)
+    live = emb.join(victims.select("vec_id"), "vec_id", "left_anti")
+    before = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                             k=10, n_probe=_CELLS)
+    want = brute_force_topk(live, queries, "embedding", "vec_id", k=10)
+    assert _rows(before) == _rows(want)
+
+    report = ann_index_maintain(spark, root, rebuild_tombstone_frac=0.2,
+                                dim=_DIM, n_cells=_CELLS, max_iter=2,
+                                seed=7, vacuum_retention_sec=0.0)
+    assert report["rebuilt"] and report["tombstone_frac"] > 0.2
+    assert report["tables_maintained"] == 3
+    # physical garbage gone
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == live.count()
+    # queries unchanged across the maintenance cycle
+    after = ann_index_query(spark, root, queries, "vec_id", "embedding",
+                            k=10, n_probe=_CELLS)
+    assert _rows(after) == _rows(want)
+    # commit logs are bounded: one checkpoint, zero surviving entries
+    for sub in ("centroids", "assignments", "deletes"):
+        log = os.path.join(root, sub, "_txlog")
+        entries = [f for f in os.listdir(log) if f.endswith(".json")]
+        assert len(entries) <= 1, (sub, entries)
+
+    # below-threshold garbage is left in place (read-side anti-join
+    # is cheaper than a rebuild): only the log upkeep runs
+    few = emb.filter(F.col("vec_id") % 97 == 0)
+    ann_index_delete(spark, root, few.select("vec_id"), "vec_id")
+    report2 = ann_index_maintain(spark, root, rebuild_tombstone_frac=0.2,
+                                 dim=_DIM, n_cells=_CELLS)
+    assert not report2["rebuilt"] and report2["tombstone_frac"] <= 0.2
