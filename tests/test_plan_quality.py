@@ -22,6 +22,9 @@ CARTESIAN_OK = {
                             # prefix dims); stage 2 is candidate-bounded
                             # broadcast joins
     "ivf_ann_topk",         # embeds the brute tier as its recall oracle
+    "ann_index_pruned_probe",  # same: the exact-top-10 recall oracle is
+                               # a brute query × corpus scan; the index
+                               # probe itself is an equi-join on cell
     "lsh_ann_topk",         # lsh_topk_auto: below the measured crossover
                             # the brute scan IS the right plan; the LSH
                             # equi-join path is plan-checked separately
