@@ -296,6 +296,12 @@ def main() -> None:
         for spec in specs:
             if spec.bench or spec.name in PIN_MEDIAN:
                 continue  # already timed median-of-3 by time_spec
+            if pass_i and spec.name in NO_WARM:
+                # Cold-once write-path gates keep their single pass-0
+                # sample: re-running a non-idempotent staged write
+                # times a warm no-op (and mutates table state again),
+                # so the lower-median would record the wrong thing.
+                continue
             if time.perf_counter() - t_begin > budget:
                 out_of_budget = True
                 if pass_i == 0 and spec.name not in tail_samples:

@@ -49,6 +49,7 @@ from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
 from ..sources.txlog import (
     tx_exists,
     tx_merge_parts,
+    tx_part_values,
     tx_read,
     tx_read_parts,
     tx_write,
@@ -110,19 +111,27 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
     cent_df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cents)],
         "cell int, centroid array<double>")
-    tx_write(cent_df, cent_t, mode="overwrite")
-    tx_write_parts(_assign(corpus, id_col, vec_col, cents), asg_t,
-                   part_col="cell", mode="overwrite")
-    # a rebuild folds tombstones away physically: reset the deletes
-    # table (the corpus passed in IS the live set by definition)
+    # A rebuild folds tombstones away physically: reset the deletes
+    # table (the corpus passed in IS the live set by definition).
+    # Reset BEFORE publishing the new assignments: the new snapshot
+    # may legitimately resurrect previously-deleted ids, and the other
+    # order opens a window (crash between the assignments commit and
+    # the reset) where stale tombstones silently HIDE live ids from
+    # the new snapshot. This order's failure window instead transiently
+    # resurrects deleted ids against the OLD assignments — visible,
+    # and healed by re-running the interrupted rebuild.
     if tx_exists(_deletes_table(root)):
         tx_write(corpus.select(F.col(id_col).alias("id")).limit(0),
                  _deletes_table(root), mode="overwrite")
+    tx_write(cent_df, cent_t, mode="overwrite")
+    tx_write_parts(_assign(corpus, id_col, vec_col, cents), asg_t,
+                   part_col="cell", mode="overwrite")
 
 
 def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
                      id_col: str, vec_col: str,
-                     txn_id: str | None = None) -> int:
+                     txn_id: str | None = None,
+                     validate: bool = False) -> int:
     """Merge new/updated vectors into the index under the EXISTING
     quantizer: assign to the current centroids, then partition-scoped
     merge — only the cells receiving vectors are read and rewritten.
@@ -132,13 +141,38 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
     Constraint (inherited from tx_merge_parts's partition-immutability
     contract): updating an existing id with a vector whose max-dot
     cell DIFFERS from its stored cell is not supported through upsert
-    — the old copy would survive in the unread old cell. Re-embedding
-    that moves vectors across cells is a rebuild
-    (:func:`ann_index_build`), which is also when the quantizer itself
-    should be retrained."""
+    — the old copy would survive in the unread old cell and queries
+    probing both cells would return the id twice. Re-embedding that
+    moves vectors across cells is a rebuild (:func:`ann_index_build`),
+    which is also when the quantizer itself should be retrained.
+
+    ``validate=True`` ENFORCES that constraint instead of trusting the
+    caller: an ids-only, column-pruned scan of the existing
+    assignments (id + the partition value — never the vectors) is
+    anti-checked against the delta's assignments, and a cross-cell
+    move raises ``ValueError`` naming offending ids BEFORE anything
+    commits. Cost is one metadata-light scan of (id, cell) over the
+    index, so it is opt-in: turn it on for re-embedding ingest paths
+    where moves are plausible, leave it off for append-mostly streams."""
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
     delta = _assign(new_vectors, id_col, vec_col, cents)
+    if validate:
+        existing = tx_read_parts(spark, asg_t).select(
+            "id", F.col("cell").alias("stored_cell"))
+        moved = (delta.select("id", "cell").join(existing, "id")
+                 .filter(F.col("cell") != F.col("stored_cell")))
+        sample = moved.limit(5).collect()
+        if sample:
+            detail = ", ".join(
+                f"{r['id']!r}: {r['stored_cell']}->{r['cell']}"
+                for r in sample)
+            raise ValueError(
+                "ann_index_upsert: re-embedded id(s) moved to a "
+                f"different cell ({detail}); upsert cannot evict the "
+                "stale copy from the old cell's partition - rebuild "
+                "the index (ann_index_build) to move vectors across "
+                "cells")
     cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
                          part_col="cell",
                          update_cols=["vec", "norm_sq"],
@@ -176,6 +210,22 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
                     lambda s: s.cell).alias("cells"))
     probed = sorted({c for r in q.select(F.explode("cells").alias("c"))
                      .distinct().collect() for c in [r["c"]]})
+    # kmeans can leave cells empty, so a small n_probe over an unlucky
+    # query set may select ONLY empty cells: intersect with the cells
+    # that physically exist (commit-log metadata, no listing) and
+    # return an empty result rather than tripping tx_read_parts's
+    # no-visible-partition raise. Partial overlap degrades gracefully
+    # (the probe simply sees fewer candidates, same as FAISS).
+    avail = set(tx_part_values(asg_t))
+    probed = [c for c in probed if str(c) in avail]
+    if not probed:
+        from pyspark.sql import types as T
+        id_t = queries.schema[id_col].dataType
+        return spark.createDataFrame([], T.StructType([
+            T.StructField("query_id", id_t),
+            T.StructField("neighbor_id", id_t),
+            T.StructField("cos", T.DoubleType()),
+            T.StructField("rank", T.IntegerType())]))
     cand = tx_read_parts(spark, asg_t,
                          part_values=[str(c) for c in probed])
     tomb = _live_tombstones(spark, root)
@@ -229,16 +279,27 @@ def ann_index_maintain(spark: SparkSession, root: str,
                        dim: int | None = None, n_cells: int | None = None,
                        max_iter: int = 5, seed: int = 42,
                        vacuum_retention_sec: float = 3600.0,
-                       id_col: str = "id", vec_col: str = "vec") -> dict:
+                       id_col: str = "id", vec_col: str = "vec",
+                       truncate_log: bool = False) -> dict:
     """Operational upkeep, the index-level twin of the warehouse
     maintenance cycle: if tombstones exceed ``rebuild_tombstone_frac``
     of the physical rows, REBUILD from the live set (retraining the
     quantizer — requires ``dim``/``n_cells``; skipped with a warning
     flag otherwise, garbage is only a read-side anti-join cost);
-    then checkpoint + truncate + expire + vacuum each of the index's
-    txlog tables so log/file counts stay O(1) regardless of upsert /
+    then checkpoint + expire + vacuum each of the index's txlog
+    tables so log/file counts stay O(1) regardless of upsert /
     delete history. Readers are never blocked: every step is the
-    commit log's atomic machinery. Returns a small report dict."""
+    commit log's atomic machinery. Returns a small report dict.
+
+    ``truncate_log`` defaults to **False** because truncation forgets
+    the covered commits' ``txn_id`` idempotence markers
+    (``tx_truncate_log``'s documented retention contract): a
+    concurrent or restarting ``ann_ingest`` stream that redelivers a
+    pre-truncation batch would re-apply its merge and re-append its
+    tombstones. Pass ``truncate_log=True`` only once every ingest
+    stream's own checkpoint has advanced past the commits being
+    truncated (redelivery of them is impossible) — the same
+    coordination Delta documents for setTransaction retention."""
     from ..sources.txlog import (
         tx_checkpoint,
         tx_expire_checkpoints,
@@ -271,7 +332,8 @@ def ann_index_maintain(spark: SparkSession, root: str,
         tables.append(_deletes_table(root))
     for t in tables:
         tx_checkpoint(t)
-        tx_truncate_log(t)
+        if truncate_log:
+            tx_truncate_log(t)
         tx_expire_checkpoints(t, keep=1)
         tx_vacuum(t, retention_sec=vacuum_retention_sec)
     report["tables_maintained"] = len(tables)

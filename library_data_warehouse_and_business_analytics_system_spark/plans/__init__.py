@@ -18,26 +18,21 @@ from . import search_ops  # noqa: E402,F401
 # rows per round in registry order (observed truncation at 50 since
 # round 1), so the order below IS the rotation schedule.
 #
-# Round-9 window (_R9_WINDOW, 50 = the first 50 registry entries):
-#   1. returnflag_priority_counts - the single red r8 row (oracle-side
-#      HUGEINT/BIGINT cast, values verified identical by the r8 judge;
-#      oracle fixed this round) re-gates first.
-#   2. _R9_FRONT (28): the never-gated tail planned by r8 - analytics,
-#      sampling, CDC/chunking/linkage/IVM/OHLC/DQ/BPE. After these go
-#      green the driver-green union covers the whole pre-r9 registry.
-#   3. The four gates REGISTERED this round (growth otherwise frozen;
-#      all four are r8-verdict work items): events_daily_ewma_vec (the
-#      production vectorize=True scan fold under a hash-exact gate,
-#      verdict item 5) and the three lqy_query*_subtotals SQL*Plus
-#      COMPUTE reports (verdict item 6).
-#   4. 17 slots of r6-cohort rotation, FIFO (oldest green rows first).
+# Round-10 window (_R10_WINDOW, 50 = the first 50 registry entries):
+#   1. bpe_pair_stats - the single red r9 row (oracle-side
+#      HUGEINT/BIGINT cast, values verified identical by the r9
+#      judge; oracle fixed this round) re-gates first.
+#   2. _R10_FRONT (2): the persisted-ANN-index gates registered at
+#      the r9 close, never driver-gated (judge-verified locally).
+#   3. _R10_NEW (1): events_daily_ewma_split - the scan family's
+#      mode="split" routing under the driver hash (r9 verdict item 5).
+#   4. 46 rotation slots, stalest first: the 26 remaining r6-cohort
+#      rows (last green r6), then 20 r7-cohort rows FIFO.
 #
-# Behind the window: the remaining r6 cohort (r10 re-gates them), then
-# the r7/r8 cohorts in registration order - freshness invariant: no
-# green row older than three rounds once the r10 rotation lands.
-# ann_index_lifecycle (registered later in r9, the persisted-ANN-index
-# lifecycle gate) lands at the tail: it FRONTS the r10 window together
-# with any other r9 registration that misses this round's 50 rows.
+# Behind the window: the rest of the r7 cohort (fronting r11's
+# rotation), then the r8/r9 cohorts in registration order - freshness
+# invariant: once the r10 rotation lands, no green row is older than
+# round 7, and r11+r12 retire the r7/r8 backlog on the same schedule.
 _R8_WINDOW = [
     # timeseries scans - operator rewritten this round (e33d79c)
     "events_daily_ewma", "events_daily_holt", "events_daily_cusum",
@@ -125,14 +120,61 @@ _R9_WINDOW = (["returnflag_priority_counts"] + _R9_FRONT + _R9_NEW
 # convention).
 _R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 
+# The round whose 50-slot window the committed ordering encodes.
+# tests/test_plan_quality.py derives its green-set cutoff from THIS
+# constant (r9 verdict item 3: the manual duplicate went stale twice).
+WINDOW_ROUND = 10
+
+# New gate registered in r10 (growth otherwise frozen; the r9 verdict
+# item 5 work item): ewma_scan's third routing mode (mode="split",
+# hot keys ranged + tail grouped) under the driver's bit-exact hash.
+_R10_NEW = ["events_daily_ewma_split"]
+
+# Queries whose newest driver-green row is round 7 (all 50 of them;
+# computed from CORRECTNESS_r01-r09), in the r9 registry order. After
+# the r9 window refreshed 17 r6-cohort rows, the r6 tail
+# (_R6_GREEN[17:], last green r6) is the stalest cohort and rotates
+# first; these r7 rows are next-oldest and fill the remaining slots
+# FIFO. The [20:] tail stays behind the window and fronts the r11
+# rotation.
+_R7_GREEN = [
+    "quarterly_pivot", "order_size_distribution",
+    "nation_list_per_region", "suppliers_of_large_shipments",
+    "nation_customer_counts", "fact_surrogate_keys_audit",
+    "date_function_surface", "acctbal_banding", "events_sessionize",
+    "cube_order_stats", "grouping_sets_orders",
+    "customer_spend_scd2_versions", "math_function_surface",
+    "brand_revenue_share", "daily_order_window_frames",
+    "order_price_percentiles", "order_quantity_arrays",
+    "salted_event_type_counts", "approx_distinct_check",
+    "regexp_function_surface", "approx_quantile_check",
+    "orders_data_profile", "media_decode_stats", "media_frame_counts",
+    "media_audio_stats", "minhash_lsh_pairs", "dedup_incremental",
+    "boilerplate_line_scrub", "simhash_pairs", "lsh_ann_topk",
+    "ivf_ann_topk", "embedding_near_dups_strict", "dedup_clusters",
+    "doc_hash_split", "top_tokens_per_lang", "source_token_budget",
+    "doc_token_familiarity", "temperature_mixture_sample",
+    "dedup_kept_corpus", "doc_ngram_novelty", "srp_diverse_sample",
+    "events_sliding_1h30m", "events_interval_join", "events_funnel",
+    "events_asof_purchase_view", "lqy_query1", "lqy_query2",
+    "lqy_query3", "merge_upsert_orders", "merge_parts_orders",
+]
+
+# The 50-slot r10 window: the one red r9 row re-gates first
+# (oracle-side HUGEINT/BIGINT cast, fixed this round), then the two
+# never-gated ANN index gates, the new split-mode gate, the 26
+# stalest green rows (r6 cohort, last green r6), and 20 slots of
+# r7-cohort rotation FIFO.
+_R10_WINDOW = (["bpe_pair_stats"] + _R10_FRONT + _R10_NEW
+               + _R6_GREEN[17:] + _R7_GREEN[:20])
+
 
 def _reorder() -> None:
-    listed = set(_R9_WINDOW) | set(_R10_FRONT) | set(_R6_GREEN)
+    listed = set(_R10_WINDOW) | set(_R7_GREEN)
     ordered = (
-        [n for n in _R9_WINDOW if n in QUERIES]
-        + [n for n in _R10_FRONT if n in QUERIES]
-        + [n for n in _R6_GREEN[17:] if n in QUERIES]
-        # r7/r8-green tail (and anything newly registered but
+        [n for n in _R10_WINDOW if n in QUERIES]
+        + [n for n in _R7_GREEN[20:] if n in QUERIES]
+        # r8/r9-green tail (and anything newly registered but
         # unlisted - none expected while growth is frozen):
         # registration order.
         + [n for n in QUERIES if n not in listed]

@@ -169,6 +169,78 @@ def events_daily_ewma_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The scan family's THIRD routing mode (mode="split") under the same
+# hash-exact recipe: a composite series key makes two event types
+# oversized (full-month daily series) and shards the rest into short
+# per-week series, so one ewma_scan call routes hot keys through the
+# ranged carry machinery AND the tail through grouped, unions, and
+# must still equal the sequential recursive CTE bit for bit (r9
+# verdict item 5 - split mode had pytest + probe evidence but no
+# driver row).
+
+
+@register(
+    "events_daily_ewma_split",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT CASE WHEN event_type IN ('click', 'error') THEN event_type
+                  ELSE event_type || '#w'
+                       || CAST((EXTRACT(DAY FROM ts) - 1) // 7 AS VARCHAR)
+             END AS skey,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ), idx AS (
+      SELECT skey, day, x,
+             ROW_NUMBER() OVER (PARTITION BY skey ORDER BY day) AS rn
+      FROM daily
+    ), rec AS (
+      SELECT skey, day, rn, x, x AS s FROM idx WHERE rn = 1
+      UNION ALL
+      SELECT i.skey, i.day, i.rn, i.x,
+             CAST(0.5 AS DOUBLE) * r.s + CAST(0.5 AS DOUBLE) * i.x
+      FROM idx i JOIN rec r
+        ON i.skey = r.skey AND i.rn = r.rn + 1
+    )
+    SELECT skey, day, CAST(x AS BIGINT) AS daily_events, s AS ewma
+    FROM rec
+    ORDER BY skey, day
+    """,
+    operators=("A1", "W1"),
+)
+def events_daily_ewma_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`ewma_scan(mode="split")` end-to-end under the driver hash: the
+    numerous-keys-AND-oversized-keys shape. 'click'/'error' keep their
+    whole daily series (30 points, above the gate's split_threshold=25
+    at every SF: the events table spans one month) -> routed RANGED
+    (two-phase carry chain live); the other three types shard into
+    per-week keys (<= 7 points each, ~15 cold keys) -> routed GROUPED
+    (per-key hash partition, zero driver state); the union faces the
+    oracle's sequential recursive CTE.
+
+    Hash-exactness is events_daily_ewma_vec's dyadic argument
+    verbatim: integer daily counts < 2^10, series <= 30 points (one
+    fold chunk at alpha=1/2), every power/rescale an exact
+    power-of-two scale, all partial sums exact integers < 2^53 - so
+    vectorized fold = scalar recurrence = the CTE, bit for bit, on
+    BOTH routes and across the ranged blocks' carry handoffs."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor((F.dayofmonth("ts") - F.lit(1)) / F.lit(7))
+    skey = (F.when(F.col("event_type").isin("click", "error"),
+                   F.col("event_type"))
+            .otherwise(F.concat(F.col("event_type"), F.lit("#w"),
+                                week.cast("string"))))
+    daily = (ev.groupBy(skey.alias("skey"), F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("daily_events")))
+    sm = ewma_scan(daily, "skey", "day", "daily_events", alpha=0.5,
+                   mode="split", split_threshold=25)
+    return (sm.select("skey", "day",
+                      F.col("daily_events").cast("long")
+                      .alias("daily_events"), "ewma")
+            .orderBy("skey", "day"))
+
+
+# ---------------------------------------------------------------------------
 # First-order Markov transition matrix over per-user event sequences.
 
 

@@ -1278,7 +1278,7 @@ def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), pc AS (
       SELECT syms[CAST(i AS INT)] AS x,
              syms[CAST(i AS INT) + 1] AS y,
-             SUM(freq) AS n
+             CAST(SUM(freq) AS BIGINT) AS n
       FROM sy, unnest(range(1, len(syms))) AS u(i)
       GROUP BY 1, 2
     )

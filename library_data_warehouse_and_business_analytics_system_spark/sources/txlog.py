@@ -716,6 +716,16 @@ def _visible_parts(table: str,
     return _replay_parts(cp, entries, table, as_of)
 
 
+def tx_part_values(table: str, as_of: int | None = None) -> list[str]:
+    """Sorted partition values with at least one visible data dir —
+    commit-log metadata only, no file listing or scan. Callers that
+    prune with ``tx_read_parts(part_values=…)`` intersect their
+    candidate set with this to avoid the raise-on-empty path (e.g. an
+    IVF probe whose every probed cell happens to be empty)."""
+    return sorted(v for v, ds in _visible_parts(table, as_of).items()
+                  if ds)
+
+
 def tx_read_parts(spark: SparkSession, table: str,
                   as_of: int | None = None,
                   as_of_ts: float | None = None,

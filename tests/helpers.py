@@ -50,6 +50,20 @@ def assert_frames_match(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if av.dtype.kind == "f" or bv.dtype.kind == "f":
+            # The driver's hash is TYPE-sensitive: an int64 column on
+            # one side and a float64 on the other (the DuckDB
+            # HUGEINT-for-SUM class — r8's returnflag_priority_counts
+            # and r9's bpe_pair_stats red rows) hash differently even
+            # when every value is equal. Coercing both sides to
+            # float64 here hid exactly that, so refuse the coercion
+            # when the dtype KINDS disagree.
+            assert av.dtype.kind == bv.dtype.kind or (
+                av.dtype.kind in "iu") == (bv.dtype.kind in "iu"), (
+                f"{name}: column {c!r} dtype-kind mismatch: "
+                f"spark={av.dtype} oracle={bv.dtype} — the driver hash "
+                f"rejects int-vs-float even when values are equal; add "
+                f"a CAST in the oracle (or the plan) so the types agree"
+            )
             av = av.astype("float64")
             bv = bv.astype("float64")
             both_nan = np.isnan(av) & np.isnan(bv)

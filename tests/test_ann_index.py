@@ -257,9 +257,12 @@ def test_maintain_rebuilds_on_tombstone_pressure(spark, sf_dir, tmp_path):
     want = brute_force_topk(live, queries, "embedding", "vec_id", k=10)
     assert _rows(before) == _rows(want)
 
+    # truncate_log=True models the coordinated case: this test owns
+    # the only writer, so no stream can redeliver pre-truncation txns
     report = ann_index_maintain(spark, root, rebuild_tombstone_frac=0.2,
                                 dim=_DIM, n_cells=_CELLS, max_iter=2,
-                                seed=7, vacuum_retention_sec=0.0)
+                                seed=7, vacuum_retention_sec=0.0,
+                                truncate_log=True)
     assert report["rebuilt"] and report["tombstone_frac"] > 0.2
     assert report["tables_maintained"] == 3
     # physical garbage gone
@@ -282,3 +285,103 @@ def test_maintain_rebuilds_on_tombstone_pressure(spark, sf_dir, tmp_path):
     report2 = ann_index_maintain(spark, root, rebuild_tombstone_frac=0.2,
                                  dim=_DIM, n_cells=_CELLS)
     assert not report2["rebuilt"] and report2["tombstone_frac"] <= 0.2
+
+
+def test_upsert_validate_rejects_cross_cell_move(spark, sf_dir, tmp_path):
+    """validate=True enforces the documented cell-move constraint: an
+    existing id re-embedded into a DIFFERENT cell raises (nothing
+    commits) instead of silently leaving the stale copy in the old
+    cell; a same-cell re-embedding still upserts fine."""
+    import pytest
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_read_parts,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    asg = tx_read_parts(spark, f"{root}/assignments").select("id", "cell")
+    a, b = None, None
+    for r in asg.limit(200).collect():
+        if a is None:
+            a = r
+        elif r["cell"] != a["cell"]:
+            b = r
+            break
+    assert a is not None and b is not None, "need two distinct cells"
+
+    by_id = {r["vec_id"]: r["embedding"]
+             for r in emb.filter(F.col("vec_id").isin(a["id"], b["id"]))
+             .collect()}
+    # id a re-embedded with b's vector -> lands in b's cell: a move
+    moved = spark.createDataFrame(
+        [(a["id"], by_id[b["id"]])], "vec_id bigint, embedding array<double>")
+    n_before = ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0]
+    with pytest.raises(ValueError, match="different cell"):
+        ann_index_upsert(spark, root, moved, "vec_id", "embedding",
+                         validate=True)
+    n_after = ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0]
+    assert n_before == n_after  # nothing committed
+
+    # same-cell update passes validation and does not duplicate
+    same = spark.createDataFrame(
+        [(a["id"], by_id[a["id"]])], "vec_id bigint, embedding array<double>")
+    ann_index_upsert(spark, root, same, "vec_id", "embedding",
+                     validate=True)
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == n_before
+
+
+def test_query_over_empty_probed_cells_returns_empty(spark, sf_dir,
+                                                     tmp_path):
+    """A probe set whose every cell is physically absent returns an
+    EMPTY result (correct schema) instead of tx_read_parts's
+    no-visible-partition FileNotFoundError; partial overlap degrades
+    to the surviving cells' candidates."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_part_values,
+        tx_read_parts,
+        tx_write_parts,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    asg_t = f"{root}/assignments"
+    cells = [int(v) for v in tx_part_values(asg_t)]
+    assert len(cells) >= 2
+    keep = cells[0]
+    # shrink the index to ONE physical cell (centroids unchanged), so
+    # every other cell's nearest-centroid probes hit absent partitions
+    only = tx_read_parts(spark, asg_t).filter(F.col("cell") == keep)
+    tx_write_parts(only, asg_t, part_col="cell", mode="overwrite")
+    assert tx_part_values(asg_t) == [str(keep)]
+
+    # a query vector whose single-probe (nearest-centroid) cell is
+    # now absent: with n_probe=1 the probe set is entirely empty
+    absent_q = emb.limit(50)
+    from library_data_warehouse_and_business_analytics_system_spark.operators.ann_index import (
+        _load_centroids, _nearest_cells,
+    )
+    cents = _load_centroids(spark, root)
+    cand = absent_q.select(
+        "vec_id", _nearest_cells(F.col("embedding"), cents, 1)[0]
+        .cell.alias("c0")).filter(F.col("c0") != keep).limit(1).collect()
+    assert cand, "expected at least one query probing an absent cell"
+    probe_q = emb.filter(F.col("vec_id") == cand[0]["vec_id"])
+
+    got = ann_index_query(spark, root, probe_q, "vec_id", "embedding",
+                          k=5, n_probe=1)
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "neighbor_id", "cos", "rank"]
+
+    # full probe still works: candidates come from the surviving cell
+    full = ann_index_query(spark, root, probe_q, "vec_id", "embedding",
+                           k=5, n_probe=_CELLS)
+    assert full.count() > 0

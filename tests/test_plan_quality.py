@@ -141,33 +141,30 @@ def test_aggregates_have_partial_phase(plans):
         assert p.count("HashAggregate") >= 2, name
 
 
-# The round whose 50-slot window the committed registry ordering
-# encodes. The green-set derivation below MUST exclude CORRECTNESS
-# artifacts from this round and later: the window is planned from the
-# rounds that exist when it is committed, and the driver landing the
-# window's own artifact would otherwise flip this test red by
-# construction (the r8 verdict's "stale by construction" bug).
-_WINDOW_ROUND = 9
-
-
 def test_registry_gate_ordering():
     """The driver's correctness gate truncates at 50 rows (observed in
-    round 1), so the registry order IS the rotation schedule. Round-9
-    plan (r8 verdict items 1/3/5/6): the red returnflag row re-gates
-    first, the 28-query never-gated backlog follows, then the four
-    gates registered this round, then 17 slots of oldest-green (r6
-    cohort) rotation."""
+    round 1), so the registry order IS the rotation schedule. Round-10
+    plan (r9 verdict items 1/3/5): the red bpe_pair_stats row re-gates
+    first, the two never-gated ANN index gates and the new split-mode
+    gate follow, then 46 rotation slots (26 r6-cohort + 20 r7-cohort,
+    stalest first). The green-set cutoff derives from the SAME module
+    that encodes the window (plans.WINDOW_ROUND), so the two cannot
+    drift apart (the r8/r9 stale-constant bug class): artifacts from
+    the window's own round and later are its output, not its planning
+    input, and are excluded."""
     from library_data_warehouse_and_business_analytics_system_spark.plans import (
         _R6_GREEN,
-        _R9_FRONT,
-        _R9_NEW,
-        _R9_WINDOW,
+        _R7_GREEN,
+        _R10_FRONT,
+        _R10_NEW,
+        _R10_WINDOW,
+        WINDOW_ROUND,
     )
 
     names = list(QUERIES)
     # the committed window is exactly the first 50 registry entries
-    assert names[:50] == _R9_WINDOW
-    assert len(_R9_WINDOW) == 50
+    assert names[:50] == _R10_WINDOW
+    assert len(_R10_WINDOW) == 50
     # green rows recorded by rounds BEFORE the window's round (later
     # artifacts are this window's own output, not planning input)
     import json
@@ -175,24 +172,32 @@ def test_registry_gate_ordering():
 
     repo = Path(__file__).resolve().parents[1]
     green: set[str] = set()
+    last_green: dict[str, int] = {}
     artifacts = [p for p in repo.glob("CORRECTNESS_r*.json")
-                 if int(p.stem.split("_r")[1]) < _WINDOW_ROUND]
+                 if int(p.stem.split("_r")[1]) < WINDOW_ROUND]
     for f in artifacts:
+        rnd = int(f.stem.split("_r")[1])
         for q, r in json.load(open(f)).items():
             if (r.get("rows_match") and r.get("schema_match")
                     and r.get("hash_match") and not r.get("err")):
                 green.add(q)
+                last_green[q] = max(last_green.get(q, 0), rnd)
     if green:
-        # the never-gated backlog and this round's new gates really
-        # have no prior green row; the re-gated red row is not green
-        assert [q for q in _R9_FRONT if q in green] == []
-        assert [q for q in _R9_NEW if q in green] == []
-        assert "returnflag_priority_counts" not in green
+        # the never-gated front and this round's new gate really have
+        # no prior green row; the re-gated red row is not green
+        assert [q for q in _R10_FRONT if q in green] == []
+        assert [q for q in _R10_NEW if q in green] == []
+        assert "bpe_pair_stats" not in green
         # the rotation slots refresh only ever-green queries (no slot
-        # wasted on a query that still needs pytest-only coverage)
-        assert [q for q in _R9_WINDOW[33:] if q not in green] == []
-        # and the ever-green cohorts rotate behind, oldest first
-        assert set(_R6_GREEN) <= green
+        # wasted on a query that still needs pytest-only coverage)...
+        assert [q for q in _R10_WINDOW[4:] if q not in green] == []
+        # ...and pick the STALEST cohorts: every rotated row's newest
+        # green is r6/r7, and nothing outside the window is staler
+        assert all(last_green[q] <= 7 for q in _R10_WINDOW[4:])
+        behind = [q for q in names[50:] if q in last_green]
+        assert all(last_green[q] >= 7 for q in behind)
+        assert set(_R6_GREEN[17:]) <= green
+        assert set(_R7_GREEN) <= green
 
 
 def test_broadcast_joins_for_dimensions(plans):

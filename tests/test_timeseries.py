@@ -455,3 +455,28 @@ def test_split_10m_point_key_bounded_partitions(spark):
     fin = res.filter((F.col("k") != "hot") & (F.col("t") == 1)).agg(
         F.count("*").alias("c"), F.sum("run_sum").alias("s")).first()
     assert fin["c"] == n_tail and fin["s"] == 4.0 * n_tail
+
+
+def test_ewma_split_gate_routes_both_branches(spark, sf_dir):
+    """The events_daily_ewma_split gate's frame really exercises BOTH
+    split routes: click/error (30-point daily series) are above the
+    gate's threshold=25 and go ranged; every per-week shard key stays
+    below it and goes grouped."""
+    from pyspark.sql import functions as F
+
+    from library_data_warehouse_and_business_analytics_system_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor((F.dayofmonth("ts") - F.lit(1)) / F.lit(7))
+    skey = (F.when(F.col("event_type").isin("click", "error"),
+                   F.col("event_type"))
+            .otherwise(F.concat(F.col("event_type"), F.lit("#w"),
+                                week.cast("string"))))
+    daily = (ev.groupBy(skey.alias("skey"), F.to_date("ts").alias("day"))
+             .agg(F.count(F.lit(1)).alias("daily_events")))
+    hot, rest = _split_oversized(daily, "skey", threshold=25)
+    hot_keys = {r["skey"] for r in hot.select("skey").distinct().collect()}
+    rest_keys = {r["skey"]
+                 for r in rest.select("skey").distinct().collect()}
+    assert hot_keys == {"click", "error"}
+    assert rest_keys and all("#w" in k for k in rest_keys)
