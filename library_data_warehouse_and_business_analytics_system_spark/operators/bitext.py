@@ -1,0 +1,165 @@
+"""Margin-based parallel-pair mining (bitext mining) over embedding
+columns — the neighborhood-normalized retrieval criterion from the
+public LASER/CCMatrix line of work (Artetxe & Schwenk 2019, "Margin-
+based Parallel Corpus Mining"): a candidate pair (x, y) scores
+
+    margin(x, y) = cos(x, y) / ((avg_k cos(x, NN_k(x, B))
+                                 + avg_k cos(y, NN_k(y, A))) / 2)
+
+i.e. raw cosine divided by the mean similarity of each side's own
+k-nearest neighborhood. Dividing by the local density is what makes
+the criterion robust to hubness: a "hub" vector that is close to
+EVERYTHING has a high neighborhood average and therefore a LOW margin
+to any one candidate, while a genuinely parallel pair towers over
+both sparse neighborhoods. Plain cosine top-1 (``cosine_topk``)
+cannot express this — the score of a pair depends on the other
+candidates of both endpoints.
+
+Extension surface (no reference parity): the reference warehouse
+(Oracle library DW) has no embedding mining; this operator belongs to
+the training-data-pipeline family next to ``operators/dedup.py`` and
+``operators/similarity.py``.
+
+Scale posture (100 TB): the pair set is the whole cost. The default
+``pairs=None`` brute-forces A×B with the smaller side broadcast —
+correct at any size but quadratic, so it is the ORACLE-FACING posture
+(exact, gate-sized). At corpus scale, pass ``pairs=`` the candidate
+set from the ANN layer (``operators/ann_index.py`` probes or
+``operators/similarity.lsh_topk`` buckets): the margin is then
+computed over each id's candidate list exactly as the public mining
+pipelines do (forward+backward kNN over FAISS shards). Everything
+downstream of the pair set is one window per direction — partitioned
+by src/tgt id, per-partition size = candidates per id (k' from the
+ANN stage), so no reducer ever serializes — plus two broadcast-sized
+neighborhood-sum joins.
+
+Determinism: cosines ride the left-fold HOF dot (bit-reproducible,
+``functions/vectors.py``), the k-neighborhood sums ride
+DECIMAL(30,15) (exact, order-independent — the repo-wide float-sum
+convention), and every rank breaks ties on the neighbor id, so the
+mined set is bit-stable under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.vectors import cosine_from_norms, l2_norm_sq
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str, side: str) -> DataFrame:
+    """Rename to side-local columns and precompute norm² once per ROW
+    (one array pass per side instead of two per PAIR)."""
+    return df.select(
+        F.col(id_col).alias(f"{side}_id"),
+        F.col(vec_col).alias(f"_{side}_vec"),
+        l2_norm_sq(F.col(vec_col)).alias(f"_{side}_nsq"),
+    )
+
+
+def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding", k: int = 4,
+                threshold: float = 1.0,
+                pairs: DataFrame | None = None,
+                snap_decimals: int | None = None) -> DataFrame:
+    """Mine high-margin pairs from side ``a`` into side ``b``.
+
+    For every scored pair the margin is computed against BOTH
+    endpoints' k-nearest-neighborhood averages (ratio flavor); the
+    result keeps, per ``src_id``, the single best-margin target with
+    ``margin >= threshold``.
+
+    ``snap_decimals`` quantizes the margin to a 10^-d grid with the
+    pure-IEEE floor quantizer (floor(x*s + 0.5)/s — the repo-wide
+    snap idiom, see plans/llm_ops.py covariance gate) BEFORE the
+    best-pair rank and threshold. The DECIMAL(30,15) casts inside the
+    neighborhood sums round an engine's double at the 15th digit, and
+    Spark and DuckDB can disagree there by one ulp; ranking and
+    filtering on the snapped margin keeps the mined SET (not just the
+    printed value) bit-stable across engines. d=6 is far below any
+    mining-quality-relevant resolution.
+
+    ``pairs`` overrides the candidate set: a DataFrame with columns
+    ``(src_id, _src_vec, _src_nsq, tgt_id, _tgt_vec, _tgt_nsq)`` as
+    produced by an ANN candidate stage (see module docstring). When
+    None, the exact A×B cross product is scored with the ``b`` side
+    broadcast — the gate/oracle posture.
+
+    Returns ``(src_id, tgt_id, cos, margin)`` — margin normalized so
+    1.0 means "exactly as similar as the average of both
+    neighborhoods"; parallel-pair thresholds sit above 1.
+    """
+    if pairs is None:
+        # The A-side of a broadcast cross join inherits A's scan
+        # partitioning — a gate-sized A is ONE parquet split, which
+        # would run the whole pair-scoring stage on one core. Spread
+        # it to the session's shuffle width first.
+        try:
+            n_parts = int(a.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_parts = a.sparkSession.sparkContext.defaultParallelism
+        pairs = (_prep(a, id_col, vec_col, "src").repartition(n_parts)
+                 .crossJoin(F.broadcast(_prep(b, id_col, vec_col, "tgt"))))
+
+    scored = pairs.select(
+        "src_id", "tgt_id",
+        cosine_from_norms(
+            F.aggregate(
+                F.zip_with("_src_vec", "_tgt_vec",
+                           lambda x, y: x.cast("double") * y.cast("double")),
+                F.lit(0.0), lambda acc, x: acc + x),
+            F.col("_src_nsq"), F.col("_tgt_nsq"),
+        ).alias("cos"),
+    )
+
+    ws = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
+    wt = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
+    # BOTH direction ranks ride one lineage (Exchange(src) -> Window ->
+    # Exchange(tgt) -> Window) so the three consumers below share the
+    # exchanges via ReusedExchange and the pair scoring runs ONCE —
+    # deriving each rank from `scored` separately would re-evaluate
+    # the cross join per consumer.
+    ranked = (scored
+              .withColumn("_rs", F.row_number().over(ws))
+              .withColumn("_rt", F.row_number().over(wt)))
+    dec = F.col("cos").cast("decimal(30,15)")
+    # forward/backward k-neighborhood sums; DECIMAL so the sum is
+    # exact and order-independent (the driver hashes these through
+    # the margin). |A| + |B| rows -> broadcast-sized.
+    s_src = (ranked.where(F.col("_rs") <= k)
+             .groupBy("src_id").agg(F.sum(dec).alias("_s_src"),
+                                    F.count(F.lit(1)).alias("_n_src")))
+    s_tgt = (ranked.where(F.col("_rt") <= k)
+             .groupBy("tgt_id").agg(F.sum(dec).alias("_s_tgt"),
+                                    F.count(F.lit(1)).alias("_n_tgt")))
+
+    # margin = cos / ((s_src/n_src + s_tgt/n_tgt) / 2); with full
+    # neighborhoods (n = k) this folds to 2k*cos / (s_src + s_tgt) —
+    # kept in that integer-scaled form so after the exact DECIMAL
+    # sums are cast to double ONCE, every later op is int*double /
+    # double, bit-identical across engines (DECIMAL x anything
+    # arithmetic has engine-specific precision rules, the
+    # search_ops.py:63 trap family).
+    denom = (F.col("_s_src").cast("double") * F.col("_n_tgt")
+             + F.col("_s_tgt").cast("double") * F.col("_n_src"))
+    margin = (F.lit(2) * F.col("_n_src") * F.col("_n_tgt")
+              * F.col("cos") / denom)
+    if snap_decimals is not None:
+        scale = F.lit(float(10 ** snap_decimals))
+        margin = (F.floor(margin * scale + F.lit(0.5)).cast("double")
+                  / scale)
+    mined = (
+        ranked
+        .join(F.broadcast(s_src), "src_id")
+        .join(F.broadcast(s_tgt), "tgt_id")
+        .withColumn("margin", margin)
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("src_id")
+            .orderBy(F.desc("margin"), F.asc("tgt_id"))))
+        .where((F.col("_rn") == 1) & (F.col("margin") >= F.lit(threshold)))
+        .select("src_id", "tgt_id", "cos", "margin")
+    )
+    return mined

@@ -168,11 +168,18 @@ _R7_GREEN = [
 _R10_WINDOW = (["bpe_pair_stats"] + _R10_FRONT + _R10_NEW
                + _R6_GREEN[17:] + _R7_GREEN[:20])
 
+# Registered at the r10 close, pinned immediately after the window so
+# they front the r11 rotation (the _R9_FRONT/_R10_FRONT convention):
+# margin-based bitext mining (operators/bitext.py) and the
+# merge-schema snapshot read (the one txlog axis without a driver row).
+_R11_FRONT = ["bitext_margin_pairs", "orders_schema_evolution"]
+
 
 def _reorder() -> None:
-    listed = set(_R10_WINDOW) | set(_R7_GREEN)
+    listed = set(_R10_WINDOW) | set(_R11_FRONT) | set(_R7_GREEN)
     ordered = (
         [n for n in _R10_WINDOW if n in QUERIES]
+        + [n for n in _R11_FRONT if n in QUERIES]
         + [n for n in _R7_GREEN[20:] if n in QUERIES]
         # r8/r9-green tail (and anything newly registered but
         # unlisted - none expected while growth is frozen):

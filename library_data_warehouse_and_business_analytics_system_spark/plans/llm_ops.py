@@ -2470,3 +2470,83 @@ def embedding_covariance_spectrum(spark: SparkSession, sf_dir: str,
     return (spec.select("label", "n", snap("trace"), snap("top_eig"),
                         snap("effective_rank"))
             .orderBy("label"))
+
+
+# ---------------------------------------------------------------------------
+# Margin-based bitext mining (the LASER/CCMatrix criterion): raw
+# cosine normalized by BOTH endpoints' k-neighborhood averages, so
+# hub vectors stop winning every retrieval. The oracle replicates the
+# whole pipeline — pair cosines on the same left-fold dot, k-NN sums
+# on DECIMAL(30,15) (exact, order-independent), the int-scaled margin
+# arithmetic (2*n_src*n_tgt*cos / (s_src*n_tgt + s_tgt*n_src), every
+# post-DECIMAL op int*double/double so it is bit-identical across
+# engines), and the per-src best-margin pick — so a green row
+# certifies scoring, both neighborhood directions, and the mining cut
+# bit-for-bit. Scale posture in operators/bitext.py: the A-x-B brute
+# pair set is the oracle-facing gate posture; at corpus scale the
+# pair set comes from the ANN layer via the pairs= override.
+
+
+@register(
+    "bitext_margin_pairs",
+    f"""
+    WITH a AS (
+      SELECT vec_id AS src_id, embedding AS av FROM embeddings
+      WHERE vec_id % 2 = 0 AND vec_id < 1000
+    ), b AS (
+      SELECT vec_id AS tgt_id, embedding AS bv FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), scored AS (
+      SELECT src_id, tgt_id,
+             {_DOT.format(a='av', b='bv')}
+               / nullif(sqrt({_DOT.format(a='av', b='av')})
+                        * sqrt({_DOT.format(a='bv', b='bv')}), 0) AS cos
+      FROM a, b
+    ), s_src AS (
+      SELECT src_id, SUM(CAST(cos AS DECIMAL(30,15))) AS s_src,
+             COUNT(*) AS n_src
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cos DESC, tgt_id) AS r
+            FROM scored) WHERE r <= 4 GROUP BY src_id
+    ), s_tgt AS (
+      SELECT tgt_id, SUM(CAST(cos AS DECIMAL(30,15))) AS s_tgt,
+             COUNT(*) AS n_tgt
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                         ORDER BY cos DESC, src_id) AS r
+            FROM scored) WHERE r <= 4 GROUP BY tgt_id
+    ), m AS (
+      SELECT s.src_id, s.tgt_id, s.cos,
+             FLOOR(2 * n_src * n_tgt * s.cos
+                     / (CAST(s_src AS DOUBLE) * n_tgt
+                        + CAST(s_tgt AS DOUBLE) * n_src)
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(1000000 AS DOUBLE) AS margin
+      FROM scored s
+      JOIN s_src USING (src_id) JOIN s_tgt USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cos, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, tgt_id) AS rn
+      FROM m) WHERE rn = 1 AND margin >= CAST(1 AS DOUBLE)
+    ORDER BY src_id
+    """,
+    operators=("BITEXT-MARGIN", "ANN-BRUTE", "W2", "J5", "A1"),
+    bench=False,
+)
+def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine even-id -> odd-id high-margin pairs from the embeddings
+    table (sides play the two languages; the even side is capped at
+    vec_id < 1000 so the exact pair set grows sub-quadratically with
+    sf). k=4 neighborhoods, ratio margin, threshold 1.0 (= "strictly
+    better than the average of both neighborhoods")."""
+    from ..operators.bitext import margin_mine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        margin_mine(
+            emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000)),
+            emb.where(F.col("vec_id") % 2 == 1),
+            id_col="vec_id", vec_col="embedding", k=4, threshold=1.0,
+            snap_decimals=6)
+        .orderBy("src_id")
+    )

@@ -1425,3 +1425,75 @@ def parts_skipping_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
         .orderBy("o_year", "o_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution under the driver hash: the one transactional-layer
+# axis with pytest coverage (tests/test_txlog.py / test_txlog_parts.py
+# merge-schema appends) but no driver row until now. The gate runs
+# the REAL write path — two appends with DIFFERENT schemas (the later
+# one adds a column), then a merge_schema=True snapshot read where the
+# pre-evolution generation surfaces the new column as NULL — and the
+# oracle states the outcome as a UNION ALL with an explicit NULL
+# column. Reference parity: ALTER TABLE ... ADD COLUMN on a loaded
+# warehouse followed by a full scan; format-level, Delta's
+# mergeSchema-on-read contract. Scale: schema evolution is
+# metadata-only on write (no rewrite of old generations); the read
+# pays one schema-union across file footers.
+
+
+@register(
+    "orders_schema_evolution",
+    """
+    WITH evolved AS (
+      SELECT o_orderkey, o_totalprice,
+             CAST(NULL AS VARCHAR) AS o_priority_class
+      FROM orders WHERE year(o_orderdate) <= 1996
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, substr(o_orderpriority, 1, 1)
+      FROM orders WHERE year(o_orderdate) >= 1997
+    )
+    SELECT COALESCE(o_priority_class, '(pre-evolution)') AS priority_class,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM evolved
+    GROUP BY COALESCE(o_priority_class, '(pre-evolution)')
+    ORDER BY priority_class
+    """,
+    operators=("TX-SCHEMA-EVOLUTION", "S1", "A1"),
+)
+def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append orders ≤1996 with the base schema, then ≥1997 with an
+    extra o_priority_class column; a merge_schema=True read must
+    surface the old generation with NULLs and aggregate across both.
+    A green row certifies the schema-union read path bit-for-bit
+    (rows, NULL fill, and the evolved column's values)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sources.txlog import tx_read, tx_write
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("tp"),
+        "o_orderpriority")
+    root = tempfile.mkdtemp(prefix="txse_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_se"
+    tx_write(orders.filter(F.col("o_year") <= 1996)
+             .select("o_orderkey", "tp"), t, mode="append")
+    tx_write(orders.filter(F.col("o_year") >= 1997)
+             .select("o_orderkey", "tp",
+                     F.substring("o_orderpriority", 1, 1)
+                     .alias("o_priority_class")),
+             t, mode="append")
+    return (
+        tx_read(spark, t, merge_schema=True)
+        .groupBy(F.coalesce("o_priority_class", F.lit("(pre-evolution)"))
+                 .alias("priority_class"))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
+        .orderBy("priority_class")
+    )

@@ -1,0 +1,135 @@
+"""Margin-based bitext mining (operators/bitext.py): numpy
+differential on the full pipeline, the hubness property the margin
+criterion exists for, and the ANN ``pairs=`` override path."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from library_data_warehouse_and_business_analytics_system_spark.operators.bitext import (
+    _prep,
+    margin_mine,
+)
+
+SCHEMA = StructType([
+    StructField("vec_id", LongType()),
+    StructField("embedding", ArrayType(FloatType())),
+])
+
+
+def _mk(spark, vecs: np.ndarray, ids=None):
+    ids = ids if ids is not None else range(len(vecs))
+    rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, vecs)]
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _numpy_margin(a: np.ndarray, b: np.ndarray, k: int):
+    """Reference margins: cos / mean of both endpoints' top-k. Inputs
+    pass through float32 first — the operator reads array<float>
+    columns, so its doubles start from the float32-rounded values."""
+    a = a.astype(np.float32).astype(np.float64)
+    b = b.astype(np.float32).astype(np.float64)
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    cos = an @ bn.T  # |A| x |B|
+    top_a = np.sort(cos, axis=1)[:, ::-1][:, :k].mean(axis=1)
+    top_b = np.sort(cos, axis=0)[::-1][:k, :].mean(axis=0)
+    return cos / ((top_a[:, None] + top_b[None, :]) / 2.0)
+
+
+def test_margin_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a, b = rng.normal(size=(20, 8)), rng.normal(size=(30, 8))
+    got = {
+        r["src_id"]: (r["tgt_id"], r["margin"])
+        for r in margin_mine(_mk(spark, a), _mk(spark, b, ids=range(100, 130)),
+                             k=4, threshold=0.0).collect()
+    }
+    ref = _numpy_margin(a, b, k=4)
+    assert len(got) == 20  # threshold 0 keeps every src's best pair
+    for i in range(20):
+        j = int(np.argmax(ref[i]))
+        tgt, m = got[i]
+        assert tgt == 100 + j
+        assert math.isclose(m, ref[i, j], rel_tol=1e-9), (i, m, ref[i, j])
+
+
+def test_threshold_filters_and_sorting_is_deterministic(spark):
+    rng = np.random.default_rng(11)
+    a, b = rng.normal(size=(16, 8)), rng.normal(size=(16, 8))
+    full = margin_mine(_mk(spark, a), _mk(spark, b), k=3,
+                       threshold=0.0).collect()
+    cut = sorted(r["margin"] for r in full)[len(full) // 2]
+    kept = margin_mine(_mk(spark, a), _mk(spark, b), k=3,
+                       threshold=cut).collect()
+    assert {r["src_id"] for r in kept} == {
+        r["src_id"] for r in full if r["margin"] >= cut}
+    # bit-stable under re-evaluation (shuffled partitioning)
+    again = margin_mine(_mk(spark, a), _mk(spark, b), k=3,
+                        threshold=cut).collect()
+    assert sorted(map(tuple, kept)) == sorted(map(tuple, again))
+
+
+def test_hub_vector_loses_to_mutual_pair(spark):
+    """The property plain cosine top-1 lacks: a hub close to
+    everything has a high neighborhood average, so its margin to any
+    one target is low, while an isolated mutual pair keeps margin >>
+    1 even at a LOWER raw cosine."""
+    dim = 8
+    base = np.zeros((1, dim)); base[0, 0] = 1.0
+    # hub: b-targets all near e0 -> the a-side hub's top-k avg ~ its cos
+    hub_a = base.copy()
+    b_near = np.tile(base, (6, 1)) + 0.05 * np.random.default_rng(3).normal(
+        size=(6, dim))
+    # mutual pair on an axis nobody else uses
+    pair_a = np.zeros((1, dim)); pair_a[0, 3] = 1.0
+    pair_b = np.zeros((1, dim)); pair_b[0, 3] = 0.8; pair_b[0, 4] = 0.6
+    a = np.vstack([hub_a, pair_a])
+    b = np.vstack([b_near, pair_b])
+    out = {r["src_id"]: r for r in margin_mine(
+        _mk(spark, a), _mk(spark, b, ids=range(100, 107)),
+        k=3, threshold=0.0).collect()}
+    hub, pair = out[0], out[1]
+    assert pair["cos"] < max(
+        r["cos"] for r in [hub])  # the hub's raw cosine is higher...
+    assert pair["margin"] > hub["margin"]  # ...but the margin flips
+
+
+def test_pairs_override_matches_brute_when_candidates_cover_topk(spark):
+    """The ANN-candidate path: restricting pairs to each src's true
+    top-8 cosine candidates (a superset of k=3 neighborhoods on the
+    src side plus the winning pair) must reproduce the brute winners
+    for every src whose backward neighborhood is also covered. We
+    check the degenerate-complete case: candidates = all pairs,
+    passed through the pairs= interface."""
+    rng = np.random.default_rng(23)
+    a, b = rng.normal(size=(10, 8)), rng.normal(size=(12, 8))
+    da, db = _mk(spark, a), _mk(spark, b, ids=range(50, 62))
+    brute = margin_mine(da, db, k=3, threshold=0.0).collect()
+    pairs = (_prep(da, "vec_id", "embedding", "src")
+             .crossJoin(F.broadcast(_prep(db, "vec_id", "embedding", "tgt"))))
+    via_pairs = margin_mine(da, db, k=3, threshold=0.0,
+                            pairs=pairs).collect()
+    assert sorted(map(tuple, brute)) == sorted(map(tuple, via_pairs))
+
+
+def test_snap_decimals_quantizes_margin(spark):
+    rng = np.random.default_rng(5)
+    a, b = rng.normal(size=(8, 8)), rng.normal(size=(8, 8))
+    out = margin_mine(_mk(spark, a), _mk(spark, b), k=2, threshold=0.0,
+                      snap_decimals=6).collect()
+    assert out
+    for r in out:
+        assert r["margin"] == pytest.approx(
+            math.floor(r["margin"] * 1e6 + 0.5) / 1e6, abs=0.0)
