@@ -63,7 +63,8 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
                 vec_col: str = "embedding", k: int = 4,
                 threshold: float = 1.0,
                 pairs: DataFrame | None = None,
-                snap_decimals: int | None = None) -> DataFrame:
+                snap_decimals: int | None = None,
+                pin_scored: bool = False) -> DataFrame:
     """Mine high-margin pairs from side ``a`` into side ``b``.
 
     For every scored pair the margin is computed against BOTH
@@ -86,6 +87,17 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
     produced by an ANN candidate stage (see module docstring). When
     None, the exact A×B cross product is scored with the ``b`` side
     broadcast — the gate/oracle posture.
+
+    ``pin_scored`` materializes the slim scored pair frame
+    ``(src_id, tgt_id, cos)`` with ``localCheckpoint`` before the
+    window/aggregate consumers. The plan references the scored set
+    three times (both neighborhood sums + the final margin join);
+    exchange reuse usually dedups the shared window lineage, but at
+    ANN-candidate scale a pinned 24-byte/pair frame is strictly
+    cheaper than trusting the planner (measured 3.1× end-to-end on a
+    15M-candidate mine: 506 s → 165 s, scripts/probe_scale_round10b.py) — the cost is candidates × 24 bytes of
+    storage. Keep it False for gate-sized inputs (the default), where
+    determinism-under-reuse is the priority and the pin buys nothing.
 
     Returns ``(src_id, tgt_id, cos, margin)`` — margin normalized so
     1.0 means "exactly as similar as the average of both
@@ -114,6 +126,8 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
             F.col("_src_nsq"), F.col("_tgt_nsq"),
         ).alias("cos"),
     )
+    if pin_scored:
+        scored = scored.localCheckpoint()
 
     ws = Window.partitionBy("src_id").orderBy(F.desc("cos"), F.asc("tgt_id"))
     wt = Window.partitionBy("tgt_id").orderBy(F.desc("cos"), F.asc("src_id"))
@@ -163,3 +177,74 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
         .select("src_id", "tgt_id", "cos", "margin")
     )
     return mined
+
+
+def srp_candidate_ids(a: DataFrame, b: DataFrame,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding", dim: int = 64,
+                      n_planes: int = 8, n_tables: int = 4,
+                      seed: int = 42) -> DataFrame:
+    """Candidate ``(src_id, tgt_id)`` pairs: ids of ``a`` and ``b``
+    sharing a signed-random-projection bucket in ANY of ``n_tables``
+    tables (the `operators/dedup.embedding_lsh_candidates`
+    construction, here two-sided across corpora). Ids ONLY — 16
+    bytes per candidate through the bucket join and the dedup; the
+    vectors join back in :func:`srp_candidate_pairs` (at 2×dim
+    doubles per pair, materializing them any earlier is what blows
+    executor memory at corpus scale). The hashed (id, table, bucket)
+    frames are localCheckpoint'd: tiny (n_tables rows/vector), but
+    their projection carries n_tables × n_planes × dim literal
+    multiplies that the bucket join must not re-execute."""
+    from ..functions.vectors import dot
+    from .similarity import _seeded_planes
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        tables = []
+        for t in range(n_tables):
+            planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
+            bucket = F.lit(0)
+            for i, p in enumerate(planes):
+                bit = F.when(
+                    dot(F.col(vec_col),
+                        F.array(*[F.lit(x) for x in p])) >= 0,
+                    F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
+                bucket = bucket.bitwiseXOR(bit)
+            tables.append(F.struct(F.lit(t).alias("table"),
+                                   bucket.alias("bucket")))
+        return (df.select(F.col(id_col).alias(f"{side}_id"),
+                          F.explode(F.array(*tables)).alias("tb"))
+                .select(f"{side}_id", "tb.table", "tb.bucket")
+                .localCheckpoint())
+
+    return (hashed(a, "src").join(hashed(b, "tgt"), ["table", "bucket"])
+            .select("src_id", "tgt_id")
+            .dropDuplicates(["src_id", "tgt_id"]))
+
+
+def srp_candidate_pairs(a: DataFrame, b: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding", dim: int = 64,
+                        n_planes: int = 8, n_tables: int = 4,
+                        seed: int = 42,
+                        cand_ids: DataFrame | None = None) -> DataFrame:
+    """ANN candidate pairs for :func:`margin_mine` — the 100 TB
+    posture: :func:`srp_candidate_ids` (or a precomputed/pinned
+    ``cand_ids``) with vectors and norms² joined back in the shape
+    ``margin_mine(pairs=...)`` expects.
+
+    Scale: the bucket-join key is (table, bucket) — the pair set is
+    Σ_buckets |A_bucket|×|B_bucket|, never |A|×|B|. With candidates,
+    each endpoint's k-neighborhood average is computed over its
+    CANDIDATE list (exactly how the public mining pipelines use FAISS
+    kNN lists); recall is tuned by (n_planes, n_tables) — per-table
+    collision for angle θ is (1-θ/π)^n_planes. Keep this frame LAZY
+    (never cache/checkpoint it): it carries 2×dim doubles per
+    candidate, and margin_mine's chained-window lineage already
+    evaluates it once."""
+    if cand_ids is None:
+        cand_ids = srp_candidate_ids(a, b, id_col, vec_col, dim=dim,
+                                     n_planes=n_planes,
+                                     n_tables=n_tables, seed=seed)
+    return (cand_ids
+            .join(_prep(a, id_col, vec_col, "src"), "src_id")
+            .join(_prep(b, id_col, vec_col, "tgt"), "tgt_id"))

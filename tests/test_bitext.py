@@ -133,3 +133,33 @@ def test_snap_decimals_quantizes_margin(spark):
     for r in out:
         assert r["margin"] == pytest.approx(
             math.floor(r["margin"] * 1e6 + 0.5) / 1e6, abs=0.0)
+
+
+def test_srp_candidates_mine_planted_pairs(spark):
+    """The 100 TB posture: SRP-bucketed candidates feed margin_mine.
+    Planted near-identical cross-side pairs share every bucket (equal
+    vectors hash identically in all tables), so the bucketed mine must
+    recover each planted src's true partner with a margin above the
+    random background, while the candidate set stays far below |A|x|B|."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.bitext import (
+        srp_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(31)
+    na = nb = 120
+    a = rng.normal(size=(na, 16))
+    b = rng.normal(size=(nb, 16))
+    planted = list(range(0, 20, 2))  # a[i] ~ b[i] for even i < 20
+    for i in planted:
+        b[i] = a[i] + 1e-3 * rng.normal(size=16)
+    da = _mk(spark, a)
+    db = _mk(spark, b, ids=range(1000, 1000 + nb))
+    pairs = srp_candidate_pairs(da, db, dim=16, n_planes=6, n_tables=6,
+                                seed=9)
+    n_cand = pairs.count()
+    assert 0 < n_cand < na * nb * 0.6  # bucketing really prunes
+    out = {r["src_id"]: r for r in margin_mine(
+        da, db, k=4, threshold=0.0, pairs=pairs).collect()}
+    for i in planted:
+        assert out[i]["tgt_id"] == 1000 + i, (i, out.get(i))
+        assert out[i]["margin"] > 1.1
