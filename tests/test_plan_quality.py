@@ -158,6 +158,7 @@ def test_registry_gate_ordering():
         _R10_FRONT,
         _R10_NEW,
         _R10_WINDOW,
+        _R11_FRONT,
         WINDOW_ROUND,
     )
 
@@ -165,6 +166,9 @@ def test_registry_gate_ordering():
     # the committed window is exactly the first 50 registry entries
     assert names[:50] == _R10_WINDOW
     assert len(_R10_WINDOW) == 50
+    # r10-close registrations pinned immediately after the window,
+    # fronting the r11 rotation (the _R9_FRONT/_R10_FRONT convention)
+    assert names[50:50 + len(_R11_FRONT)] == _R11_FRONT
     # green rows recorded by rounds BEFORE the window's round (later
     # artifacts are this window's own output, not planning input)
     import json
