@@ -16,6 +16,12 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 #: operators whose semantics are all-pairs / universe products — a
 #: cartesian (or broadcast nested loop) stage is the intended shape.
 CARTESIAN_OK = {
+    "bitext_margin_pairs",  # the exact A × B pair set IS the oracle
+                            # posture (margin over every pair); the
+                            # corpus-scale path is the SRP-bucketed
+                            # equi-join candidate stage
+                            # (srp_candidate_pairs), exercised in
+                            # tests/test_bitext.py
     "cosine_topk",          # query × corpus scoring
     "hard_negative_topk",   # query × corpus scoring, label-filtered
     "matryoshka_topk",      # stage 1 IS query × corpus scoring (on
