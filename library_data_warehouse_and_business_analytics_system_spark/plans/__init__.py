@@ -170,9 +170,12 @@ _R10_WINDOW = (["bpe_pair_stats"] + _R10_FRONT + _R10_NEW
 
 # Registered at the r10 close, pinned immediately after the window so
 # they front the r11 rotation (the _R9_FRONT/_R10_FRONT convention):
-# margin-based bitext mining (operators/bitext.py) and the
-# merge-schema snapshot read (the one txlog axis without a driver row).
-_R11_FRONT = ["bitext_margin_pairs", "orders_schema_evolution"]
+# margin-based bitext mining (operators/bitext.py), the merge-schema
+# snapshot read, and the composed maintenance cycle (checkpoint →
+# truncate → expire → vacuum over a merged partitioned table) — the
+# txlog axes without driver rows until now.
+_R11_FRONT = ["bitext_margin_pairs", "orders_schema_evolution",
+              "orders_maintenance_cycle"]
 
 
 def _reorder() -> None:

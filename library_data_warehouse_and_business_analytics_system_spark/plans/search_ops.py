@@ -1497,3 +1497,94 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
         .orderBy("priority_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# The full table-maintenance cycle under the driver hash. Individual
+# lifecycle steps each have a driver row (merge_parts_orders,
+# optimize_zorder_orders, txlog_time_travel, mor_delete_orders ...)
+# but their COMPOSITION — checkpoint → truncate the replayed log →
+# expire old checkpoints → vacuum unreferenced generations, the
+# nightly sequence plans/library/durable.maintain_warehouse runs — was
+# pytest-only. Vacuum is the one step that deletes data files, so the
+# gate reads the live snapshot AFTER the whole cycle: if truncation
+# dropped replay state, if the checkpoint missed a partition, or if
+# vacuum reclaimed a LIVE generation (instead of only the superseded
+# pre-merge partition generations), the read crashes or the hash
+# mismatches. Reference parity: the post-load housekeeping an Oracle
+# DBA runs after 07_SubsequentLoading.sql (log/segment cleanup);
+# format-level, Delta's CHECKPOINT + VACUUM contract.
+
+
+@register(
+    "orders_maintenance_cycle",
+    """
+    WITH b AS (
+      SELECT *, CAST('0x' || substr(md5('maint:' || CAST(o_orderkey AS VARCHAR)),
+                     1, 6) AS INTEGER) % 37 AS bkt
+      FROM orders
+    ), adj AS (
+      SELECT o_orderkey, year(o_orderdate) AS o_year,
+             CASE WHEN bkt = 0 THEN o_totalprice + 5.0
+                  ELSE o_totalprice END AS tp
+      FROM b
+    )
+    SELECT CAST(o_year AS INT) AS o_year, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(tp AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM adj GROUP BY o_year ORDER BY o_year
+    """,
+    operators=("TX-MAINTAIN", "TX-VACUUM", "S5", "A1"),
+)
+def orders_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-partitioned orders txlog table → partition-scoped merge
+    (bucket-0 keys +5, superseding those years' generations) → the
+    full maintenance cycle (checkpoint, truncate_log, expire
+    checkpoints to 1, vacuum at retention 0) → aggregate the live
+    snapshot. The oracle states the post-merge table directly; a green
+    row certifies the cycle leaves the live generation bit-identical
+    while the log shrinks to O(1) files and the superseded pre-merge
+    partition dirs are reclaimed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..functions.text import md5_bucket
+    from ..sources.txlog import (
+        tx_checkpoint,
+        tx_expire_checkpoints,
+        tx_merge_parts,
+        tx_read_parts,
+        tx_truncate_log,
+        tx_vacuum,
+        tx_write_parts,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"),
+        F.col("o_totalprice").alias("tp"))
+    root = tempfile.mkdtemp(prefix="txmc_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    t = f"{root}/orders_mc"
+    tx_write_parts(orders, t, "o_year", mode="overwrite")
+
+    bkt = md5_bucket(F.col("o_orderkey").cast("string"), 37, salt="maint:")
+    upd = orders.where(bkt == 0).withColumn("tp", F.col("tp") + 5.0)
+    tx_merge_parts(spark, t, upd, keys=["o_orderkey"], part_col="o_year",
+                   update_cols=["tp"])
+
+    tx_checkpoint(t)
+    tx_truncate_log(t)
+    tx_expire_checkpoints(t, keep=1)
+    tx_vacuum(t, retention_sec=0.0)
+
+    return (
+        tx_read_parts(spark, t)
+        .groupBy("o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(F.col("tp").cast("decimal(18,4)")), 2)
+             .cast("double").alias("total_price"))
+        .select(F.col("o_year").cast("int").alias("o_year"),
+                "n_orders", "total_price")
+        .orderBy("o_year")
+    )

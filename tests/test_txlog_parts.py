@@ -454,3 +454,47 @@ def test_partitioned_timestamp_time_travel(spark, tmp_path, monkeypatch):
             tx_read_parts(spark, t, as_of_ts=25.0).collect()} == {1, 2}
     with pytest.raises(ValueError, match="not both"):
         tx_read_parts(spark, t, as_of=1, as_of_ts=15.0)
+
+
+def test_maintenance_cycle_reclaims_superseded_generations(spark, tmp_path):
+    """The composed nightly cycle the orders_maintenance_cycle gate
+    runs (checkpoint → truncate → expire → vacuum at retention 0)
+    must actually SHRINK state — log folds to O(1) files, the merged
+    years' superseded partition dirs are reclaimed — while the live
+    snapshot stays row-identical and the untouched year's parquet
+    stays byte-identical."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_expire_checkpoints,
+    )
+
+    t = str(tmp_path / "orders_mc")
+    base = _orders(spark, [(1, 2019, 10.0), (2, 2019, 20.0),
+                           (3, 2020, 30.0), (4, 2021, 40.0)])
+    tx_write_parts(base, t, "o_year", mode="overwrite")
+    tx_merge_parts(spark, t,
+                   _orders(spark, [(1, 2019, 15.0), (3, 2020, 35.0)]),
+                   keys=["o_orderkey"], part_col="o_year",
+                   update_cols=["o_total"])
+    before = _file_digests(t)
+    want = sorted(map(tuple, tx_read_parts(spark, t).collect()))
+
+    tx_checkpoint(t)
+    tx_truncate_log(t)
+    tx_expire_checkpoints(t, keep=1)
+    removed = tx_vacuum(t, retention_sec=0.0)
+
+    # the pre-merge 2019/2020 generations are reclaimable; 2021's
+    # live file is byte-identical
+    assert removed, "vacuum reclaimed nothing after a superseding merge"
+    after = _file_digests(t)
+    assert len(after) < len(before)
+    live_2021 = [p for p in after if "_part=2021" in p]
+    assert live_2021 and all(after[p] == before[p] for p in live_2021)
+    # log folded to O(1) files, snapshot identical
+    log_files = list((Path(t) / "_txlog").glob("*.json")) or \
+        list(Path(t).rglob("*.json"))
+    assert len(log_files) <= 3
+    got = sorted(map(tuple, tx_read_parts(spark, t).collect()))
+    assert got == want == sorted(
+        [(1, 2019, 15.0), (2, 2019, 20.0), (3, 2020, 35.0),
+         (4, 2021, 40.0)])
