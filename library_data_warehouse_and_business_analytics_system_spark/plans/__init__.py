@@ -18,21 +18,21 @@ from . import search_ops  # noqa: E402,F401
 # rows per round in registry order (observed truncation at 50 since
 # round 1), so the order below IS the rotation schedule.
 #
-# Round-10 window (_R10_WINDOW, 50 = the first 50 registry entries):
-#   1. bpe_pair_stats - the single red r9 row (oracle-side
-#      HUGEINT/BIGINT cast, values verified identical by the r9
-#      judge; oracle fixed this round) re-gates first.
-#   2. _R10_FRONT (2): the persisted-ANN-index gates registered at
-#      the r9 close, never driver-gated (judge-verified locally).
-#   3. _R10_NEW (1): events_daily_ewma_split - the scan family's
-#      mode="split" routing under the driver hash (r9 verdict item 5).
-#   4. 46 rotation slots, stalest first: the 26 remaining r6-cohort
-#      rows (last green r6), then 20 r7-cohort rows FIFO.
+# Round-11 window (_R11_WINDOW, 50 = the first 50 registry entries):
+#   1. _R11_FRONT (3): the r10-close registrations with no driver row
+#      yet (bitext_margin_pairs, orders_schema_evolution,
+#      orders_maintenance_cycle — judge-verified locally at sf0.01);
+#      gating them first restores "every registered query
+#      driver-green" (r10 verdict item 1).
+#   2. 47 rotation slots, stalest first: the whole 30-row r7-cohort
+#      tail (_R7_GREEN[20:], last green r7), then 17 r8-cohort rows
+#      FIFO (r10 verdict item 2).
 #
-# Behind the window: the rest of the r7 cohort (fronting r11's
-# rotation), then the r8/r9 cohorts in registration order - freshness
-# invariant: once the r10 rotation lands, no green row is older than
-# round 7, and r11+r12 retire the r7/r8 backlog on the same schedule.
+# Behind the window: the remaining 32 r8-cohort rows (fronting r12's
+# rotation), then the r9/r10 cohorts in registration order -
+# freshness invariant: once the r11 rotation lands, no green row is
+# older than round 8, and r12+r13 retire the r8/r9 backlog on the
+# same schedule.
 _R8_WINDOW = [
     # timeseries scans - operator rewritten this round (e33d79c)
     "events_daily_ewma", "events_daily_holt", "events_daily_cusum",
@@ -123,7 +123,7 @@ _R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 # The round whose 50-slot window the committed ordering encodes.
 # tests/test_plan_quality.py derives its green-set cutoff from THIS
 # constant (r9 verdict item 3: the manual duplicate went stale twice).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 
 # New gate registered in r10 (growth otherwise frozen; the r9 verdict
 # item 5 work item): ewma_scan's third routing mode (mode="split",
@@ -168,23 +168,41 @@ _R7_GREEN = [
 _R10_WINDOW = (["bpe_pair_stats"] + _R10_FRONT + _R10_NEW
                + _R6_GREEN[17:] + _R7_GREEN[:20])
 
-# Registered at the r10 close, pinned immediately after the window so
-# they front the r11 rotation (the _R9_FRONT/_R10_FRONT convention):
-# margin-based bitext mining (operators/bitext.py), the merge-schema
-# snapshot read, and the composed maintenance cycle (checkpoint →
-# truncate → expire → vacuum over a merged partitioned table) — the
-# txlog axes without driver rows until now.
+# Registered at the r10 close, pinned immediately after the r10
+# window so they front the r11 rotation (the _R9_FRONT/_R10_FRONT
+# convention): margin-based bitext mining (operators/bitext.py), the
+# merge-schema snapshot read, and the composed maintenance cycle
+# (checkpoint → truncate → expire → vacuum over a merged partitioned
+# table) — the txlog axes without driver rows until now.
 _R11_FRONT = ["bitext_margin_pairs", "orders_schema_evolution",
               "orders_maintenance_cycle"]
 
+# Queries whose newest driver-green row is round 8 (49 = the r8
+# window minus returnflag_priority_counts, which re-gated r9),
+# verified against CORRECTNESS_r01-r10: latest-green distribution is
+# exactly r7:30 / r8:49 / r9:49 / r10:50 with the 3 _R11_FRONT rows
+# never gated. FIFO = _R8_WINDOW registration order.
+_R8_GREEN = [n for n in _R8_WINDOW if n != "returnflag_priority_counts"]
+
+# The 50-slot r11 window (r10 verdict items 1-2): the 3 never-gated
+# r10-close registrations gate FIRST (restoring "every registered
+# query driver-green"), then 47 rotation slots stalest-first — the
+# whole 30-row r7-cohort tail plus 17 r8-cohort rows FIFO. After r11
+# lands, no green row is older than round 8; r12 retires the
+# remaining 32 r8 rows + the r9 cohort head on the same schedule.
+_R11_WINDOW = _R11_FRONT + _R7_GREEN[20:] + _R8_GREEN[:17]
+
+# No new gates registered this round (growth frozen at 181 since the
+# r10 close), so nothing is pinned behind the window fronting r12.
+_R12_FRONT: list[str] = []
+
 
 def _reorder() -> None:
-    listed = set(_R10_WINDOW) | set(_R11_FRONT) | set(_R7_GREEN)
+    listed = set(_R11_WINDOW) | set(_R8_GREEN)
     ordered = (
-        [n for n in _R10_WINDOW if n in QUERIES]
-        + [n for n in _R11_FRONT if n in QUERIES]
-        + [n for n in _R7_GREEN[20:] if n in QUERIES]
-        # r8/r9-green tail (and anything newly registered but
+        [n for n in _R11_WINDOW if n in QUERIES]
+        + [n for n in _R8_GREEN[17:] if n in QUERIES]
+        # r9/r10-green tail (and anything newly registered but
         # unlisted - none expected while growth is frozen):
         # registration order.
         + [n for n in QUERIES if n not in listed]
