@@ -64,7 +64,8 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
                 threshold: float = 1.0,
                 pairs: DataFrame | None = None,
                 snap_decimals: int | None = None,
-                pin_scored: bool = False) -> DataFrame:
+                pin_scored: bool = False,
+                broadcast_sums: bool | None = None) -> DataFrame:
     """Mine high-margin pairs from side ``a`` into side ``b``.
 
     For every scored pair the margin is computed against BOTH
@@ -99,10 +100,22 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
     storage. Keep it False for gate-sized inputs (the default), where
     determinism-under-reuse is the priority and the pin buys nothing.
 
+    ``broadcast_sums`` controls the join strategy for the two
+    neighborhood-sum frames (one row per distinct src/tgt id). Default
+    ``None`` = auto: HINT broadcast only on the brute ``pairs=None``
+    path, where |A| and |B| are gate-sized by construction; on the
+    ANN-candidate path the hint is OMITTED and Catalyst/AQE picks from
+    real stats — at the advertised corpus scale (billions of ids) a
+    forced hint would bypass the size threshold and OOM the executors,
+    while a small candidate set still auto-broadcasts under the
+    threshold. Pass True/False to override either way.
+
     Returns ``(src_id, tgt_id, cos, margin)`` — margin normalized so
     1.0 means "exactly as similar as the average of both
     neighborhoods"; parallel-pair thresholds sit above 1.
     """
+    if broadcast_sums is None:
+        broadcast_sums = pairs is None
     if pairs is None:
         # The A-side of a broadcast cross join inherits A's scan
         # partitioning — a gate-sized A is ONE parquet split, which
@@ -142,7 +155,8 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
     dec = F.col("cos").cast("decimal(30,15)")
     # forward/backward k-neighborhood sums; DECIMAL so the sum is
     # exact and order-independent (the driver hashes these through
-    # the margin). |A| + |B| rows -> broadcast-sized.
+    # the margin). One row per distinct src/tgt id — join strategy
+    # per `broadcast_sums` above.
     s_src = (ranked.where(F.col("_rs") <= k)
              .groupBy("src_id").agg(F.sum(dec).alias("_s_src"),
                                     F.count(F.lit(1)).alias("_n_src")))
@@ -165,10 +179,12 @@ def margin_mine(a: DataFrame, b: DataFrame, id_col: str = "vec_id",
         scale = F.lit(float(10 ** snap_decimals))
         margin = (F.floor(margin * scale + F.lit(0.5)).cast("double")
                   / scale)
+    if broadcast_sums:
+        s_src, s_tgt = F.broadcast(s_src), F.broadcast(s_tgt)
     mined = (
         ranked
-        .join(F.broadcast(s_src), "src_id")
-        .join(F.broadcast(s_tgt), "tgt_id")
+        .join(s_src, "src_id")
+        .join(s_tgt, "tgt_id")
         .withColumn("margin", margin)
         .withColumn("_rn", F.row_number().over(
             Window.partitionBy("src_id")
@@ -183,7 +199,8 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
                       id_col: str = "vec_id",
                       vec_col: str = "embedding", dim: int = 64,
                       n_planes: int = 8, n_tables: int = 4,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      bucket_cap: int | None = None) -> DataFrame:
     """Candidate ``(src_id, tgt_id)`` pairs: ids of ``a`` and ``b``
     sharing a signed-random-projection bucket in ANY of ``n_tables``
     tables (the `operators/dedup.embedding_lsh_candidates`
@@ -194,7 +211,26 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
     executor memory at corpus scale). The hashed (id, table, bucket)
     frames are localCheckpoint'd: tiny (n_tables rows/vector), but
     their projection carries n_tables × n_planes × dim literal
-    multiplies that the bucket join must not re-execute."""
+    multiplies that the bucket join must not re-execute.
+
+    ``bucket_cap`` bounds the one scale-killer in the bucket join:
+    its pair set is Σ_buckets |A_b|×|B_b|, and a skewed corpus (many
+    near-identical vectors — exactly what a dedup-adjacent pipeline
+    sees) can blow a single bucket to O(n²). With a cap, each
+    (table, bucket, side) keeps at most ``bucket_cap`` ids, ranked by
+    a per-table seeded ``xxhash64`` of the id — a deterministic
+    pseudo-random survivor sample, so the per-table-bucket pair count
+    is ≤ cap², the whole candidate set ≤ n_tables × cap² × n_buckets,
+    and re-runs are bit-stable. Recall trade, documented: an over-cap
+    bucket is a dense near-duplicate cluster; each table re-samples
+    it INDEPENDENTLY (the hash is salted by table), so a true pair
+    whose endpoints share every table's bucket survives some table
+    with probability 1-(1-(cap/n)²)^n_tables, and the survivors still
+    represent the cluster for mining purposes. None (default) keeps
+    the exact union — the gate/probe posture on bounded corpora; set
+    it (e.g. 256) for open-world corpora. The cap's row_number window
+    partitions by (table, bucket) over id-only rows, streaming — a
+    degenerate bucket costs one task's scan, never its pair set."""
     from ..functions.vectors import dot
     from .similarity import _seeded_planes
 
@@ -204,17 +240,28 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
             planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
             bucket = F.lit(0)
             for i, p in enumerate(planes):
+                # each plane contributes a DISTINCT power-of-two bit;
+                # OR accumulates them (ADVICE r10: XOR was only
+                # correct by that disjointness — OR states the intent
+                # and survives a changed bit derivation)
                 bit = F.when(
                     dot(F.col(vec_col),
                         F.array(*[F.lit(x) for x in p])) >= 0,
                     F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
-                bucket = bucket.bitwiseXOR(bit)
+                bucket = bucket.bitwiseOR(bit)
             tables.append(F.struct(F.lit(t).alias("table"),
                                    bucket.alias("bucket")))
-        return (df.select(F.col(id_col).alias(f"{side}_id"),
-                          F.explode(F.array(*tables)).alias("tb"))
-                .select(f"{side}_id", "tb.table", "tb.bucket")
-                .localCheckpoint())
+        out = (df.select(F.col(id_col).alias(f"{side}_id"),
+                         F.explode(F.array(*tables)).alias("tb"))
+               .select(f"{side}_id", "tb.table", "tb.bucket"))
+        if bucket_cap is not None:
+            w = Window.partitionBy("table", "bucket").orderBy(
+                F.xxhash64(F.col(f"{side}_id"), F.col("table"),
+                           F.lit(seed)),
+                F.col(f"{side}_id"))
+            out = (out.withColumn("_bn", F.row_number().over(w))
+                   .where(F.col("_bn") <= bucket_cap).drop("_bn"))
+        return out.localCheckpoint()
 
     return (hashed(a, "src").join(hashed(b, "tgt"), ["table", "bucket"])
             .select("src_id", "tgt_id")
@@ -226,7 +273,8 @@ def srp_candidate_pairs(a: DataFrame, b: DataFrame,
                         vec_col: str = "embedding", dim: int = 64,
                         n_planes: int = 8, n_tables: int = 4,
                         seed: int = 42,
-                        cand_ids: DataFrame | None = None) -> DataFrame:
+                        cand_ids: DataFrame | None = None,
+                        bucket_cap: int | None = None) -> DataFrame:
     """ANN candidate pairs for :func:`margin_mine` — the 100 TB
     posture: :func:`srp_candidate_ids` (or a precomputed/pinned
     ``cand_ids``) with vectors and norms² joined back in the shape
@@ -244,7 +292,8 @@ def srp_candidate_pairs(a: DataFrame, b: DataFrame,
     if cand_ids is None:
         cand_ids = srp_candidate_ids(a, b, id_col, vec_col, dim=dim,
                                      n_planes=n_planes,
-                                     n_tables=n_tables, seed=seed)
+                                     n_tables=n_tables, seed=seed,
+                                     bucket_cap=bucket_cap)
     return (cand_ids
             .join(_prep(a, id_col, vec_col, "src"), "src_id")
             .join(_prep(b, id_col, vec_col, "tgt"), "tgt_id"))

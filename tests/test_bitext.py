@@ -125,14 +125,108 @@ def test_pairs_override_matches_brute_when_candidates_cover_topk(spark):
 
 
 def test_snap_decimals_quantizes_margin(spark):
+    """Snapped margins must equal round-half-up(unsnapped, 6) — the
+    cross-engine grid contract. Comparing against the UNSNAPPED run on
+    the same data (ADVICE r10) pins the rounding DIRECTION: idempotence
+    alone would also pass for truncation or round-half-down."""
     rng = np.random.default_rng(5)
     a, b = rng.normal(size=(8, 8)), rng.normal(size=(8, 8))
+    raw = {(r["src_id"], r["tgt_id"]): r["margin"]
+           for r in margin_mine(_mk(spark, a), _mk(spark, b), k=2,
+                                threshold=0.0).collect()}
     out = margin_mine(_mk(spark, a), _mk(spark, b), k=2, threshold=0.0,
                       snap_decimals=6).collect()
     assert out
+    rounded_up = 0
     for r in out:
-        assert r["margin"] == pytest.approx(
-            math.floor(r["margin"] * 1e6 + 0.5) / 1e6, abs=0.0)
+        m_raw = raw[(r["src_id"], r["tgt_id"])]
+        # the exact half-up quantizer, evaluated in Python on the
+        # unsnapped value
+        assert r["margin"] == math.floor(m_raw * 1e6 + 0.5) / 1e6
+        # and it is a fixed point of itself (grid membership)
+        assert r["margin"] == math.floor(r["margin"] * 1e6 + 0.5) / 1e6
+        if (m_raw * 1e6) % 1.0 >= 0.5:
+            rounded_up += 1
+            # truncation would have produced the grid point BELOW
+            assert r["margin"] > math.floor(m_raw * 1e6) / 1e6
+    # the rounding direction was actually exercised (some fractional
+    # part >= .5 existed in the sample)
+    assert rounded_up > 0
+
+
+def test_half_boundary_rounds_up(spark):
+    """An exact .5-boundary margin must round UP (half-up, the floor
+    (x*s+0.5)/s idiom), not to-even or down. Construct it: identical
+    unit vectors everywhere make every cosine 1.0, every neighborhood
+    average 1.0, margin exactly 1.0 — then snap at d=6 must return
+    1.0 exactly, and the same idiom applied to the adjacent
+    half-boundary values agrees with Python's half-up."""
+    dim = 4
+    v = np.zeros((3, dim)); v[:, 0] = 1.0
+    out = margin_mine(_mk(spark, v), _mk(spark, v, ids=range(10, 13)),
+                      k=2, threshold=0.0, snap_decimals=6).collect()
+    assert out and all(r["margin"] == 1.0 for r in out)
+    # the quantizer idiom itself, at true .5 boundaries
+    for x, want in [(1.0000005, 1.000001), (0.9999995, 1.0)]:
+        assert math.floor(x * 1e6 + 0.5) / 1e6 == want
+
+
+def test_bucket_cap_bounds_degenerate_corpus(spark):
+    """A planted degenerate corpus — 60 IDENTICAL vectors per side —
+    lands every copy in one shared bucket per table; uncapped that is
+    a 3.6k-pair bucket (O(n²) in the cluster size, the r10 verdict's
+    scale-killer). With bucket_cap the candidate set is bounded by
+    n_tables x cap² plus the background, deterministic across runs,
+    and distinct planted pairs are still mined."""
+    from library_data_warehouse_and_business_analytics_system_spark.operators.bitext import (
+        srp_candidate_ids,
+        srp_candidate_pairs,
+    )
+
+    rng = np.random.default_rng(41)
+    n_dup, n_bg, dim = 60, 40, 16
+    dup = np.zeros((1, dim)); dup[0, 2] = 1.0
+    a_bg = rng.normal(size=(n_bg, dim))
+    b_bg = rng.normal(size=(n_bg, dim))
+    # a distinct planted pair away from the duplicate cluster
+    a_bg[0] = 0.0; a_bg[0, 7] = 1.0
+    b_bg[0] = a_bg[0] + 1e-3 * rng.normal(size=dim)
+    a = np.vstack([np.tile(dup, (n_dup, 1)), a_bg])
+    b = np.vstack([np.tile(dup, (n_dup, 1)), b_bg])
+    da = _mk(spark, a)
+    db = _mk(spark, b, ids=range(1000, 1000 + len(b)))
+
+    n_tables, cap = 4, 8
+    uncapped = srp_candidate_ids(da, db, dim=dim, n_planes=6,
+                                 n_tables=n_tables, seed=13).count()
+    assert uncapped >= n_dup * n_dup  # the degenerate blow-up is real
+
+    capped_ids = srp_candidate_ids(da, db, dim=dim, n_planes=6,
+                                   n_tables=n_tables, seed=13,
+                                   bucket_cap=cap)
+    n_capped = capped_ids.count()
+    # cluster contribution bounded by n_tables x cap² (dedup can only
+    # shrink it); background pairs are sparse
+    assert n_capped < n_tables * cap * cap + 200
+    assert n_capped < uncapped
+    # deterministic survivor sample: bit-stable across re-evaluation
+    s1 = sorted(map(tuple, capped_ids.collect()))
+    s2 = sorted(map(tuple, srp_candidate_ids(
+        da, db, dim=dim, n_planes=6, n_tables=n_tables, seed=13,
+        bucket_cap=cap).collect()))
+    assert s1 == s2
+    # mining still recovers the distinct planted pair (its bucket is
+    # not the over-cap one), and the capped cluster still yields
+    # identical-vector pairs (cos == 1) for surviving members
+    pairs = srp_candidate_pairs(da, db, dim=dim, n_planes=6,
+                                n_tables=n_tables, seed=13,
+                                bucket_cap=cap)
+    out = {r["src_id"]: r for r in margin_mine(
+        da, db, k=4, threshold=0.0, pairs=pairs).collect()}
+    planted_src = n_dup  # a_bg[0]'s id
+    assert out[planted_src]["tgt_id"] == 1000 + n_dup
+    assert any(r["cos"] > 0.999999 for i, r in out.items()
+               if i < n_dup)
 
 
 def test_srp_candidates_mine_planted_pairs(spark):
