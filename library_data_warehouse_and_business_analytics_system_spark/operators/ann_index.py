@@ -22,7 +22,10 @@ band index, ``operators/dedup_index.py``):
   partition-scoped-merge them into only the touched cells
   (``tx_merge_parts``: untouched cells' parquet stays byte-identical,
   read/write cost proportional to the delta). ``txn_id`` passes
-  through for exactly-once ingest under redelivery.
+  through for exactly-once ingest under redelivery. Cross-cell moves
+  (a re-embedded id whose max-dot cell changed) either raise under
+  ``validate=True`` or, with ``on_move="reroute"``, evict the stale
+  copy and place the new one in ONE atomic commit.
 - **delete** — merge-on-read tombstones: ids append to a tiny deletes
   table (no assignment partition read or rewritten), queries anti-join
   them out, upserting a deleted id resurrects it, and a rebuild folds
@@ -128,10 +131,42 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
                    part_col="cell", mode="overwrite")
 
 
+def _upsert_with_moves(spark: SparkSession, asg_t: str, delta: DataFrame,
+                       moved: DataFrame, txn_id: str | None) -> int:
+    """One atomic ``replace_parts`` commit that both EVICTS each moved
+    id's stale copy from its old cell and upserts the delta: the
+    touched-partition set is the delta's cells UNION the moved ids'
+    old cells (carried by marker rows whose vec/norm are never staged
+    — tx_merge_parts only reads the source's partition values), and
+    the combine step anti-joins the evictions out of the current rows
+    before the standard upsert. An old cell left empty stages no dir
+    and replays as a reset (tx_merge_parts's delete-capable merge_fn
+    contract), so the move degrades to a plain insert elsewhere."""
+    from ..operators.merge import merge_upsert
+
+    evict = moved.withColumnRenamed("stored_cell", "cell")
+    touch = delta.unionByName(
+        evict.select(
+            "id",
+            F.lit(None).cast(delta.schema["vec"].dataType).alias("vec"),
+            F.lit(None).cast("double").alias("norm_sq"),
+            "cell"))
+
+    def combine(current: DataFrame, _src: DataFrame) -> DataFrame:
+        kept = current.join(evict, ["id", "cell"], "left_anti")
+        return merge_upsert(kept, delta, ["id"],
+                            update_cols=["vec", "norm_sq"])
+
+    return tx_merge_parts(spark, asg_t, touch, keys=["id"],
+                          part_col="cell", merge_fn=combine,
+                          txn_id=txn_id)
+
+
 def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
                      id_col: str, vec_col: str,
                      txn_id: str | None = None,
-                     validate: bool = False) -> int:
+                     validate: bool = False,
+                     on_move: str = "error") -> int:
     """Merge new/updated vectors into the index under the EXISTING
     quantizer: assign to the current centroids, then partition-scoped
     merge — only the cells receiving vectors are read and rewritten.
@@ -140,43 +175,71 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
 
     Constraint (inherited from tx_merge_parts's partition-immutability
     contract): updating an existing id with a vector whose max-dot
-    cell DIFFERS from its stored cell is not supported through upsert
-    — the old copy would survive in the unread old cell and queries
-    probing both cells would return the id twice. Re-embedding that
-    moves vectors across cells is a rebuild (:func:`ann_index_build`),
-    which is also when the quantizer itself should be retrained.
+    cell DIFFERS from its stored cell is not handled by the default
+    merge — the old copy would survive in the unread old cell and
+    queries probing both cells would return the id twice.
 
-    ``validate=True`` ENFORCES that constraint instead of trusting the
-    caller: an ids-only, column-pruned scan of the existing
-    assignments (id + the partition value — never the vectors) is
-    anti-checked against the delta's assignments, and a cross-cell
-    move raises ``ValueError`` naming offending ids BEFORE anything
-    commits. Cost is one metadata-light scan of (id, cell) over the
-    index, so it is opt-in: turn it on for re-embedding ingest paths
-    where moves are plausible, leave it off for append-mostly streams."""
+    ``on_move`` picks the policy for such cross-cell moves:
+
+    - ``"error"`` (default): with ``validate=True``, an ids-only,
+      column-pruned scan of the existing assignments (id + the
+      partition value — never the vectors) is anti-checked against the
+      delta's assignments, and a move raises ``ValueError`` naming
+      offending ids BEFORE anything commits, directing the caller to a
+      rebuild. With ``validate=False`` the caller is trusted
+      (append-mostly streams skip the scan entirely).
+    - ``"reroute"``: moves are HANDLED — the stale copy is physically
+      evicted from its old cell and the new copy upserted into its new
+      cell in the SAME atomic ``replace_parts`` commit (readers never
+      see zero or two copies; ``txn_id`` idempotence and the
+      optimistic-concurrency check cover the whole move). The
+      streaming re-embedding path: continuous ingest keeps upserting
+      while the quantizer ages, and only a DRIFTED quantizer (cells no
+      longer fitting the data — watch :func:`ann_index_cell_stats`)
+      forces a rebuild. Costs the same (id, cell) scan as
+      ``validate=True`` plus a read+rewrite of the moved ids' OLD
+      cells (partition-scoped: proportional to the cells touched by
+      the delta and the moves, never the corpus)."""
+    if on_move not in ("error", "reroute"):
+        raise ValueError(
+            f"ann_index_upsert: unknown on_move={on_move!r} "
+            "(expected 'error' or 'reroute')")
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
     delta = _assign(new_vectors, id_col, vec_col, cents)
-    if validate:
+    moved = None
+    if validate or on_move == "reroute":
         existing = tx_read_parts(spark, asg_t).select(
             "id", F.col("cell").alias("stored_cell"))
         moved = (delta.select("id", "cell").join(existing, "id")
                  .filter(F.col("cell") != F.col("stored_cell")))
-        sample = moved.limit(5).collect()
-        if sample:
-            detail = ", ".join(
-                f"{r['id']!r}: {r['stored_cell']}->{r['cell']}"
-                for r in sample)
-            raise ValueError(
-                "ann_index_upsert: re-embedded id(s) moved to a "
-                f"different cell ({detail}); upsert cannot evict the "
-                "stale copy from the old cell's partition - rebuild "
-                "the index (ann_index_build) to move vectors across "
-                "cells")
-    cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
-                         part_col="cell",
-                         update_cols=["vec", "norm_sq"],
-                         txn_id=txn_id)
+        if on_move == "reroute":
+            # pin the moved set (bounded by |delta|): it drives the
+            # touched-partition set, the eviction anti-join, and must
+            # not be recomputed against post-commit state
+            moved = moved.select("id", "stored_cell").localCheckpoint()
+            if not moved.limit(1).count():
+                moved = None
+        else:
+            sample = moved.limit(5).collect()
+            if sample:
+                detail = ", ".join(
+                    f"{r['id']!r}: {r['stored_cell']}->{r['cell']}"
+                    for r in sample)
+                raise ValueError(
+                    "ann_index_upsert: re-embedded id(s) moved to a "
+                    f"different cell ({detail}); upsert cannot evict "
+                    "the stale copy from the old cell's partition - "
+                    "rebuild the index (ann_index_build), or opt into "
+                    "on_move='reroute' to move them atomically")
+            moved = None
+    if moved is not None:
+        cid = _upsert_with_moves(spark, asg_t, delta, moved, txn_id)
+    else:
+        cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
+                             part_col="cell",
+                             update_cols=["vec", "norm_sq"],
+                             txn_id=txn_id)
     # resurrect: an upserted id sheds any tombstone. Runs AFTER the
     # merge commit; a crash between the two is healed on redelivery
     # (the merge no-ops via txn_id, the tombstone clear re-runs) and

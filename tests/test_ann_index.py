@@ -336,6 +336,84 @@ def test_upsert_validate_rejects_cross_cell_move(spark, sf_dir, tmp_path):
         F.sum("n_vectors")).first()[0] == n_before
 
 
+def test_upsert_reroute_moves_id_across_cells(spark, sf_dir, tmp_path):
+    """on_move='reroute' (r10 verdict item 6): a re-embedded id whose
+    max-dot cell changed is EVICTED from its old cell and upserted
+    into the new one in ONE atomic commit — afterwards the id is
+    queryable in its new cell only (exactly one copy anywhere), the
+    index row count is unchanged, and a moveless reroute upsert
+    degrades to the plain merge."""
+    from library_data_warehouse_and_business_analytics_system_spark.sources.txlog import (
+        tx_latest_id,
+        tx_read_parts,
+    )
+
+    emb = _emb(spark, sf_dir)
+    root = str(tmp_path / "idx")
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=_DIM, n_cells=_CELLS, max_iter=2, seed=7)
+    asg_t = f"{root}/assignments"
+    asg = tx_read_parts(spark, asg_t).select("id", "cell")
+    a, b = None, None
+    for r in asg.limit(200).collect():
+        if a is None:
+            a = r
+        elif r["cell"] != a["cell"]:
+            b = r
+            break
+    assert a is not None and b is not None, "need two distinct cells"
+    by_id = {r["vec_id"]: r["embedding"]
+             for r in emb.filter(F.col("vec_id").isin(a["id"], b["id"]))
+             .collect()}
+
+    n_before = ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0]
+    v_before = tx_latest_id(asg_t)
+    moved = spark.createDataFrame(
+        [(a["id"], by_id[b["id"]])],
+        "vec_id bigint, embedding array<double>")
+    ann_index_upsert(spark, root, moved, "vec_id", "embedding",
+                     on_move="reroute", txn_id="move-1")
+    # ONE commit, atomically covering evict + place
+    assert tx_latest_id(asg_t) == v_before + 1
+    # redelivery of the same micro-batch commits nothing new
+    ann_index_upsert(spark, root, moved, "vec_id", "embedding",
+                     on_move="reroute", txn_id="move-1")
+    assert tx_latest_id(asg_t) == v_before + 1
+
+    # exactly one copy, in the NEW cell only
+    copies = (tx_read_parts(spark, asg_t)
+              .filter(F.col("id") == a["id"]).collect())
+    assert len(copies) == 1
+    assert copies[0]["cell"] == b["cell"]
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == n_before
+    # a full-probe query for the moved vector finds the id ONCE, and
+    # at cosine 1 (the stored vector really is the new embedding)
+    got = ann_index_query(
+        spark, root,
+        spark.createDataFrame([(999999, by_id[b["id"]])],
+                              "vec_id bigint, embedding array<double>"),
+        "vec_id", "embedding", k=5, n_probe=_CELLS).collect()
+    hits = [r for r in got if r["neighbor_id"] == a["id"]]
+    assert len(hits) == 1 and hits[0]["cos"] > 0.999999
+
+    # a moveless reroute upsert is a plain merge (no eviction path)
+    same = spark.createDataFrame(
+        [(b["id"], by_id[b["id"]])],
+        "vec_id bigint, embedding array<double>")
+    ann_index_upsert(spark, root, same, "vec_id", "embedding",
+                     on_move="reroute")
+    assert ann_index_cell_stats(spark, root).agg(
+        F.sum("n_vectors")).first()[0] == n_before
+
+    # unknown policy is rejected up front
+    import pytest
+    with pytest.raises(ValueError, match="on_move"):
+        ann_index_upsert(spark, root, same, "vec_id", "embedding",
+                         on_move="tombstone")
+
+
 def test_query_over_empty_probed_cells_returns_empty(spark, sf_dir,
                                                      tmp_path):
     """A probe set whose every cell is physically absent returns an
