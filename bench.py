@@ -28,6 +28,49 @@ from library_data_warehouse_and_business_analytics_system_spark.plans import QUE
 from library_data_warehouse_and_business_analytics_system_spark.session import get_spark
 
 
+def _host_speed() -> dict:
+    """~1 s code-independent host-speed stamp (VERDICT r10 item 4):
+    cross-round adjudication of uniform bench slowdowns was a manual
+    ROUND*.md footnote; recording it in every artifact makes it
+    mechanical. Two axes: numpy matmul ≈ BLAS/SIMD throughput, a
+    pure-Python loop ≈ interpreter speed + CPU steal (the r10 builder
+    host at idle measured 14.5 GFLOPs at 2048³ single-thread-equiv /
+    1.67 s per 10M iterations — expect proportional values here)."""
+    out: dict[str, float] = {}
+    try:
+        import numpy as np
+        a = np.ones((1024, 1024))
+        a @ a  # warm the BLAS dispatch path
+        t0 = time.perf_counter()
+        for _ in range(4):
+            a @ a
+        dt = time.perf_counter() - t0
+        out["numpy_matmul_gflops"] = round(4 * 2 * 1024**3 / dt / 1e9, 2)
+    except Exception:  # pragma: no cover - numpy always present here
+        pass
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(5_000_000):
+        x += i
+    out["pyloop_5m_sec"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+# Budget-pressure shedding anchors (VERDICT r10 item 3): the r10
+# driver host ran ~1.4x slower than the committed trio's and the 840 s
+# budget dropped 98 of 181 pass-1 breadth timings — coverage must shed
+# LAST. The projections below scale the r10A idle-run section costs
+# (BENCH_FULL_r10A.json: avg headliner 1.15 s, pipeline section ~40 s,
+# pinned 3x block ~110 s, breadth single pass ~1.7x the headliner
+# average per query) by the measured headliner average, and each
+# fixed-cost section is shed when the projection says pass-1 breadth
+# would not fit without it. Every shed is recorded in the JSON.
+_REF_AVG_HEADLINER_SEC = 1.15
+_REF_PIPELINE_SEC = 40.0
+_REF_PINNED_SEC = 110.0
+_TAIL_PER_QUERY_VS_HEADLINER = 1.7
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -45,6 +88,7 @@ def main() -> None:
         load1_start = os.getloadavg()[0]
     except OSError:  # pragma: no cover - non-POSIX
         load1_start = None
+    speed = _host_speed()   # before the JVM: unpolluted by executors
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -99,6 +143,7 @@ def main() -> None:
         "mor_delete_orders", "stats_skipping_orders",
         "bucketed_join_revenue", "bloom_point_lookup",
         "incremental_minmax_orders", "parts_skipping_orders",
+        "orders_schema_evolution", "orders_maintenance_cycle",
     }
 
     timings: dict[str, float] = {}
@@ -140,6 +185,25 @@ def main() -> None:
 
     headline = round(sum(t for n, t in timings.items() if QUERIES[n].bench), 4)
 
+    def remaining() -> float:
+        return budget - (time.perf_counter() - t_begin)
+
+    # Budget projections (VERDICT r10 item 3): scale the r10A idle-run
+    # section anchors by this run's measured headliner average, then
+    # shed fixed-cost extras (ETL re-timing, the durable pipeline
+    # twin, the tail's warm pass) whenever the projection says pass-1
+    # breadth coverage would not fit with them. Sheds are recorded in
+    # the artifact — never silent.
+    shed: dict[str, str] = {}
+    n_bench = sum(1 for s in specs if s.bench)
+    avg_q = (headline / n_bench) if n_bench and headline > 0 else 1.0
+    host_factor = max(avg_q / _REF_AVG_HEADLINER_SEC, 0.25)
+    n_tail = sum(1 for s in specs
+                 if not s.bench and s.name not in PIN_MEDIAN)
+    est_tail1 = _TAIL_PER_QUERY_VS_HEADLINER * avg_q * n_tail
+    est_pinned = _REF_PINNED_SEC * host_factor
+    est_pipeline = _REF_PIPELINE_SEC * host_factor
+
     # Library-domain reports (LQY1-3) at the reference's designed
     # volumes (scale=1.0: 7.5k members / 200k borrows — BASELINE.md).
     # Timer is SPLIT: `library_generate` is driver-side Python fixture
@@ -167,9 +231,16 @@ def main() -> None:
         # ETL timed 3x like the pinned queries (it swung 8.8<->14.1s
         # across round-5 runs as a single sample — the slowest item in
         # the bench must not also be the noisiest); the LAST build's
-        # cached warehouse feeds the report timings below.
+        # cached warehouse feeds the report timings below. Under
+        # budget pressure the 2 extra samples shed FIRST (VERDICT r10
+        # item 3: they cost ~30 s the r10 driver run spent while 98
+        # breadth queries went untimed).
+        est_rest = est_pipeline + est_pinned + est_tail1 + 60.0
+        n_etl = 3 if remaining() - est_rest > 30.0 * host_factor else 1
+        if n_etl == 1:
+            shed["library_etl_retime"] = "1 sample (budget pressure)"
         etl_samples = []
-        for i in range(3):
+        for i in range(n_etl):
             start = time.perf_counter()
             oltp = raw.to_spark(spark)
             dw = initial_load(spark, oltp, as_of=AS_OF)
@@ -177,14 +248,16 @@ def main() -> None:
             for df in dw.values():
                 df.count()      # materialize the warehouse
             etl_samples.append(time.perf_counter() - start)
-            if i < 2:           # rebuild from scratch next iteration
+            if i < n_etl - 1:   # rebuild from scratch next iteration
                 for df in dw.values():
                     df.unpersist()
         etl_samples.sort()
-        extra["library_etl"] = round(etl_samples[1], 4)
-        stats["library_etl"] = [round(etl_samples[0], 4),
-                                round(etl_samples[1], 4),
-                                round(etl_samples[-1], 4)]
+        extra["library_etl"] = round(etl_samples[len(etl_samples) // 2], 4)
+        if n_etl > 1:
+            stats["library_etl"] = [round(etl_samples[0], 4),
+                                    round(etl_samples[len(etl_samples) // 2],
+                                          4),
+                                    round(etl_samples[-1], 4)]
         # Back-compat total (rounds 1-2 reported the combined number).
         extra["library_initial_load"] = round(
             extra["library_generate"] + extra["library_etl"], 4)
@@ -219,20 +292,27 @@ def main() -> None:
         # Durable twin: same pipeline with every stage boundary a
         # txlog table write (the restartable 100 TB shape) — the
         # delta vs `corpus_curation` is the price of durability.
-        import shutil
-        import tempfile
+        # Sheds under budget pressure BEFORE pass-1 breadth coverage
+        # does (VERDICT r10 item 3) — the in-memory twin above stays
+        # the cross-round comparable.
+        if remaining() - (est_pinned + est_tail1 + 40.0) \
+                < 15.0 * host_factor:
+            shed["corpus_curation_durable"] = "skipped (budget pressure)"
+        else:
+            import shutil
+            import tempfile
 
-        from library_data_warehouse_and_business_analytics_system_spark.pipelines import (  # noqa: E501
-            curate_corpus_durable,
-        )
-        root = tempfile.mkdtemp(prefix="bench_curation_")
-        try:
-            start = time.perf_counter()
-            curate_corpus_durable(spark, docs, root)
-            extra["corpus_curation_durable"] = round(
-                time.perf_counter() - start, 4)
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+            from library_data_warehouse_and_business_analytics_system_spark.pipelines import (  # noqa: E501
+                curate_corpus_durable,
+            )
+            root = tempfile.mkdtemp(prefix="bench_curation_")
+            try:
+                start = time.perf_counter()
+                curate_corpus_durable(spark, docs, root)
+                extra["corpus_curation_durable"] = round(
+                    time.perf_counter() - start, 4)
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
 
         from library_data_warehouse_and_business_analytics_system_spark.operators.packing import (  # noqa: E501
             pack_sequences,
@@ -257,8 +337,18 @@ def main() -> None:
     # with one limit(1) pass (VERDICT r6 item 5: single-run tail
     # numbers carried first-touch JIT/footer noise across rounds),
     # then time single-run, budget-gated per query (skips are
-    # recorded, never silent).
+    # recorded, never silent). The warm pass nearly DOUBLES the tail's
+    # cost (a limit(1) still executes most plans), so on a slow host
+    # it sheds before pass-1 coverage does (VERDICT r10 item 3):
+    # noisier single-cold numbers beat 98 missing ones.
+    # (the pinned 3x block still runs between this warm pass and the
+    # timed passes, so budget for it too)
+    warm_tail = remaining() > est_pinned + 2.1 * est_tail1
+    if not warm_tail:
+        shed["tail_warm_pass"] = "skipped (budget pressure)"
     for spec in specs:
+        if not warm_tail:
+            break
         if spec.bench or spec.name in PIN_MEDIAN or spec.name in NO_WARM:
             continue  # pinned queries warm themselves (3 timed runs)
         if time.perf_counter() - t_begin > budget * 0.95:
@@ -336,7 +426,8 @@ def main() -> None:
         load1 = None
     host = {"cpus": os.cpu_count(), "load1_at_start": load1_start,
             "load1_at_exit": load1,
-            "wall_sec": round(time.perf_counter() - t_begin, 1)}
+            "wall_sec": round(time.perf_counter() - t_begin, 1),
+            **speed}
 
     all_timings = {**timings, **extra}
     full = {
@@ -349,6 +440,7 @@ def main() -> None:
         "all_queries_total": round(sum(timings.values()), 4),
         "n_queries": len(timings),
         "skipped": skipped,
+        "shed": shed,
         "errors": errors,
         "host": host,
         "sf": float(sf),
@@ -378,6 +470,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_skipped": len(skipped),
         "n_errors": len(errors),
+        "shed": sorted(shed),
         "host": host,
         "sf": float(sf),
     }), flush=True)

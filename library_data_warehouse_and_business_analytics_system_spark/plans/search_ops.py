@@ -1489,14 +1489,20 @@ def orders_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.substring("o_orderpriority", 1, 1)
                      .alias("o_priority_class")),
              t, mode="append")
-    return (
+    # Eagerly pin the (few-row) aggregate off the temp table, then
+    # reclaim it NOW: repeated bench iterations previously accumulated
+    # one full table copy per call for the process lifetime (ADVICE
+    # r10; the atexit above stays as crash cover).
+    agg = (
         tx_read(spark, t, merge_schema=True)
         .groupBy(F.coalesce("o_priority_class", F.lit("(pre-evolution)"))
                  .alias("priority_class"))
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.round(F.sum("tp"), 2).cast("double").alias("total_price"))
-        .orderBy("priority_class")
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return agg.orderBy("priority_class")
 
 
 # ---------------------------------------------------------------------------
@@ -1578,7 +1584,11 @@ def orders_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx_expire_checkpoints(t, keep=1)
     tx_vacuum(t, retention_sec=0.0)
 
-    return (
+    # Eager pin + immediate reclaim (ADVICE r10): this gate writes the
+    # largest per-call footprint (full partitioned orders + merge
+    # rewrite), so deferring cleanup to atexit accumulated copies
+    # across bench iterations. atexit stays as crash cover.
+    agg = (
         tx_read_parts(spark, t)
         .groupBy("o_year")
         .agg(F.count(F.lit(1)).alias("n_orders"),
@@ -1586,5 +1596,7 @@ def orders_maintenance_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double").alias("total_price"))
         .select(F.col("o_year").cast("int").alias("o_year"),
                 "n_orders", "total_price")
-        .orderBy("o_year")
+        .localCheckpoint()
     )
+    shutil.rmtree(root, ignore_errors=True)
+    return agg.orderBy("o_year")
