@@ -206,6 +206,19 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
             "(expected 'error' or 'reroute')")
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
+    # Align the incoming vector dtype with the STORED assignments
+    # (one footer-only schema read): merging e.g. array<double>
+    # deltas into an array<float> index silently widens every touched
+    # partition's schema through the merge's type unification,
+    # leaving mixed-generation parquet that a later full read rejects
+    # (SchemaColumnConvertNotSupportedException — and flakily, since
+    # it depends on which file seeds schema inference). Casting BEFORE
+    # assignment keeps cell choice, stored vector, and stored norm²
+    # mutually consistent at the index's own precision.
+    stored_t = tx_read_parts(spark, asg_t).schema["vec"].dataType
+    if new_vectors.schema[vec_col].dataType != stored_t:
+        new_vectors = new_vectors.withColumn(
+            vec_col, F.col(vec_col).cast(stored_t))
     delta = _assign(new_vectors, id_col, vec_col, cents)
     moved = None
     if validate or on_move == "reroute":
