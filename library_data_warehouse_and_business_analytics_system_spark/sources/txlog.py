@@ -831,8 +831,34 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
         source.select(source[part_col].cast("string")).distinct().collect()})
     existing_dirs = [d for v in touched for d in state.get(v, [])]
     if existing_dirs:
-        merged = combine(spark.read.parquet(
-            *[str(Path(table) / d) for d in existing_dirs]))
+        current = spark.read.parquet(
+            *[str(Path(table) / d) for d in existing_dirs])
+        merged = combine(current)
+        # Dtype-drift guard: the merge's WHEN-branch type unification
+        # silently WIDENS a column when the source's dtype differs
+        # from the stored one (e.g. array<double> source into an
+        # array<float> table). Because this merge rewrites only the
+        # TOUCHED partitions, that would leave mixed-generation
+        # parquet the plain (non-merge-schema) read rejects with
+        # SchemaColumnConvertNotSupportedException — and flakily,
+        # since the crash depends on which file seeds schema
+        # inference (bitten by the r11 ANN reroute test). Schema
+        # evolution stays an APPEND-side feature (tx_write_parts +
+        # merge_schema reads); a merge must preserve stored dtypes,
+        # so drift fails fast at plan time, naming the columns.
+        cur_types = {f.name: f.dataType for f in current.schema.fields}
+        drift = [f"{f.name}: {cur_types[f.name].simpleString()} -> "
+                 f"{f.dataType.simpleString()}"
+                 for f in merged.schema.fields
+                 if f.name in cur_types and f.dataType != cur_types[f.name]]
+        if drift:
+            raise ValueError(
+                "tx_merge_parts: merge would change stored column "
+                f"dtypes ({'; '.join(drift)}); partition-scoped "
+                "merges rewrite only touched partitions, so a dtype "
+                "change would leave mixed-generation parquet that "
+                "plain reads reject - cast the source to the stored "
+                "dtypes first")
     elif merge_fn is not None:
         merged = combine(source.limit(0))
     else:

@@ -170,6 +170,40 @@ def test_merge_parts_rejects_partition_moving_updates(spark, tmp_path):
             for r in tx_read_parts(spark, t).collect()} == {(1, 99.0)}
 
 
+def test_merge_parts_rejects_dtype_drift(spark, tmp_path):
+    """A source whose column dtype differs from the stored one must
+    fail FAST: the merge's type unification would widen only the
+    touched partitions' schema, leaving mixed-generation parquet that
+    plain reads reject flakily (the r11 ANN-reroute bug class).
+    Casting the source to the stored dtype first is the contract."""
+    t = str(tmp_path / "orders")
+    base = spark.createDataFrame(
+        [(1, 2019, 10.0), (2, 2020, 20.0)],
+        "o_orderkey long, o_year int, o_total float")
+    tx_write_parts(base, t, "o_year", mode="overwrite")
+
+    # a DOUBLE source into a FLOAT table: the when/otherwise branches
+    # unify to double — exactly the silent widening that corrupted
+    # the ANN index (a narrowing source like string coerces TOWARD
+    # the stored numeric instead, so widening is the drift class)
+    drifted = spark.createDataFrame(
+        [(1, 2019, 99.0)],
+        "o_orderkey long, o_year int, o_total double")
+    with pytest.raises(ValueError, match="o_total: float -> double"):
+        tx_merge_parts(spark, t, drifted, keys=["o_orderkey"],
+                       part_col="o_year")
+    # nothing committed; the cast-first path works
+    assert tx_read_parts(spark, t).count() == 2
+    from pyspark.sql import functions as F
+    tx_merge_parts(spark, t,
+                   drifted.withColumn("o_total",
+                                      F.col("o_total").cast("float")),
+                   keys=["o_orderkey"], part_col="o_year")
+    got = {(r.o_orderkey, r.o_total)
+           for r in tx_read_parts(spark, t).collect()}
+    assert got == {(1, 99.0), (2, 20.0)}
+
+
 def test_merge_parts_reads_only_touched_partitions(spark, tmp_path):
     """The merge's snapshot read must partition-prune at the METADATA
     level: only touched partitions' dirs enter the read plan."""
