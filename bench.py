@@ -33,9 +33,14 @@ def _host_speed() -> dict:
     cross-round adjudication of uniform bench slowdowns was a manual
     ROUND*.md footnote; recording it in every artifact makes it
     mechanical. Two axes: numpy matmul ≈ BLAS/SIMD throughput, a
-    pure-Python loop ≈ interpreter speed + CPU steal (the r10 builder
-    host at idle measured 14.5 GFLOPs at 2048³ single-thread-equiv /
-    1.67 s per 10M iterations — expect proportional values here)."""
+    pure-Python loop ≈ interpreter speed + CPU steal. The matmul size
+    is IN the key (ADVICE r11: single-thread GFLOPs are
+    size-dependent — cache/BLAS kernel regime — so only same-size
+    numbers compare; the r10 footnote's "14.5 GFLOPs" was measured at
+    2048³ and is NOT an anchor for this probe). Anchor at THIS size:
+    the r11 idle trio recorded 15.6–17.2 GFLOPs (key
+    ``numpy_matmul_gflops``, same 1024³ computation — renamed, not
+    re-measured) and pyloop 0.24 s; expect proportional values."""
     out: dict[str, float] = {}
     try:
         import numpy as np
@@ -45,7 +50,8 @@ def _host_speed() -> dict:
         for _ in range(4):
             a @ a
         dt = time.perf_counter() - t0
-        out["numpy_matmul_gflops"] = round(4 * 2 * 1024**3 / dt / 1e9, 2)
+        out["numpy_matmul_gflops_1024"] = round(4 * 2 * 1024**3 / dt / 1e9,
+                                                2)
     except Exception:  # pragma: no cover - numpy always present here
         pass
     t0 = time.perf_counter()
@@ -71,6 +77,45 @@ _REF_PINNED_SEC = 110.0
 _TAIL_PER_QUERY_VS_HEADLINER = 1.7
 
 
+def _trio_reference(repo: Path, sf: str) -> tuple[dict[str, float],
+                                                  float | None]:
+    """Per-query reference seconds for the stall detector (VERDICT
+    r11 item 4): the median across the NEWEST committed round trio
+    (``BENCH_FULL_r{N}{A,B,C}.json``) at the same sf, plus that
+    trio's median matmul stamp so the threshold can be normalized to
+    the current host. Returns ({}, None) when no matching trio exists
+    (e.g. smoke runs at another sf) — the detector then stays off."""
+    import re
+    trios: dict[int, list[Path]] = {}
+    for p in repo.glob("BENCH_FULL_r*.json"):
+        m = re.fullmatch(r"BENCH_FULL_r(\d+)[A-Z]", p.stem)
+        if m:
+            trios.setdefault(int(m.group(1)), []).append(p)
+    for rnd in sorted(trios, reverse=True):
+        refs: dict[str, list[float]] = {}
+        speeds: list[float] = []
+        for p in trios[rnd]:
+            try:
+                d = json.loads(p.read_text())
+            except (OSError, ValueError):
+                continue
+            if float(d.get("sf", -1.0)) != float(sf):
+                continue
+            h = d.get("host", {})
+            g = h.get("numpy_matmul_gflops_1024",
+                      h.get("numpy_matmul_gflops"))  # r11 key, same size
+            if g:
+                speeds.append(float(g))
+            for n, t in d.get("queries", {}).items():
+                if isinstance(t, (int, float)):
+                    refs.setdefault(n, []).append(float(t))
+        if refs:
+            med = {n: sorted(v)[len(v) // 2] for n, v in refs.items()}
+            spd = sorted(speeds)[len(speeds) // 2] if speeds else None
+            return med, spd
+    return {}, None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -83,6 +128,12 @@ def main() -> None:
     # batch-4/5/6 relational shapes and the analytics families) and
     # 560 s dropped a 14-query breadth tail at sf0.1 on an idle host.
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "840"))
+    # Headline-only mode (VERDICT r11 item 5): scale checkpoints at
+    # sf1 time the cross-round-comparable sections (headliners +
+    # library + pipeline) without paying a 10x breadth tail; the
+    # skipped tail is recorded in `shed`, never silent.
+    headline_only = os.environ.get(
+        "SPARK_GRAFT_BENCH_HEADLINE_ONLY") == "1"
     t_begin = time.perf_counter()
     try:  # load BEFORE our own JVM spins up = the external contention
         load1_start = os.getloadavg()[0]
@@ -150,6 +201,43 @@ def main() -> None:
     stats: dict[str, list[float]] = {}
     skipped: list[str] = []
 
+    # Bounded stall re-sample (VERDICT r11 item 4): host stalls
+    # polluted the events_daily_ewma/_vec trio medians three rounds
+    # running (35.7 s worst sample vs 3.3 s best on untouched code)
+    # and needed manual adjudication each time. A sample that exceeds
+    # 3x the newest committed trio's median for that query (host-
+    # normalized via the matmul stamps, and only above a 2 s floor —
+    # sub-second jitter is not a stall) is re-timed ONCE within the
+    # same run; both samples land in the artifact's ``resampled`` map
+    # and the better one feeds the estimate (contention is one-sided:
+    # it only ever adds). At most one re-time per query, never for
+    # the non-idempotent NO_WARM write gates, never past the budget.
+    ref_meds, ref_gflops = _trio_reference(
+        Path(__file__).resolve().parent, sf)
+    cur_gflops = speed.get("numpy_matmul_gflops_1024")
+    host_adj = 1.0
+    if ref_gflops and cur_gflops:
+        host_adj = min(max(ref_gflops / cur_gflops, 0.5), 3.0)
+    resampled: dict[str, list[float]] = {}
+
+    def maybe_resample(spec, dt: float) -> float:
+        ref = ref_meds.get(spec.name)
+        if (ref is None or spec.name in NO_WARM
+                or spec.name in resampled or spec.name in errors
+                or dt <= max(3.0 * ref * host_adj, 2.0)
+                or budget - (time.perf_counter() - t_begin) < dt + 5.0):
+            return dt
+        start = time.perf_counter()
+        try:
+            spec.fn(spark, sf_dir).collect()
+        except Exception:
+            errors.setdefault(spec.name,
+                              traceback.format_exc(limit=2)[-400:])
+            return dt
+        dt2 = time.perf_counter() - start
+        resampled[spec.name] = [round(dt, 4), round(dt2, 4)]
+        return min(dt, dt2)
+
     def time_spec(spec) -> None:
         n_runs = 3 if (spec.bench or spec.name in PIN_MEDIAN) else 1
         samples: list[float] = []
@@ -161,7 +249,8 @@ def main() -> None:
                 errors.setdefault(spec.name,
                                   traceback.format_exc(limit=2)[-400:])
                 break
-            samples.append(time.perf_counter() - start)
+            samples.append(maybe_resample(spec,
+                                          time.perf_counter() - start))
         # A failure on a LATER run must not discard earlier valid
         # samples (ADVICE r5): report the median of what succeeded
         # (the error is still recorded above).
@@ -344,7 +433,10 @@ def main() -> None:
     # (the pinned 3x block still runs between this warm pass and the
     # timed passes, so budget for it too)
     warm_tail = remaining() > est_pinned + 2.1 * est_tail1
-    if not warm_tail:
+    if headline_only:
+        warm_tail = False
+        shed["breadth_tail"] = "skipped (headline-only mode)"
+    elif not warm_tail:
         shed["tail_warm_pass"] = "skipped (budget pressure)"
     for spec in specs:
         if not warm_tail:
@@ -374,6 +466,8 @@ def main() -> None:
     # mandatory signal — they must not lose the budget race to the
     # tail's opportunistic passes 2-3).
     for spec in specs:
+        if headline_only:
+            break
         if spec.bench or spec.name not in PIN_MEDIAN:
             continue
         if time.perf_counter() - t_begin > budget:
@@ -381,7 +475,7 @@ def main() -> None:
             continue
         time_spec(spec)
     tail_samples: dict[str, list[float]] = {}
-    for pass_i in range(3):
+    for pass_i in range(3 if not headline_only else 0):
         out_of_budget = False
         for spec in specs:
             if spec.bench or spec.name in PIN_MEDIAN:
@@ -405,7 +499,7 @@ def main() -> None:
                                   traceback.format_exc(limit=2)[-400:])
                 continue
             tail_samples.setdefault(spec.name, []).append(
-                time.perf_counter() - start)
+                maybe_resample(spec, time.perf_counter() - start))
         if out_of_budget:
             break
     for name, samples in tail_samples.items():
@@ -441,6 +535,7 @@ def main() -> None:
         "n_queries": len(timings),
         "skipped": skipped,
         "shed": shed,
+        "resampled": resampled,
         "errors": errors,
         "host": host,
         "sf": float(sf),
@@ -470,6 +565,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_skipped": len(skipped),
         "n_errors": len(errors),
+        "n_resampled": len(resampled),
         "shed": sorted(shed),
         "host": host,
         "sf": float(sf),

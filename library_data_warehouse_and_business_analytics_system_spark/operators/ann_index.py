@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine_from_norms, dot, l2_norm_sq
 from ..sources.txlog import (
     tx_exists,
+    tx_latest_id,
     tx_merge_parts,
     tx_part_values,
     tx_read,
@@ -132,7 +133,8 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
 
 
 def _upsert_with_moves(spark: SparkSession, asg_t: str, delta: DataFrame,
-                       moved: DataFrame, txn_id: str | None) -> int:
+                       moved: DataFrame, txn_id: str | None,
+                       expect_latest: int | None = None) -> int:
     """One atomic ``replace_parts`` commit that both EVICTS each moved
     id's stale copy from its old cell and upserts the delta: the
     touched-partition set is the delta's cells UNION the moved ids'
@@ -159,7 +161,7 @@ def _upsert_with_moves(spark: SparkSession, asg_t: str, delta: DataFrame,
 
     return tx_merge_parts(spark, asg_t, touch, keys=["id"],
                           part_col="cell", merge_fn=combine,
-                          txn_id=txn_id)
+                          txn_id=txn_id, expect_latest=expect_latest)
 
 
 def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
@@ -206,6 +208,15 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
             "(expected 'error' or 'reroute')")
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
+    # Snapshot anchor, captured BEFORE any read of the assignments
+    # (ADVICE r11, the reroute TOCTOU): the stored-schema read and
+    # the moved-id scan below both read this snapshot, and the merge
+    # publishes conditionally on it — a commit landing between those
+    # reads and the publish raises TxConflict instead of letting a
+    # concurrently-moved id's stale copy survive in an untouched
+    # cell. Single-writer deployments never hit the raise; concurrent
+    # writers retry from a fresh read.
+    base = tx_latest_id(asg_t)
     # Align the incoming vector dtype with the STORED assignments
     # (one footer-only schema read): merging e.g. array<double>
     # deltas into an array<float> index silently widens every touched
@@ -215,14 +226,15 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
     # it depends on which file seeds schema inference). Casting BEFORE
     # assignment keeps cell choice, stored vector, and stored norm²
     # mutually consistent at the index's own precision.
-    stored_t = tx_read_parts(spark, asg_t).schema["vec"].dataType
+    stored_t = tx_read_parts(spark, asg_t,
+                             as_of=base).schema["vec"].dataType
     if new_vectors.schema[vec_col].dataType != stored_t:
         new_vectors = new_vectors.withColumn(
             vec_col, F.col(vec_col).cast(stored_t))
     delta = _assign(new_vectors, id_col, vec_col, cents)
     moved = None
     if validate or on_move == "reroute":
-        existing = tx_read_parts(spark, asg_t).select(
+        existing = tx_read_parts(spark, asg_t, as_of=base).select(
             "id", F.col("cell").alias("stored_cell"))
         moved = (delta.select("id", "cell").join(existing, "id")
                  .filter(F.col("cell") != F.col("stored_cell")))
@@ -247,12 +259,13 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
                     "on_move='reroute' to move them atomically")
             moved = None
     if moved is not None:
-        cid = _upsert_with_moves(spark, asg_t, delta, moved, txn_id)
+        cid = _upsert_with_moves(spark, asg_t, delta, moved, txn_id,
+                                 expect_latest=base)
     else:
         cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
                              part_col="cell",
                              update_cols=["vec", "norm_sq"],
-                             txn_id=txn_id)
+                             txn_id=txn_id, expect_latest=base)
     # resurrect: an upserted id sheds any tombstone. Runs AFTER the
     # merge commit; a crash between the two is healed on redelivery
     # (the merge no-ops via txn_id, the tombstone clear re-runs) and

@@ -218,8 +218,9 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
     near-identical vectors — exactly what a dedup-adjacent pipeline
     sees) can blow a single bucket to O(n²). With a cap, each
     (table, bucket, side) keeps at most ``bucket_cap`` ids, ranked by
-    a per-table seeded ``xxhash64`` of the id — a deterministic
-    pseudo-random survivor sample, so the per-table-bucket pair count
+    a per-table salted ``md5`` key of the id (engine-portable: the
+    driver gate's DuckDB oracle replays it bit-exactly) — a
+    deterministic pseudo-random survivor sample, so the per-table-bucket pair count
     is ≤ cap², the whole candidate set ≤ n_tables × cap² × n_buckets,
     and re-runs are bit-stable. Recall trade, documented: an over-cap
     bucket is a dense near-duplicate cluster; each table re-samples
@@ -255,9 +256,18 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
                          F.explode(F.array(*tables)).alias("tb"))
                .select(f"{side}_id", "tb.table", "tb.bucket"))
         if bucket_cap is not None:
+            # per-table salted md5 rank key: deterministic, uniform,
+            # and ENGINE-PORTABLE — DuckDB replays the identical hex
+            # string, which is what lets the driver gate
+            # (bitext_margin_pairs_capped) pin this exact production
+            # posture bit-for-bit (r11 used xxhash64 here; swapped
+            # r12 — the key hashes one short string per id-row, noise
+            # next to the window scan it feeds)
             w = Window.partitionBy("table", "bucket").orderBy(
-                F.xxhash64(F.col(f"{side}_id"), F.col("table"),
-                           F.lit(seed)),
+                F.md5(F.concat_ws(
+                    ":", F.lit("srpcap"),
+                    F.col("table").cast("string"), F.lit(str(seed)),
+                    F.col(f"{side}_id").cast("string"))),
                 F.col(f"{side}_id"))
             out = (out.withColumn("_bn", F.row_number().over(w))
                    .where(F.col("_bn") <= bucket_cap).drop("_bn"))

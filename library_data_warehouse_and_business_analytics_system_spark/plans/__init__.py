@@ -123,7 +123,7 @@ _R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 # The round whose 50-slot window the committed ordering encodes.
 # tests/test_plan_quality.py derives its green-set cutoff from THIS
 # constant (r9 verdict item 3: the manual duplicate went stale twice).
-WINDOW_ROUND = 11
+WINDOW_ROUND = 12
 
 # New gate registered in r10 (growth otherwise frozen; the r9 verdict
 # item 5 work item): ewma_scan's third routing mode (mode="split",
@@ -185,26 +185,47 @@ _R11_FRONT = ["bitext_margin_pairs", "orders_schema_evolution",
 _R8_GREEN = [n for n in _R8_WINDOW if n != "returnflag_priority_counts"]
 
 # The 50-slot r11 window (r10 verdict items 1-2): the 3 never-gated
-# r10-close registrations gate FIRST (restoring "every registered
+# r10-close registrations gated FIRST (restoring "every registered
 # query driver-green"), then 47 rotation slots stalest-first — the
-# whole 30-row r7-cohort tail plus 17 r8-cohort rows FIFO. After r11
-# lands, no green row is older than round 8; r12 retires the
-# remaining 32 r8 rows + the r9 cohort head on the same schedule.
+# whole 30-row r7-cohort tail plus 17 r8-cohort rows FIFO. Landed
+# 50/50 green (CORRECTNESS_r11): no green row older than round 8.
 _R11_WINDOW = _R11_FRONT + _R7_GREEN[20:] + _R8_GREEN[:17]
 
-# No new gates registered this round (growth frozen at 181 since the
-# r10 close), so nothing is pinned behind the window fronting r12.
-_R12_FRONT: list[str] = []
+# Registry growth unfroze for exactly the two pytest-only production
+# postures the r11 verdict ordered under the driver hash (items 2-3):
+# the SRP bucket_cap survivor-sample mine and the ANN cross-cell
+# on_move="reroute" upsert. Registered mid-r12, so they gate FIRST in
+# the r12 window (the _R9_NEW/_R10_NEW convention — new gates join
+# their own round's window rather than waiting behind it).
+_R12_NEW = ["bitext_margin_pairs_capped", "ann_index_reroute"]
+
+# Queries whose newest driver-green row is round 9 (49 = the r9
+# window minus bpe_pair_stats, whose r9 row was red — oracle-side
+# HUGEINT cast — and which re-gated green in r10), FIFO in the r9
+# window order. Verified against CORRECTNESS_r01-r11: latest-green
+# distribution entering r12 is exactly r8:32 / r9:49 / r10:50 /
+# r11:50 with every registered query green at least once.
+_R9_GREEN = [n for n in _R9_WINDOW if n != "bpe_pair_stats"]
+
+# The 50-slot r12 window (r11 verdict items 1-3): the 2 new
+# production-posture gates first, then 48 rotation slots stalest
+# first — the whole remaining 32-row r8 cohort plus 16 r9-cohort
+# rows FIFO. After r12 lands, no green row is older than round 9;
+# r13 retires the remaining 33 r9 rows + the r10 cohort head on the
+# same schedule.
+_R12_WINDOW = _R12_NEW + _R8_GREEN[17:] + _R9_GREEN[:16]
+
+# No round-close registrations pinned behind the window yet.
+_R13_FRONT: list[str] = []
 
 
 def _reorder() -> None:
-    listed = set(_R11_WINDOW) | set(_R8_GREEN)
+    listed = set(_R12_WINDOW) | set(_R9_GREEN)
     ordered = (
-        [n for n in _R11_WINDOW if n in QUERIES]
-        + [n for n in _R8_GREEN[17:] if n in QUERIES]
-        # r9/r10-green tail (and anything newly registered but
-        # unlisted - none expected while growth is frozen):
-        # registration order.
+        [n for n in _R12_WINDOW if n in QUERIES]
+        + [n for n in _R9_GREEN[16:] if n in QUERIES]
+        # r10/r11-green tail (and anything newly registered but
+        # unlisted - none expected): registration order.
         + [n for n in QUERIES if n not in listed]
     )
     snapshot = dict(QUERIES)

@@ -2550,3 +2550,219 @@ def bitext_margin_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             snap_decimals=6)
         .orderBy("src_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# The CAPPED production posture of the same mine (r11 verdict item 2):
+# SRP-bucketed candidates with the bucket_cap survivor sample — the
+# open-world knob that bounds a degenerate near-dup cluster's bucket
+# to <= cap² pairs per table instead of O(n²). The oracle replicates
+# the ENTIRE production path: each table's seeded Gaussian planes as
+# literal coefficients folded left-to-right (the _DOT discipline, so
+# sign-of-projection matches bit-for-bit), the per-(table, bucket,
+# side) md5-ranked survivor sample (operators/bitext.py swapped the
+# rank key from xxhash64 to a salted md5 this round precisely so
+# DuckDB can replay it), the distinct bucket-join candidate set, and
+# margin_mine's candidate-list neighborhoods — so a green row
+# certifies the exact candidate generation + sampling + mining
+# pipeline a 100 TB corpus would run.
+
+_BTX_PLANES, _BTX_TABLES, _BTX_SEED, _BTX_CAP = 4, 2, 42, 8
+
+
+def _btx_bucket_sql(vec: str, table: int) -> str:
+    """One SRP table's bucket as DuckDB SQL over literal plane
+    coefficients — same fold order and cast points as
+    functions/vectors.dot (init 0.0, left-assoc adds, elements cast
+    to DOUBLE); coefficients printed at 18 significant digits in
+    e-notation (parsed as correctly-rounded DOUBLE literals, never
+    DECIMAL — the search_ops.py:63 trap family)."""
+    from ..operators.similarity import _seeded_planes
+
+    planes = _seeded_planes(64, _BTX_PLANES, _BTX_SEED + 1000 * table)
+    bits = []
+    for i, p in enumerate(planes):
+        terms = " + ".join(f"{vec}[{j + 1}]::DOUBLE * ({c:.17e})"
+                           for j, c in enumerate(p))
+        bits.append(f"(CASE WHEN (CAST(0 AS DOUBLE) + {terms}) >= 0 "
+                    f"THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _btx_capped_side_sql(src: str, idc: str, vec: str) -> str:
+    """Hashed + capped (id, tbl, bucket) rows for one side: per-table
+    bucket exprs unioned, then the md5-ranked survivor sample."""
+    per_table = " UNION ALL ".join(
+        f"SELECT {idc} AS id, {t} AS tbl, "
+        f"CAST({_btx_bucket_sql(vec, t)} AS INTEGER) AS bucket FROM {src}"
+        for t in range(_BTX_TABLES))
+    return f"""
+      SELECT id, tbl, bucket FROM (
+        SELECT id, tbl, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tbl, bucket
+                 ORDER BY md5('srpcap:' || CAST(tbl AS VARCHAR)
+                              || ':{_BTX_SEED}:' || CAST(id AS VARCHAR)),
+                          id) AS bn
+        FROM ({per_table})) WHERE bn <= {_BTX_CAP}
+    """
+
+
+@register(
+    "bitext_margin_pairs_capped",
+    f"""
+    WITH a AS (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 2 = 0 AND vec_id < 1000
+    ), b AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1
+    ), ha AS ({_btx_capped_side_sql('a', 'vec_id', 'embedding')}
+    ), hb AS ({_btx_capped_side_sql('b', 'vec_id', 'embedding')}
+    ), cand AS (
+      SELECT DISTINCT ha.id AS src_id, hb.id AS tgt_id
+      FROM ha JOIN hb USING (tbl, bucket)
+    ), scored AS (
+      SELECT src_id, tgt_id,
+             {_DOT.format(a='a.embedding', b='b.embedding')}
+               / nullif(sqrt({_DOT.format(a='a.embedding',
+                                          b='a.embedding')})
+                        * sqrt({_DOT.format(a='b.embedding',
+                                            b='b.embedding')}), 0) AS cos
+      FROM cand
+      JOIN a ON a.vec_id = cand.src_id
+      JOIN b ON b.vec_id = cand.tgt_id
+    ), s_src AS (
+      SELECT src_id, SUM(CAST(cos AS DECIMAL(30,15))) AS s_src,
+             COUNT(*) AS n_src
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                         ORDER BY cos DESC, tgt_id) AS r
+            FROM scored) WHERE r <= 4 GROUP BY src_id
+    ), s_tgt AS (
+      SELECT tgt_id, SUM(CAST(cos AS DECIMAL(30,15))) AS s_tgt,
+             COUNT(*) AS n_tgt
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id
+                                         ORDER BY cos DESC, src_id) AS r
+            FROM scored) WHERE r <= 4 GROUP BY tgt_id
+    ), m AS (
+      SELECT s.src_id, s.tgt_id, s.cos,
+             FLOOR(2 * n_src * n_tgt * s.cos
+                     / (CAST(s_src AS DOUBLE) * n_tgt
+                        + CAST(s_tgt AS DOUBLE) * n_src)
+                   * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(1000000 AS DOUBLE) AS margin
+      FROM scored s
+      JOIN s_src USING (src_id) JOIN s_tgt USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cos, margin FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+                                   ORDER BY margin DESC, tgt_id) AS rn
+      FROM m) WHERE rn = 1 AND margin >= CAST(1 AS DOUBLE)
+    ORDER BY src_id
+    """,
+    operators=("BITEXT-MARGIN", "ANN-LSH", "SAMPLE-DIVERSITY", "W2", "A1"),
+    bench=False,
+)
+def bitext_margin_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same even->odd mine as bitext_margin_pairs but through the
+    PRODUCTION candidate path: SRP buckets (4 planes x 2 tables, so
+    16 cells/table over ~hundreds of ids per side keeps most buckets
+    over-cap at every sf) with bucket_cap=8 survivor sampling, then
+    margin_mine over the candidate lists (k=4, threshold 1.0,
+    snapped at 1e-6). Candidate count is bounded by
+    n_tables x n_buckets x cap² ~= 2k pairs at ANY sf — the gate's
+    cost is scale-free while the sampling path stays hot."""
+    from ..operators.bitext import margin_mine, srp_candidate_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.where((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 1000))
+    b = emb.where(F.col("vec_id") % 2 == 1)
+    pairs = srp_candidate_pairs(
+        a, b, id_col="vec_id", vec_col="embedding", dim=64,
+        n_planes=_BTX_PLANES, n_tables=_BTX_TABLES, seed=_BTX_SEED,
+        bucket_cap=_BTX_CAP)
+    return (
+        margin_mine(a, b, id_col="vec_id", vec_col="embedding", k=4,
+                    threshold=1.0, pairs=pairs, snap_decimals=6)
+        .orderBy("src_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-cell reroute under the driver hash (r11 verdict item 3): the
+# lifecycle gate above upserts NEW ids (no moves); this one re-embeds
+# EXISTING ids — negated vectors move essentially every touched id to
+# a different max-dot cell — through on_move="reroute", whose single
+# replace_parts commit must both EVICT the stale copy from the old
+# cell and place the new one. Full probe = exact brute-force over the
+# POST-MOVE corpus, which the oracle states in closed form (negation
+# is bit-exact in IEEE, so CASE WHEN ... list_transform(e, x -> -x)
+# reproduces the stored vectors): a stale copy surviving eviction
+# surfaces as an extra/duplicated neighbor row, a lost id as a
+# missing one, a mis-placed one through its cos — any of them flips
+# the driver hash.
+
+
+@register(
+    "ann_index_reroute",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < 40
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='c.v')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='c.v', b='c.v')}), 0) AS cos
+      FROM q, corpus c
+      WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-IVF", "S5", "E9"),
+)
+def ann_index_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the index over the full embeddings table, re-embed
+    vec_id < 40 as their NEGATED vectors via
+    ann_index_upsert(on_move="reroute") (negation flips the max-dot
+    cell for any vector whose best cell beats its worst — with the
+    seeded quantizer every sf moves a large, deterministic subset),
+    then query at n_probe = n_cells: exact top-10 over the post-move
+    corpus, certifying the atomic evict+place commit bit-for-bit."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (
+        ann_index_build,
+        ann_index_query,
+        ann_index_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_reroute_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=64, n_cells=8, max_iter=2, seed=7)
+    delta = (emb.filter(F.col("vec_id") < 40)
+             .select("vec_id",
+                     F.transform("embedding", lambda x: -x)
+                     .alias("embedding")))
+    ann_index_upsert(spark, root, delta, "vec_id", "embedding",
+                     on_move="reroute")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (ann_index_query(spark, root, queries, "vec_id", "embedding",
+                            k=10, n_probe=8)
+            .orderBy("query_id", "rank"))

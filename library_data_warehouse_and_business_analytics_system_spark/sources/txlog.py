@@ -763,7 +763,8 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
                    keys: list[str], part_col: str,
                    update_cols: list[str] | None = None,
                    condition: Column | None = None,
-                   merge_fn=None, txn_id: str | None = None) -> int:
+                   merge_fn=None, txn_id: str | None = None,
+                   expect_latest: int | None = None) -> int:
     """Partition-scoped MERGE: read ONLY the partitions containing
     the source's partition values, merge, and publish the result as
     ONE atomic ``replace_parts`` commit — untouched partitions'
@@ -793,7 +794,18 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
     ``txn_id`` makes the merge IDEMPOTENT under redelivery (the
     ``tx_write`` txnAppId pattern): a micro-batch replayed after a
     crash re-commits nothing — checked cheaply before the read-merge
-    work AND again inside the publish loop."""
+    work AND again inside the publish loop.
+
+    ``expect_latest`` anchors the merge to a snapshot the CALLER
+    already read (ADVICE r11, the reroute TOCTOU): when a caller
+    derives merge inputs from its own earlier read of the table
+    (e.g. ann_index_upsert's moved-id set), passing that read's
+    version here makes the merge READ the same snapshot and publish
+    conditionally on it — a commit landing between the caller's read
+    and this merge raises :class:`TxConflict` instead of silently
+    merging against state the caller never saw. Default ``None``
+    keeps the self-anchored behavior (snapshot = latest at entry,
+    conflict window = this call only)."""
     from ..operators.merge import merge_upsert
 
     if txn_id is not None:
@@ -822,9 +834,11 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
 
     if not tx_exists(table):
         merged = combine(source.limit(0)) if merge_fn is not None else source
-        return tx_write_parts(merged, table, part_col, mode="overwrite",
-                              expect_latest=0, txn_id=txn_id)
-    base = tx_latest_id(table)
+        return tx_write_parts(
+            merged, table, part_col, mode="overwrite",
+            expect_latest=0 if expect_latest is None else expect_latest,
+            txn_id=txn_id)
+    base = tx_latest_id(table) if expect_latest is None else expect_latest
     state = _visible_parts(table, as_of=base)
     touched = sorted({
         str(r[0]) for r in
@@ -834,23 +848,44 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
         current = spark.read.parquet(
             *[str(Path(table) / d) for d in existing_dirs])
         merged = combine(current)
-        # Dtype-drift guard: the merge's WHEN-branch type unification
-        # silently WIDENS a column when the source's dtype differs
-        # from the stored one (e.g. array<double> source into an
-        # array<float> table). Because this merge rewrites only the
-        # TOUCHED partitions, that would leave mixed-generation
-        # parquet the plain (non-merge-schema) read rejects with
-        # SchemaColumnConvertNotSupportedException — and flakily,
-        # since the crash depends on which file seeds schema
-        # inference (bitten by the r11 ANN reroute test). Schema
-        # evolution stays an APPEND-side feature (tx_write_parts +
-        # merge_schema reads); a merge must preserve stored dtypes,
-        # so drift fails fast at plan time, naming the columns.
-        cur_types = {f.name: f.dataType for f in current.schema.fields}
-        drift = [f"{f.name}: {cur_types[f.name].simpleString()} -> "
+        stored_schema = current.schema
+    else:
+        # All-new partitions. The drift guard below must still run
+        # (ADVICE r12: a drifted source touching only NEW partitions
+        # used to commit unchecked — the exact mixed-generation
+        # parquet the guard exists to prevent), so read the stored
+        # schema from any visible dir's footer (metadata-only; no
+        # row is scanned). A table with zero visible dirs has no
+        # stored schema to preserve — first insert defines it.
+        all_dirs = next((ds for ds in state.values() if ds), None)
+        stored_schema = (spark.read.parquet(
+            str(Path(table) / all_dirs[0])).schema
+            if all_dirs else None)
+        merged = combine(source.limit(0)) if merge_fn is not None else source
+    # Dtype-drift guard, ALL branches: the merge's WHEN-branch type
+    # unification (or a raw insert into new partitions) silently
+    # WIDENS a column when the source's dtype differs from the
+    # stored one (e.g. array<double> source into an array<float>
+    # table). Because this merge rewrites only the TOUCHED
+    # partitions, that would leave mixed-generation parquet the
+    # plain (non-merge-schema) read rejects with
+    # SchemaColumnConvertNotSupportedException — and flakily, since
+    # the crash depends on which file seeds schema inference (bitten
+    # by the r11 ANN reroute test). Schema evolution stays an
+    # APPEND-side feature (tx_write_parts + merge_schema reads); a
+    # merge must preserve stored dtypes, so drift fails fast at plan
+    # time, naming the columns. simpleString comparison: structural
+    # type identity, deliberately nullability-blind (parquet reads
+    # mixing required/optional are fine; physical type mixes are
+    # not).
+    if stored_schema is not None:
+        cur_types = {f.name: f.dataType.simpleString()
+                     for f in stored_schema.fields}
+        drift = [f"{f.name}: {cur_types[f.name]} -> "
                  f"{f.dataType.simpleString()}"
                  for f in merged.schema.fields
-                 if f.name in cur_types and f.dataType != cur_types[f.name]]
+                 if f.name in cur_types
+                 and f.dataType.simpleString() != cur_types[f.name]]
         if drift:
             raise ValueError(
                 "tx_merge_parts: merge would change stored column "
@@ -859,10 +894,6 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
                 "change would leave mixed-generation parquet that "
                 "plain reads reject - cast the source to the stored "
                 "dtypes first")
-    elif merge_fn is not None:
-        merged = combine(source.limit(0))
-    else:
-        merged = source          # all-new partitions: pure insert
     parts: dict[str, str | None] = dict(_stage_parts(merged, table, part_col))
     # A touched partition the merge left EMPTY (every row deleted —
     # possible with a delete-capable merge_fn) stages no dir; mark it

@@ -149,33 +149,33 @@ def test_aggregates_have_partial_phase(plans):
 
 def test_registry_gate_ordering():
     """The driver's correctness gate truncates at 50 rows (observed in
-    round 1), so the registry order IS the rotation schedule. Round-11
-    plan (r10 verdict items 1-2): the three never-gated r10-close
-    registrations gate first, then 47 rotation slots (the whole 30-row
-    r7-cohort tail + 17 r8-cohort rows FIFO, stalest first). The
-    green-set cutoff derives from the SAME module that encodes the
-    window (plans.WINDOW_ROUND), so the two cannot drift apart (the
-    r8/r9 stale-constant bug class): artifacts from the window's own
-    round and later are its output, not its planning input, and are
-    excluded."""
+    round 1), so the registry order IS the rotation schedule. Round-12
+    plan (r11 verdict items 1-3): the two new production-posture gates
+    (SRP bucket_cap mine, ANN cross-cell reroute) gate first, then 48
+    rotation slots (the whole remaining 32-row r8 cohort + 16
+    r9-cohort rows FIFO, stalest first). The green-set cutoff derives
+    from the SAME module that encodes the window (plans.WINDOW_ROUND),
+    so the two cannot drift apart (the r8/r9 stale-constant bug
+    class): artifacts from the window's own round and later are its
+    output, not its planning input, and are excluded."""
     from library_data_warehouse_and_business_analytics_system_spark.plans import (
-        _R7_GREEN,
         _R8_GREEN,
-        _R11_FRONT,
-        _R11_WINDOW,
-        _R12_FRONT,
+        _R9_GREEN,
+        _R12_NEW,
+        _R12_WINDOW,
+        _R13_FRONT,
         WINDOW_ROUND,
     )
 
     names = list(QUERIES)
     # the committed window is exactly the first 50 registry entries
-    assert names[:50] == _R11_WINDOW
-    assert len(_R11_WINDOW) == 50
-    assert _R11_WINDOW[:3] == _R11_FRONT
+    assert names[:50] == _R12_WINDOW
+    assert len(_R12_WINDOW) == 50
+    assert _R12_WINDOW[:2] == _R12_NEW
     # round-close registrations pinned immediately after the window,
     # fronting the next round (the _R9_FRONT/_R10_FRONT convention);
-    # none this round — growth frozen at 181 since the r10 close
-    assert names[50:50 + len(_R12_FRONT)] == _R12_FRONT
+    # none yet this round
+    assert names[50:50 + len(_R13_FRONT)] == _R13_FRONT
     # green rows recorded by rounds BEFORE the window's round (later
     # artifacts are this window's own output, not planning input)
     import json
@@ -194,18 +194,19 @@ def test_registry_gate_ordering():
                 green.add(q)
                 last_green[q] = max(last_green.get(q, 0), rnd)
     if green:
-        # the fronted gates really have no prior driver row
-        assert [q for q in _R11_FRONT if q in green] == []
+        # the fronted gates really have no prior driver row (they are
+        # new registrations this round)
+        assert [q for q in _R12_NEW if q in green] == []
         # the rotation slots refresh only ever-green queries (no slot
         # wasted on a query that still needs pytest-only coverage)...
-        assert [q for q in _R11_WINDOW[3:] if q not in green] == []
+        assert [q for q in _R12_WINDOW[2:] if q not in green] == []
         # ...and pick the STALEST cohorts: every rotated row's newest
-        # green is r7/r8, and nothing outside the window is staler
-        assert all(last_green[q] <= 8 for q in _R11_WINDOW[3:])
+        # green is r8/r9, and nothing outside the window is staler
+        assert all(last_green[q] <= 9 for q in _R12_WINDOW[2:])
         behind = [q for q in names[50:] if q in last_green]
-        assert all(last_green[q] >= 8 for q in behind)
-        assert set(_R7_GREEN[20:]) <= green
-        assert set(_R8_GREEN[:17]) <= green
+        assert all(last_green[q] >= 9 for q in behind)
+        assert set(_R8_GREEN[17:]) <= green
+        assert set(_R9_GREEN[:16]) <= green
 
 
 def test_broadcast_joins_for_dimensions(plans):

@@ -204,6 +204,88 @@ def test_merge_parts_rejects_dtype_drift(spark, tmp_path):
     assert got == {(1, 99.0), (2, 20.0)}
 
 
+def test_merge_parts_rejects_dtype_drift_on_new_partitions(spark, tmp_path):
+    """ADVICE r12 (medium): the drift guard must also cover a source
+    touching only NEW partition values — that branch used to commit
+    ``merged = source`` unchecked, creating exactly the
+    mixed-generation parquet (float files + double files in one
+    table) that later plain reads reject flakily depending on which
+    file seeds schema inference."""
+    t = str(tmp_path / "orders")
+    base = spark.createDataFrame(
+        [(1, 2019, 10.0)], "o_orderkey long, o_year int, o_total float")
+    tx_write_parts(base, t, "o_year", mode="overwrite")
+
+    # a DOUBLE source into a FLOAT table, but into a brand-new
+    # partition (2022): no existing dir is read, yet the stored
+    # schema must still win
+    drifted = spark.createDataFrame(
+        [(9, 2022, 99.0)], "o_orderkey long, o_year int, o_total double")
+    with pytest.raises(ValueError, match="o_total: float -> double"):
+        tx_merge_parts(spark, t, drifted, keys=["o_orderkey"],
+                       part_col="o_year")
+    # nothing committed; cast-first inserts cleanly and the whole
+    # table still plain-reads (single-generation schema)
+    assert tx_read_parts(spark, t).count() == 1
+    from pyspark.sql import functions as F
+    tx_merge_parts(spark, t,
+                   drifted.withColumn("o_total",
+                                      F.col("o_total").cast("float")),
+                   keys=["o_orderkey"], part_col="o_year")
+    got = {(r.o_orderkey, r.o_total)
+           for r in tx_read_parts(spark, t).collect()}
+    assert got == {(1, 10.0), (9, 99.0)}
+
+
+def test_merge_parts_rejects_dtype_drift_with_merge_fn_new_parts(
+        spark, tmp_path):
+    """The merge_fn-with-empty-current branch (all-new partitions, a
+    custom combine) is the second guard bypass ADVICE r12 named: the
+    combine runs over source.limit(0), so its output carries the
+    drifted source dtypes and must be checked against the STORED
+    footer schema, not the source's own."""
+    t = str(tmp_path / "orders")
+    base = spark.createDataFrame(
+        [(1, 2019, 10.0)], "o_orderkey long, o_year int, o_total float")
+    tx_write_parts(base, t, "o_year", mode="overwrite")
+    drifted = spark.createDataFrame(
+        [(9, 2022, 99.0)], "o_orderkey long, o_year int, o_total double")
+    with pytest.raises(ValueError, match="o_total: float -> double"):
+        tx_merge_parts(spark, t, drifted, keys=["o_orderkey"],
+                       part_col="o_year",
+                       merge_fn=lambda cur, src: cur.unionByName(src))
+    assert tx_read_parts(spark, t).count() == 1
+
+
+def test_merge_parts_expect_latest_anchors_caller_snapshot(spark, tmp_path):
+    """ADVICE r11 (reroute TOCTOU): a caller that derived its merge
+    inputs from an earlier read passes that read's version as
+    ``expect_latest``; a commit landing in between must raise
+    TxConflict instead of merging against unseen state."""
+    t = str(tmp_path / "orders")
+    tx_write_parts(_orders(spark, [(1, 2019, 10.0)]), t, "o_year",
+                   mode="overwrite")
+    snap = txlog.tx_latest_id(t)
+    # a racing writer advances the log past the caller's snapshot
+    tx_merge_parts(spark, t, _orders(spark, [(2, 2019, 20.0)]),
+                   keys=["o_orderkey"], part_col="o_year")
+    with pytest.raises(TxConflict):
+        tx_merge_parts(spark, t, _orders(spark, [(1, 2019, 99.0)]),
+                       keys=["o_orderkey"], part_col="o_year",
+                       expect_latest=snap)
+    # the racer's row survives, the conflicted update never landed
+    got = {(r.o_orderkey, r.o_total)
+           for r in tx_read_parts(spark, t).collect()}
+    assert got == {(1, 10.0), (2, 20.0)}
+    # anchored at the CURRENT snapshot the same merge goes through
+    tx_merge_parts(spark, t, _orders(spark, [(1, 2019, 99.0)]),
+                   keys=["o_orderkey"], part_col="o_year",
+                   expect_latest=txlog.tx_latest_id(t))
+    got = {(r.o_orderkey, r.o_total)
+           for r in tx_read_parts(spark, t).collect()}
+    assert got == {(1, 99.0), (2, 20.0)}
+
+
 def test_merge_parts_reads_only_touched_partitions(spark, tmp_path):
     """The merge's snapshot read must partition-prune at the METADATA
     level: only touched partitions' dirs enter the read plan."""
