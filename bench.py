@@ -215,15 +215,28 @@ def main() -> None:
     ref_meds, ref_gflops = _trio_reference(
         Path(__file__).resolve().parent, sf)
     cur_gflops = speed.get("numpy_matmul_gflops_1024")
+    # Clamped to >= 1.0: a slow host RELAXES the threshold, but a
+    # fast matmul stamp must never TIGHTEN it below the 3x base —
+    # the stamp is a point sample taken before the JVM exists, and a
+    # shared VM can stamp fast then run contended (r12 trio run B:
+    # 23.3 GFLOPs stamp tightened the bar to ~2.1x and 40 of 183
+    # queries re-timed, burning the run's budget on 2-3x jitter that
+    # is NOT the stall pathology this exists for).
     host_adj = 1.0
     if ref_gflops and cur_gflops:
-        host_adj = min(max(ref_gflops / cur_gflops, 0.5), 3.0)
+        host_adj = min(max(ref_gflops / cur_gflops, 1.0), 3.0)
     resampled: dict[str, list[float]] = {}
+    # Bounded in COUNT too: each re-time costs a full extra run, so a
+    # systemically-turbulent host must not turn the detector into a
+    # 2x-everything pass — past the cap, samples stand as measured
+    # (the stats triples still expose them).
+    MAX_RESAMPLES = 12
 
     def maybe_resample(spec, dt: float) -> float:
         ref = ref_meds.get(spec.name)
         if (ref is None or spec.name in NO_WARM
                 or spec.name in resampled or spec.name in errors
+                or len(resampled) >= MAX_RESAMPLES
                 or dt <= max(3.0 * ref * host_adj, 2.0)
                 or budget - (time.perf_counter() - t_begin) < dt + 5.0):
             return dt
