@@ -79,6 +79,24 @@ NOTES = {
                            "below lists just those partitions); the 8-row "
                            "query side broadcasts into an equi-join on "
                            "cell — no cartesian, no full-corpus scan.",
+    "ann_index_reroute": "same pruned-probe re-rank plan as the lifecycle "
+                         "gate, but over the POST-MOVE index: the reroute "
+                         "upsert (one atomic replace_parts commit evicting "
+                         "+ placing 40 moved ids) ran at plan-build time; "
+                         "reroute-vs-rebuild cost measured in "
+                         "scripts/probe_scale_round12.py (3-4x cheaper at "
+                         "1M vectors).",
+    "bitext_margin_pairs_capped": "the production mining path end-to-end: "
+                                  "hashed sides are id-only (table, "
+                                  "bucket) rows (localCheckpoint pins the "
+                                  "2x4 plane-dot projections), row_number "
+                                  "over (table, bucket) caps each side by "
+                                  "the salted-md5 rank, candidates are ONE "
+                                  "equi-join on (table, bucket) + "
+                                  "distinct — pair set bounded by tables x "
+                                  "buckets x cap²; both margin ranks ride "
+                                  "one Exchange(src)→Window→Exchange(tgt) "
+                                  "lineage so pair scoring runs once.",
 }
 
 #: Non-headline queries whose plans are audit-worthy (new scale
@@ -89,7 +107,9 @@ EXTRA_PLANS = ["ann_index_lifecycle",
                # round-5 pipeline additions
                "benchmark_contamination", "doc_chunk_packing",
                "stratified_doc_sample", "quality_topn_per_source",
-               "doc_repetition_scores", "events_json_props"]
+               "doc_repetition_scores", "events_json_props",
+               # round-12 production-posture gates
+               "bitext_margin_pairs_capped", "ann_index_reroute"]
 
 
 def main() -> None:
@@ -126,7 +146,17 @@ def main() -> None:
            "two-row keys, local[32]): split ewma 19.9 s / cumsum 14.3 s "
            "end-to-end; the hot key's ranged layout peaks at 318,010 "
            "rows/partition vs the 312,500 ideal (1.02×) — no partition "
-           "ever holds the series.", ""]
+           "ever holds the series.", "",
+           "- **Re-embedding maintenance (reroute vs rebuild, r12)**: "
+           "`ann_index_upsert(on_move=\"reroute\")` measured at 1M×64-d / "
+           "64 cells (scripts/probe_scale_round12.py): full rebuild "
+           "94.5 s; 10k SCATTERED re-embeddings reroute in 31.5 s (3.0× — "
+           "touched set ≈ all cells, but no kmeans retrain); 10k "
+           "CELL-LOCAL re-embeddings in 23.4 s (4.0× — ~8 of 64 "
+           "partitions touched, cost tracks the delta's cell footprint). "
+           "Zero duplicate ids after the atomic evict+place commit. "
+           "Rebuild remains the answer only for quantizer DRIFT "
+           "(ann_index_cell_stats).", ""]
     for name, spec in QUERIES.items():
         if not spec.bench and name not in EXTRA_PLANS:
             continue
