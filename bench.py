@@ -110,8 +110,15 @@ def _trio_reference(repo: Path, sf: str) -> tuple[dict[str, float],
                 if isinstance(t, (int, float)):
                     refs.setdefault(n, []).append(float(t))
         if refs:
-            med = {n: sorted(v)[len(v) // 2] for n, v in refs.items()}
-            spd = sorted(speeds)[len(speeds) // 2] if speeds else None
+            # LOWER median (ADVICE r12): an even-length sample list
+            # (a trio member at another sf / unreadable) must not
+            # inflate the reference and relax the stall bar — same
+            # "contention only ever adds" convention as the tail's
+            # lower-median estimate.
+            med = {n: sorted(v)[(len(v) - 1) // 2]
+                   for n, v in refs.items()}
+            spd = (sorted(speeds)[(len(speeds) - 1) // 2]
+                   if speeds else None)
             return med, spd
     return {}, None
 
@@ -232,9 +239,9 @@ def main() -> None:
     # (the stats triples still expose them).
     MAX_RESAMPLES = 12
 
-    def maybe_resample(spec, dt: float) -> float:
+    def maybe_resample(spec, dt: float, cold: bool = False) -> float:
         ref = ref_meds.get(spec.name)
-        if (ref is None or spec.name in NO_WARM
+        if (cold or ref is None or spec.name in NO_WARM
                 or spec.name in resampled or spec.name in errors
                 or len(resampled) >= MAX_RESAMPLES
                 or dt <= max(3.0 * ref * host_adj, 2.0)
@@ -254,7 +261,7 @@ def main() -> None:
     def time_spec(spec) -> None:
         n_runs = 3 if (spec.bench or spec.name in PIN_MEDIAN) else 1
         samples: list[float] = []
-        for _ in range(n_runs):
+        for run_i in range(n_runs):
             start = time.perf_counter()
             try:
                 spec.fn(spark, sf_dir).collect()
@@ -262,8 +269,16 @@ def main() -> None:
                 errors.setdefault(spec.name,
                                   traceback.format_exc(limit=2)[-400:])
                 break
-            samples.append(maybe_resample(spec,
-                                          time.perf_counter() - start))
+            # The FIRST of a multi-run triple carries legitimate
+            # cold-start cost (first-touch parquet footers / JIT on
+            # the full plan — the headline warm pass only ran
+            # limit(1), and PIN_MEDIAN specs warm themselves) which
+            # is not the stall pathology: re-timing it would
+            # warm-bias the stats triple vs pre-r12 artifacts
+            # (ADVICE r12). Runs 2-3 compare warm-vs-warm.
+            samples.append(maybe_resample(
+                spec, time.perf_counter() - start,
+                cold=(run_i == 0 and n_runs > 1)))
         # A failure on a LATER run must not discard earlier valid
         # samples (ADVICE r5): report the median of what succeeded
         # (the error is still recorded above).
@@ -449,6 +464,10 @@ def main() -> None:
     if headline_only:
         warm_tail = False
         shed["breadth_tail"] = "skipped (headline-only mode)"
+        # Per-query absence must be machine-detectable (ADVICE r12):
+        # consumers keying on skipped/n_skipped saw 0 while
+        # n_queries silently dropped by ~130.
+        skipped.extend(s.name for s in specs if not s.bench)
     elif not warm_tail:
         shed["tail_warm_pass"] = "skipped (budget pressure)"
     for spec in specs:

@@ -262,10 +262,21 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
         cid = _upsert_with_moves(spark, asg_t, delta, moved, txn_id,
                                  expect_latest=base)
     else:
+        # Anchor the merge to `base` only when the moved-id scan
+        # actually READ that snapshot (validate or reroute): the scan's
+        # no-moves conclusion is stale if a commit landed since, so the
+        # publish must conflict rather than risk a duplicate id. On
+        # the plain no-scan path only the metadata-only schema read
+        # used the snapshot (the merge's own dtype-drift guard
+        # re-checks it), so concurrent non-conflicting upserts keep
+        # serializing through the merge's self-anchored publish loop
+        # instead of failing outright (ADVICE r12).
+        scanned = validate or on_move == "reroute"
         cid = tx_merge_parts(spark, asg_t, delta, keys=["id"],
                              part_col="cell",
                              update_cols=["vec", "norm_sq"],
-                             txn_id=txn_id, expect_latest=base)
+                             txn_id=txn_id,
+                             expect_latest=base if scanned else None)
     # resurrect: an upserted id sheds any tombstone. Runs AFTER the
     # merge commit; a crash between the two is healed on redelivery
     # (the merge no-ops via txn_id, the tombstone clear re-runs) and

@@ -68,7 +68,7 @@ def connect_by_prior(nodes: DataFrame, key: str, parent: str,
                                          keyc.cast("string")))
             .drop("_pk", "_lvl", "_root", "_path")
             .localCheckpoint(eager=True))
-        if frontier.rdd.isEmpty():
+        if frontier.isEmpty():
             return _union_all(levels)
         levels.append(frontier)
     raise ValueError(

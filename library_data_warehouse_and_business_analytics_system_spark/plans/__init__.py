@@ -123,7 +123,7 @@ _R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 # The round whose 50-slot window the committed ordering encodes.
 # tests/test_plan_quality.py derives its green-set cutoff from THIS
 # constant (r9 verdict item 3: the manual duplicate went stale twice).
-WINDOW_ROUND = 12
+WINDOW_ROUND = 13
 
 # New gate registered in r10 (growth otherwise frozen; the r9 verdict
 # item 5 work item): ewma_scan's third routing mode (mode="split",
@@ -210,21 +210,43 @@ _R9_GREEN = [n for n in _R9_WINDOW if n != "bpe_pair_stats"]
 # The 50-slot r12 window (r11 verdict items 1-3): the 2 new
 # production-posture gates first, then 48 rotation slots stalest
 # first — the whole remaining 32-row r8 cohort plus 16 r9-cohort
-# rows FIFO. After r12 lands, no green row is older than round 9;
-# r13 retires the remaining 33 r9 rows + the r10 cohort head on the
-# same schedule.
+# rows FIFO. Landed 50/50 green (CORRECTNESS_r12): no green row
+# older than round 9.
 _R12_WINDOW = _R12_NEW + _R8_GREEN[17:] + _R9_GREEN[:16]
 
+# Registry growth unfroze for exactly the composed-lifecycle gate the
+# r12 verdict ordered (item 4): ann_index_full_cycle chains the
+# already-gated build/upsert (r10), MoR delete (r11), and
+# resurrect+reroute (r12) with a forced-rebuild maintenance pass
+# under ONE exact-full-probe hash. Registered mid-r13, so it gates
+# FIRST in the r13 window (the _R9_NEW/_R10_NEW/_R12_NEW convention).
+_R13_NEW = ["ann_index_full_cycle"]
+
+# Queries whose newest driver-green row is round 10 (all 50 rows of
+# the r10 window — none re-gated since), FIFO in the r10 window
+# order. Verified against CORRECTNESS_r01-r12: latest-green
+# distribution entering r13 is exactly r9:33 / r10:50 / r11:50 /
+# r12:50 with every registered query green at least once.
+_R10_GREEN = list(_R10_WINDOW)
+
+# The 50-slot r13 window (r12 verdict items 1 + 4): the new composed
+# gate first, then 49 rotation slots stalest first — the whole
+# remaining 33-row r9 cohort plus 16 r10-cohort rows FIFO. After r13
+# lands, no green row is older than round 10; r14 retires the
+# remaining 34 r10 rows + the r11 cohort head on the same schedule.
+_R13_WINDOW = _R13_NEW + _R9_GREEN[16:] + _R10_GREEN[:16]
+
 # No round-close registrations pinned behind the window yet.
-_R13_FRONT: list[str] = []
+_R14_FRONT: list[str] = []
 
 
 def _reorder() -> None:
-    listed = set(_R12_WINDOW) | set(_R9_GREEN)
+    listed = set(_R13_WINDOW) | set(_R14_FRONT) | set(_R10_GREEN)
     ordered = (
-        [n for n in _R12_WINDOW if n in QUERIES]
-        + [n for n in _R9_GREEN[16:] if n in QUERIES]
-        # r10/r11-green tail (and anything newly registered but
+        [n for n in _R13_WINDOW if n in QUERIES]
+        + [n for n in _R14_FRONT if n in QUERIES]
+        + [n for n in _R10_GREEN[16:] if n in QUERIES]
+        # r11/r12-green tail (and anything newly registered but
         # unlisted - none expected): registration order.
         + [n for n in QUERIES if n not in listed]
     )

@@ -2766,3 +2766,99 @@ def ann_index_reroute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ann_index_query(spark, root, queries, "vec_id", "embedding",
                             k=10, n_probe=8)
             .orderBy("query_id", "rank"))
+
+
+# ---------------------------------------------------------------------------
+# The composed index lifecycle under ONE driver hash (r12 verdict
+# item 4): build / upsert (r10), MoR delete (r11) and cross-cell
+# reroute (r12) each carry their own gate, but nothing exercised
+# their INTERACTION — the state a production index actually reaches
+# after a delete wave, a re-embedding of some deleted ids (resurrect
+# + reroute in one upsert), and an operational maintenance pass whose
+# forced rebuild folds the remaining tombstones away and resets the
+# deletes table. Precedent: orders_maintenance_cycle (r10) composed
+# the table-layer ops the same way. The final corpus is closed-form
+# (tombstoned-but-never-resurrected ids gone, resurrected ids carry
+# their IEEE-exact negated vectors), so the full-probe query faces
+# the exact brute-force oracle: a tombstone leaking through the
+# rebuild, a resurrection lost, a stale pre-move copy surviving, or
+# a vector corrupted by the rebuild's read-rewrite all flip the hash.
+
+
+@register(
+    "ann_index_full_cycle",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id < 40
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS v
+      FROM embeddings
+      WHERE vec_id < 40 OR vec_id >= 60
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a='qv', b='c.v')}
+               / nullif(sqrt({_DOT.format(a='qv', b='qv')})
+                        * sqrt({_DOT.format(a='c.v', b='c.v')}), 0) AS cos
+      FROM q, corpus c
+      WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+    operators=("ANN-IVF", "S5", "S6", "E9"),
+)
+def ann_index_full_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build over the full embeddings table; tombstone-delete
+    vec_id < 60; re-embed vec_id < 40 as NEGATED vectors via
+    ann_index_upsert(on_move="reroute") — resurrecting 40 deleted ids
+    whose new vectors also move cells, so the single commit sheds
+    their tombstones AND evicts the stale copies; then
+    ann_index_maintain(rebuild_tombstone_frac=0.0) — the 20 remaining
+    tombstones (40 <= vec_id < 60) force a rebuild that retrains the
+    quantizer on the live set, folds them away physically and resets
+    the deletes table, then checkpoints/expires/vacuums every index
+    table; finally query at n_probe = n_cells: exact top-10 over the
+    post-cycle corpus."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..operators.ann_index import (
+        ann_index_build,
+        ann_index_delete,
+        ann_index_maintain,
+        ann_index_query,
+        ann_index_upsert,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="ann_cycle_gate_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    ann_index_build(spark, emb, "vec_id", "embedding", root,
+                    dim=64, n_cells=8, max_iter=2, seed=7)
+    ann_index_delete(spark, root,
+                     emb.filter(F.col("vec_id") < 60).select("vec_id"),
+                     "vec_id")
+    delta = (emb.filter(F.col("vec_id") < 40)
+             .select("vec_id",
+                     F.transform("embedding", lambda x: -x)
+                     .alias("embedding")))
+    ann_index_upsert(spark, root, delta, "vec_id", "embedding",
+                     on_move="reroute")
+    report = ann_index_maintain(spark, root, rebuild_tombstone_frac=0.0,
+                                dim=64, n_cells=8, max_iter=2, seed=7)
+    assert report["rebuilt"], report  # 20 live tombstones MUST rebuild
+    queries = emb.filter(F.col("vec_id") < 8)
+    return (ann_index_query(spark, root, queries, "vec_id", "embedding",
+                            k=10, n_probe=8)
+            .orderBy("query_id", "rank"))

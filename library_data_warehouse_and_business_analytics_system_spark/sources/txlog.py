@@ -838,13 +838,16 @@ def tx_merge_parts(spark: SparkSession, table: str, source: DataFrame,
             merged, table, part_col, mode="overwrite",
             expect_latest=0 if expect_latest is None else expect_latest,
             txn_id=txn_id)
-    if expect_latest is not None and tx_latest_id(table) != expect_latest:
-        raise TxConflict(  # cheap pre-stage check (the tx_write
-            # pattern); the publish loop re-checks, but failing here
-            # skips the whole read-merge-stage work on a doomed merge
-            # and leaves no orphaned staging dirs behind
-            f"tx_merge_parts: {table} is at {tx_latest_id(table)}, "
-            f"not the expected snapshot {expect_latest}")
+    if expect_latest is not None:
+        cur = tx_latest_id(table)  # bound once: under a race a second
+        # read could report a different id than the one that failed
+        if cur != expect_latest:
+            raise TxConflict(  # cheap pre-stage check (the tx_write
+                # pattern); the publish loop re-checks, but failing
+                # here skips the whole read-merge-stage work on a
+                # doomed merge and leaves no orphaned staging dirs
+                f"tx_merge_parts: {table} is at {cur}, "
+                f"not the expected snapshot {expect_latest}")
     base = tx_latest_id(table) if expect_latest is None else expect_latest
     state = _visible_parts(table, as_of=base)
     touched = sorted({

@@ -295,80 +295,14 @@ def test_committed_fixture_matches_live_etl(spark, dw):
 
 def test_lqy_parameter_sweep(dw, duck_dw):
     """r11 verdict item 6: the three LQY gates pin 2 parameter tuples
-    each; this sweep pushes ~21 seeded (year_from, year_to, limit /
+    each; this sweep pushes 21 seeded (year_from, year_to, limit /
     topn / cov, gender / suppliers / states) tuples through
     query1/2/3 vs the DuckDB reference translations on the SAME
     warehouse — closing the "right answer only at the gated
     parameters" residual risk. Tuples where both engines return zero
-    rows are counted separately; at least 15 must be live."""
-    import random
+    rows are counted separately; at least 15 must be live. (Sweep
+    body shared with the reference-volume run — tests/lqy_sweep.py.)"""
+    from .lqy_sweep import run_lqy_sweep
 
-    rng = random.Random(1212)
-    states = sorted({r.state.strip() for r in
-                     dw["dim_members"].select("state").distinct().collect()
-                     if r.state and r.state.strip()})
-    sups = sorted({r.supplierName for r in
-                   dw["dim_suppliers"].select("supplierName")
-                   .distinct().collect() if r.supplierName})
-    assert states and sups
-
-    def years(lo=2015, hi=2024):
-        yf = rng.randint(lo, hi - 1)
-        return yf, rng.randint(yf, hi)
-
-    def quote_upper(names):
-        return ",".join("'" + n.upper().replace("'", "''") + "'"
-                        for n in names)
-
-    live = 0
-    for _ in range(7):
-        yf, yt = years()
-        g = rng.choice(["ALL", "F", "M"])
-        lim = rng.randint(1, 8)
-        tag = f"q1[{yf},{yt},{g},{lim}]"
-        got = query1(dw, yf, yt, limit=lim, gender=g).toPandas()
-        exp = duck_dw.execute(
-            Q1_SQL.format(yf=yf, yt=yt, g=g, lim=lim)).df()
-        if len(got) == 0 and len(exp) == 0:
-            continue
-        assert_frames_match(got, exp, tag, float_rtol=1e-9)
-        live += 1
-
-    for _ in range(7):
-        yf, yt = years()
-        topn = rng.randint(1, 12)
-        if rng.random() < 0.5:
-            sel = rng.sample(sups, k=min(len(sups), rng.randint(1, 4)))
-            csv = ",".join(sel)
-            sup_sql = f"UPPER(s.supplierName) IN ({quote_upper(sel)})"
-        else:
-            csv, sup_sql = "%", "1=1"
-        tag = f"q2[{yf},{yt},{topn},{csv[:40]}]"
-        got = query2(dw, yf, yt, topn=topn, suppliers_csv=csv).toPandas()
-        exp = duck_dw.execute(
-            Q2_SQL.format(yf=yf, yt=yt, topn=topn, sup=sup_sql)).df()
-        if len(got) == 0 and len(exp) == 0:
-            continue
-        assert_frames_match(got, exp, tag, float_rtol=1e-9)
-        live += 1
-
-    for _ in range(7):
-        yf, yt = years()
-        cov = rng.choice([5, 10, 15, 20, 25])
-        if rng.random() < 0.5:
-            sel = rng.sample(states, k=min(len(states), rng.randint(1, 4)))
-            csv = ",".join(sel)
-            sp = f"state IN ({quote_upper(sel)})"
-        else:
-            csv, sp = "%", "1=1"
-        tag = f"q3[{yf},{yt},{cov},{csv[:40]}]"
-        got = query3(dw, yf, yt, states_csv=csv,
-                     target_gm_pct=float(cov)).toPandas()
-        exp = duck_dw.execute(
-            Q3_SQL.format(yf=yf, yt=yt, cov=cov, sp=sp)).df()
-        if len(got) == 0 and len(exp) == 0:
-            continue
-        assert_frames_match(got, exp, tag, float_rtol=1e-9)
-        live += 1
-
-    assert live >= 15, f"only {live} live tuples — widen the year ranges"
+    live, total = run_lqy_sweep(dw, duck_dw, seed=1212, rounds=7)
+    assert live >= 15, f"only {live}/{total} live tuples — widen the ranges"
