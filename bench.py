@@ -11,6 +11,13 @@ Robustness contract (round-4 hardening):
   tail-limited capture can't clip it (round 2's full 61-entry dict
   overflowed the capture window).  The complete per-query dict is
   written to ``BENCH_FULL.json`` next to this file.
+
+Artifact convention (pinned round 13, VERDICT r12 item 5):
+``BENCH_FULL.json`` is a SCRATCH output — every sf0.1 run (ours or
+the driver's) overwrites it, so it is gitignored, not tracked. The
+canonical committed artifacts are the per-round stamped trio
+``BENCH_FULL_r{N}{A,B,C}.json`` (idle-host runs, copied by hand at
+round close) and the driver's own ``BENCH_r{N}.json``.
 """
 
 from __future__ import annotations
