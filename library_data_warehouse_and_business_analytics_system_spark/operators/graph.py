@@ -109,18 +109,28 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     a<b orientation leaves a low-id hub with out-degree ~N and a
     quadratic wedge set. Returns (node, n_triangles) for every node
     appearing in ``edges`` (zero-participation nodes included)."""
-    und = (edges.select(F.col("a").cast("long").alias("u"),
-                        F.col("b").cast("long").alias("v"))
-           .unionByName(edges.select(F.col("b").cast("long").alias("u"),
-                                     F.col("a").cast("long").alias("v"))))
+    # Materialize the (possibly expensive) edge derivation ONCE — the
+    # co-purchase caller's basket self-join fed 20+ plan branches
+    # through und/deg/ranked/oriented/tri and the initial physical
+    # plan reached 538 Exchanges / 224 scans (r13; runtime stage reuse
+    # recovers some of it, but planning+codegen of the exponential
+    # tree alone cost seconds). Same contract as pagerank's edge
+    # checkpoint below.
+    ed = (edges.select(F.col("a").cast("long").alias("u"),
+                       F.col("b").cast("long").alias("v"))
+          .localCheckpoint())
+    und = ed.unionByName(ed.select(F.col("v").alias("u"),
+                                   F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     ranked = und.join(deg.withColumnRenamed("u", "v")
                      .withColumnRenamed("d", "dv"), "v") \
                 .join(deg, "u")
+    # Checkpointed: three downstream branches (both wedge sides and
+    # the closing-edge probe) re-derived the double-join above.
     oriented = (ranked.filter(
         (F.col("d") < F.col("dv"))
         | ((F.col("d") == F.col("dv")) & (F.col("u") < F.col("v"))))
-        .select("u", "v"))
+        .select("u", "v")).localCheckpoint()
     # Both orders of each wedge are generated; the closing edge is
     # oriented ONE way by the rank order of its endpoints, so the
     # pure equi-join below matches each triangle exactly once (an
@@ -131,10 +141,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     closing = oriented.select(
         F.col("u").alias("y"), F.col("v").alias("z"))
     tri = wedges.join(closing, ["y", "z"])
+    # One explode instead of a 3-way union of tri: the union form
+    # executed the wedge-close join three times (r13, guide §2.4);
+    # exploding the corner array counts the same (node, triangle)
+    # incidences in a single pass.
     per_node = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node").agg(F.count(F.lit(1)).alias("n_triangles")))
     nodes = und.select(F.col("u").alias("node")).distinct()
     return (nodes.join(per_node, "node", "left_outer")

@@ -1961,10 +1961,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup, bit-exact down to the reassembled
     kept_text: 8-token window hashes, cross-document shared-window
-    detection (two-phase over DISTINCT doc×hash), bounded k-fan-out
-    coverage marking, and position-ordered reassembly. The
-    shared-window membership join shuffles on the 16-byte hash — the
-    set grows with the corpus (boilerplate/Heaps posture), so no
+    detection (one min≠max window pass over the wh partition — r13),
+    bounded k-fan-out coverage marking, and position-ordered
+    reassembly. The shared-window pass shuffles on the 16-byte hash —
+    the set grows with the corpus (boilerplate/Heaps posture), so no
     broadcast hint. See operators/substring.py."""
     from ..operators.substring import duplicated_span_scrub
 
