@@ -59,7 +59,7 @@ from ..sources.txlog import (
     tx_write,
     tx_write_parts,
 )
-from .similarity import _nearest_cells, kmeans_fit
+from .similarity import _nearest_cells, cents_frame, kmeans_fit
 
 _CENTROIDS = "centroids"
 _ASSIGNMENTS = "assignments"
@@ -97,10 +97,10 @@ def _assign(df: DataFrame, id_col: str, vec_col: str,
             cents: list[list[float]]) -> DataFrame:
     """(id, vec, norm_sq, cell) — each vector's max-dot cell (score
     desc, cell asc tie-break, same convention as ivf_topk)."""
-    return df.select(
+    return df.crossJoin(cents_frame(df.sparkSession, cents)).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
         l2_norm_sq(F.col(vec_col)).alias("norm_sq"),
-        _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
+        _nearest_cells(F.col(vec_col), len(cents), 1)[0].cell.alias("cell"))
 
 
 def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
@@ -302,10 +302,10 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
     everything and is exactly brute-force top-k."""
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
-    q = queries.select(
+    q = queries.crossJoin(cents_frame(spark, cents)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         l2_norm_sq(F.col(vec_col)).alias("nq"),
-        F.transform(_nearest_cells(F.col(vec_col), cents,
+        F.transform(_nearest_cells(F.col(vec_col), len(cents),
                                    min(n_probe, len(cents))),
                     lambda s: s.cell).alias("cells"))
     probed = sorted({c for r in q.select(F.explode("cells").alias("c"))

@@ -235,25 +235,34 @@ def srp_candidate_ids(a: DataFrame, b: DataFrame,
     from ..functions.vectors import dot
     from .similarity import _seeded_planes
 
+    # Planes as DATA (one-row broadcast tensor) instead of
+    # n_tables·n_planes·dim literal nodes — same analyzer-cost
+    # rewrite as similarity.lsh_topk, bit-identical buckets (each
+    # plane still contributes its DISTINCT power-of-two bit, OR
+    # accumulation per ADVICE r10, IntegerType preserved).
+    all_planes = [_seeded_planes(dim, n_planes, seed + 1000 * t)
+                  for t in range(n_tables)]
+    pl = F.broadcast(a.sparkSession.createDataFrame(
+        [(all_planes,)], "_pl array<array<array<double>>>"))
+
     def hashed(df: DataFrame, side: str) -> DataFrame:
-        tables = []
-        for t in range(n_tables):
-            planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
-            bucket = F.lit(0)
-            for i, p in enumerate(planes):
-                # each plane contributes a DISTINCT power-of-two bit;
-                # OR accumulates them (ADVICE r10: XOR was only
-                # correct by that disjointness — OR states the intent
-                # and survives a changed bit derivation)
-                bit = F.when(
-                    dot(F.col(vec_col),
-                        F.array(*[F.lit(x) for x in p])) >= 0,
-                    F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
-                bucket = bucket.bitwiseOR(bit)
-            tables.append(F.struct(F.lit(t).alias("table"),
-                                   bucket.alias("bucket")))
-        out = (df.select(F.col(id_col).alias(f"{side}_id"),
-                         F.explode(F.array(*tables)).alias("tb"))
+        tb = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.alias("table"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    F.lit(0),
+                    lambda acc, i: acc.bitwiseOR(
+                        F.when(dot(F.col(vec_col),
+                                   F.element_at(
+                                       F.element_at(F.col("_pl"), t + 1),
+                                       i + 1)) >= 0,
+                               F.pow(F.lit(2.0), i).cast("int"))
+                        .otherwise(F.lit(0)))).alias("bucket")))
+        out = (df.crossJoin(pl)
+               .select(F.col(id_col).alias(f"{side}_id"),
+                       F.explode(tb).alias("tb"))
                .select(f"{side}_id", "tb.table", "tb.bucket"))
         if bucket_cap is not None:
             # per-table salted md5 rank key: deterministic, uniform,

@@ -436,23 +436,33 @@ def embedding_lsh_candidates(
     from ..functions.vectors import dot
     from .similarity import _seeded_planes
 
-    def plane_col(p: list[float]):
-        return F.array(*[F.lit(x) for x in p])
+    # Planes as DATA (one-row broadcast tensor), not literal trees:
+    # n_tables·n_planes·dim = 2560 Literal nodes at the defaults cost
+    # seconds of analyzer time per query (see the same rewrite in
+    # similarity.lsh_topk — measured bit-identical there). Bucket
+    # bits stay IntegerType like the shiftleft they replace.
+    all_planes = [_seeded_planes(dim, n_planes, seed + 1000 * t)
+                  for t in range(n_tables)]
+    pl = F.broadcast(df.sparkSession.createDataFrame(
+        [(all_planes,)], "_pl array<array<array<double>>>"))
+    tb = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.struct(
+            t.alias("table"),
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0),
+                lambda acc, i: acc.bitwiseXOR(
+                    F.when(dot(F.col(vec_col),
+                               F.element_at(
+                                   F.element_at(F.col("_pl"), t + 1),
+                                   i + 1)) >= 0,
+                           F.pow(F.lit(2.0), i).cast("int"))
+                    .otherwise(F.lit(0)))).alias("bucket")))
 
-    tables = []
-    for t in range(n_tables):
-        planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
-        bucket = F.lit(0)
-        for i, p in enumerate(planes):
-            bit = F.when(dot(F.col(vec_col), plane_col(p)) >= 0,
-                         F.shiftleft(F.lit(1), i)).otherwise(F.lit(0))
-            bucket = bucket.bitwiseXOR(bit)
-        tables.append(F.struct(F.lit(t).alias("table"),
-                               bucket.alias("bucket")))
-
-    hashed = df.select(
+    hashed = df.crossJoin(pl).select(
         F.col(id_col),
-        F.explode(F.array(*tables)).alias("tb"),
+        F.explode(tb).alias("tb"),
     ).select(id_col, "tb.table", "tb.bucket").localCheckpoint()
     a = hashed.alias("a")
     b = hashed.alias("b")

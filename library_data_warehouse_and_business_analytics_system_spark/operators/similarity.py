@@ -90,23 +90,38 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     12-plane/4-table config is selective AND high-recall; for
     near-orthogonal corpora selectivity has to be bought with
     candidates. See ``lsh_topk_auto`` for the brute-force crossover."""
+    # Planes ship as DATA (a one-row broadcast frame holding the
+    # n_tables × n_planes × dim tensor), not as literal expression
+    # trees: the literal form put n_tables·n_planes·dim Literal nodes
+    # (3072 at the forced-gate config) through every analyzer rule,
+    # costing seconds of driver time PER QUERY before any task ran
+    # (guide §7.3 "very large plans"; measured at sf0.1: 11.5 s →
+    # 2.4 s, output bit-identical — the dot fold over an element_at
+    # of the data column is the same left fold over the same
+    # doubles). Bucket bits are 2^i via pow (exact for i ≤ 52).
+    all_planes = [_seeded_planes(dim, n_planes, seed + 1000 * t)
+                  for t in range(n_tables)]
+    pl = F.broadcast(corpus.sparkSession.createDataFrame(
+        [(all_planes,)], "_pl array<array<array<double>>>"))
+
     def hashed(df: DataFrame, out_id: str) -> DataFrame:
-        tables = []
-        for t in range(n_tables):
-            planes = _seeded_planes(dim, n_planes, seed + 1000 * t)
-            bucket = F.lit(0).cast("long")
-            for i, p in enumerate(planes):
-                plane = F.array(*[F.lit(x) for x in p])
-                bit = F.when(dot(F.col(vec_col), plane) >= 0,
-                             F.shiftleft(F.lit(1).cast("long"), i)) \
-                    .otherwise(F.lit(0))
-                bucket = bucket.bitwiseXOR(bit)
-            tables.append(F.struct(F.lit(t).alias("table"),
-                                   bucket.alias("bucket")))
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.explode(F.array(*tables)).alias("tb"),
-        ).select(out_id, "tb.table", "tb.bucket")
+        tb = F.transform(
+            F.sequence(F.lit(0), F.lit(n_tables - 1)),
+            lambda t: F.struct(
+                t.alias("table"),
+                F.aggregate(
+                    F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                    F.lit(0).cast("long"),
+                    lambda acc, i: acc.bitwiseXOR(
+                        F.when(dot(F.col(vec_col),
+                                   F.element_at(
+                                       F.element_at(F.col("_pl"), t + 1),
+                                       i + 1)) >= 0,
+                               F.pow(F.lit(2.0), i).cast("long"))
+                        .otherwise(F.lit(0).cast("long")))).alias("bucket")))
+        return (df.crossJoin(pl)
+                .select(F.col(id_col).alias(out_id), F.explode(tb).alias("tb"))
+                .select(out_id, "tb.table", "tb.bucket"))
 
     pairs = (
         F.broadcast(hashed(queries, "query_id"))
@@ -185,9 +200,10 @@ def kmeans_fit(corpus: DataFrame, vec_col: str, dim: int, k: int = 8,
     run. Empty cells keep their previous centroid."""
     cents = _seeded_planes(dim, k, seed)
     for _ in range(max_iter):
-        assigned = corpus.select(
+        assigned = corpus.crossJoin(
+            cents_frame(corpus.sparkSession, cents)).select(
             F.col(vec_col).alias("v"),
-            _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
+            _nearest_cells(F.col(vec_col), k, 1)[0].cell.alias("cell"))
         per_dim = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
@@ -208,14 +224,30 @@ def kmeans_fit(corpus: DataFrame, vec_col: str, dim: int, k: int = 8,
     return cents
 
 
-def _nearest_cells(vec, cents: list[list[float]], probe: int):
+def cents_frame(spark, cents: list[list[float]]):
+    """The k × dim centroid matrix as a ONE-ROW broadcast frame
+    (column ``_cents``) — the quantizer travels as data, not as k·dim
+    Literal expression nodes. The literal form made the analyzer churn
+    hundreds of nodes per query (seconds of driver time at 16×64; see
+    the plane-tensor note in :func:`lsh_topk`); a cross join against
+    this frame costs one broadcast of a few KB."""
+    return F.broadcast(spark.createDataFrame(
+        [(cents,)], "_cents array<array<double>>"))
+
+
+def _nearest_cells(vec, n_cells: int, probe: int,
+                   cents_col: "Column | None" = None):
     """Top-``probe`` centroids by dot product as an array of structs
-    (score desc, cell asc tie-break)."""
-    scored = F.array(*[
-        F.struct(dot(vec, F.array(*[F.lit(x) for x in c])).alias("s"),
-                 F.lit(i).alias("cell"))
-        for i, c in enumerate(cents)
-    ])
+    (score desc, cell asc tie-break). ``cents_col`` defaults to the
+    ``_cents`` column attached by ``df.crossJoin(cents_frame(...))``;
+    scores fold exactly as the old literal form did (same dot over
+    the same doubles), so assignments are bit-identical."""
+    cents_col = F.col("_cents") if cents_col is None else cents_col
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n_cells - 1)),
+        lambda i: F.struct(
+            dot(vec, F.element_at(cents_col, i + 1)).alias("s"),
+            i.alias("cell")))
     return F.slice(F.array_sort(
         scored, lambda a, b: F.when(a.s > b.s, -1).when(a.s < b.s, 1)
         .otherwise(0)), 1, probe)
@@ -235,15 +267,17 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, vec_col: str, id_col: str,
     is identical either way."""
     cents = centroids if centroids is not None \
         else _seeded_planes(dim, n_cells, seed)
-    c_assigned = corpus.select(
+    cdf = cents_frame(corpus.sparkSession, cents)
+    c_assigned = corpus.crossJoin(cdf).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"),
         l2_norm_sq(F.col(vec_col)).alias("nc"),
-        _nearest_cells(F.col(vec_col), cents, 1)[0].cell.alias("cell"))
-    q_assigned = queries.select(
+        _nearest_cells(F.col(vec_col), len(cents), 1)[0].cell.alias("cell"))
+    q_assigned = queries.crossJoin(cdf).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         l2_norm_sq(F.col(vec_col)).alias("nq"),
-        F.explode(F.transform(_nearest_cells(F.col(vec_col), cents, n_probe),
-                              lambda s: s.cell)).alias("cell"))
+        F.explode(F.transform(
+            _nearest_cells(F.col(vec_col), len(cents), n_probe),
+            lambda s: s.cell)).alias("cell"))
     scored = (
         F.broadcast(q_assigned).join(c_assigned, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))

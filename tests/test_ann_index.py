@@ -444,11 +444,11 @@ def test_query_over_empty_probed_cells_returns_empty(spark, sf_dir,
     # now absent: with n_probe=1 the probe set is entirely empty
     absent_q = emb.limit(50)
     from library_data_warehouse_and_business_analytics_system_spark.operators.ann_index import (
-        _load_centroids, _nearest_cells,
+        _load_centroids, _nearest_cells, cents_frame,
     )
     cents = _load_centroids(spark, root)
-    cand = absent_q.select(
-        "vec_id", _nearest_cells(F.col("embedding"), cents, 1)[0]
+    cand = absent_q.crossJoin(cents_frame(spark, cents)).select(
+        "vec_id", _nearest_cells(F.col("embedding"), len(cents), 1)[0]
         .cell.alias("c0")).filter(F.col("c0") != keep).limit(1).collect()
     assert cand, "expected at least one query probing an absent cell"
     probe_q = emb.filter(F.col("vec_id") == cand[0]["vec_id"])
