@@ -59,14 +59,20 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
              .union(e.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint())
     n_nodes = nodes.count()  # scalar: fixes N for the base term
+    # Fold the out-degree onto the edge list ONCE before iterating
+    # (r13, guide §2.4): the loop body previously joined outdeg to
+    # the rank-carrying edges EVERY iteration — at scale that is one
+    # extra shuffle of the full edge set per iteration for a value
+    # that never changes. (pr / odeg divides the same doubles, so
+    # ranks are bit-identical.)
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    ew = e.join(outdeg, "src").localCheckpoint()
 
     base = (1.0 - damping) / n_nodes
     pr = nodes.select("id", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
     for _ in range(iters):
         contrib = (
-            e.join(pr.withColumnRenamed("id", "src"), "src")
-            .join(outdeg, "src")
+            ew.join(pr.withColumnRenamed("id", "src"), "src")
             .select(F.col("dst").alias("id"), "src",
                     (F.col("pr") / F.col("odeg")).alias("c"))
         )

@@ -41,15 +41,24 @@ def window_hashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
     """(doc_id, start, wh): md5 of every k-token window, 1-based
     ``start``. Documents shorter than ``k`` tokens contribute no
     windows (and are therefore never scrubbed)."""
-    toks = TX.tokens(F.lower(F.col(text_col)))
+    # The token array is MATERIALIZED behind a projection before the
+    # per-window lambda touches it (r13): interpreted HOF lambdas
+    # re-evaluate any subtree embedded in the lambda body once per
+    # element, so the inline form re-ran the whole
+    # split(trim(lower(text))) once PER WINDOW — ~|doc| times per row
+    # (the trap documented at functions/text.shingles_from_tokens;
+    # measured at sf0.1: 3.2 s → 0.65 s, output identical). The
+    # boundary holds because ``_toks`` is referenced more than once.
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        TX.tokens(F.lower(F.col(text_col))).alias("_toks"))
+            .filter(F.size("_toks") >= k))
     wins = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+        F.sequence(F.lit(1), F.size("_toks") - F.lit(k - 1)),
         lambda i: F.struct(
             i.alias("start"),
-            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("wh")))
-    return (docs.filter(F.size(toks) >= k)
-            .select(F.col(id_col).alias("doc_id"),
-                    F.explode(wins).alias("w"))
+            F.md5(F.array_join(F.slice(F.col("_toks"), i, k), " "))
+            .alias("wh")))
+    return (base.select("doc_id", F.explode(wins).alias("w"))
             .select("doc_id", F.col("w.start").alias("start"),
                     F.col("w.wh").alias("wh")))
 

@@ -410,15 +410,28 @@ def item_cf_similar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     list is never sorted on one reducer. cosine = int / sqrt(int): two
     correctly-rounded IEEE ops over exact integers — raw doubles
     hash-match the oracle."""
-    bi = (load_table(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_partkey").distinct())
-    n_item = bi.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
-    a = bi.alias("a")
-    b = bi.alias("b")
-    co = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                 & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-          .groupBy(F.col("a.l_partkey").alias("p1"),
-                   F.col("b.l_partkey").alias("p2"))
+    # Basket-grouped pair generation (r13, guide §2.4): the order's
+    # item set is collected ONCE (one exchange, basket-bounded) and
+    # feeds both the per-part order counts and the JVM HOF pair
+    # expansion — the previous shape paid the (l_orderkey, l_partkey)
+    # DISTINCT shuffle plus both sides of a self-join. collect_set
+    # de-dups within the order exactly as the DISTINCT did, so n_ord,
+    # n_co, and every cosine are identical (verified vs the oracle).
+    # localCheckpoint: order-count rows, two consumers below.
+    baskets = (load_table(spark, sf_dir, "lineitem")
+               .select("l_orderkey", "l_partkey")
+               .groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("ps"))
+               .localCheckpoint())
+    n_item = (baskets.select(F.explode("ps").alias("l_partkey"))
+              .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord")))
+    co = (baskets
+          .select(F.explode(F.flatten(F.transform(
+              F.col("ps"), lambda pa: F.transform(
+                  F.filter(F.col("ps"), lambda pb: pb > pa),
+                  lambda pb: F.struct(pa.alias("p1"), pb.alias("p2")))))
+          ).alias("e"))
+          .groupBy(F.col("e.p1").alias("p1"), F.col("e.p2").alias("p2"))
           .agg(F.count(F.lit(1)).alias("n_co")))
     sym = (co.select(F.col("p1").alias("part"), F.col("p2").alias("partner"),
                      "n_co")

@@ -2182,15 +2182,23 @@ def copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges with one equi-join. See operators/graph.py."""
     from ..operators.graph import triangle_counts
 
-    items = (load_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    a = items.alias("a")
-    b = items.alias("b")
+    # Basket-grouped pair generation (r13, guide §2.4): ONE exchange
+    # (groupBy order) + a JVM HOF pair expansion replaces the items
+    # self-join's two shuffled sides; collect_set de-dups within the
+    # order exactly as the DISTINCT did, so the per-order (a < b)
+    # pair multiset — and therefore the >= 2-orders edge set — is
+    # identical (verified bit-exact vs the oracle at sf0.1).
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey")
     edges = (
-        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-               & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-        .groupBy(F.col("a.l_partkey").alias("a"),
-                 F.col("b.l_partkey").alias("b"))
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .select(F.explode(F.flatten(F.transform(
+            F.col("ps"), lambda pa: F.transform(
+                F.filter(F.col("ps"), lambda pb: pb > pa),
+                lambda pb: F.struct(pa.alias("a"), pb.alias("b")))))
+        ).alias("e"))
+        .groupBy(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("a", "b"))

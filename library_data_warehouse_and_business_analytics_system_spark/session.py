@@ -29,6 +29,23 @@ ENGINE_CONFS: dict[str, str] = {
     # Partition sizing: at 100 TB this is the lever that keeps a scan
     # task's input ~128MB; harmless locally.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # InferFiltersFromGenerate rewrites explode(expr) into
+    # Filter(size(expr) > 0) + explode(expr) and FilterPushdown then
+    # inlines the FULL generator-input expression into that filter —
+    # for our derived-array explodes (shingle/window-hash/band
+    # tensors, all interpreted HOF trees) every scan row paid the
+    # whole tokenize+hash subtree TWICE (r13; guide §7.2 "duplicated
+    # subtrees"; measured at sf0.1: the shingle explode 3.0 s →
+    # 0.44 s, minhash pair gate 4.8 s → 2.3 s, outputs identical).
+    # Excluding the rule is semantics-free for this engine: a
+    # non-outer explode drops empty/NULL arrays itself in the SAME
+    # stage, so the inferred filter saves no shuffle bytes here —
+    # none of our generates sit above a join/exchange the filter
+    # could have pruned. The cost duplication grows with document
+    # size, so at 100 TB this is a 2× on every text-pipeline scan
+    # stage, not a local-mode artifact.
+    "spark.sql.optimizer.excludedRules":
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
 }
 
 
