@@ -362,7 +362,9 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda b: F.struct(a.alias("src"), b.alias("dst")))))
         ).alias("e"))
         .select("e.src", "e.dst")
-        .distinct()
+        # no .distinct() here: pagerank() distincts its edge input
+        # itself — the doubled distinct was a full extra shuffle of
+        # the 2.4M-pair set (r13, guide §2.4).
     )
     pr = graph.pagerank(edges, iters=2, damping=0.85)
     w = Window.orderBy(F.col("pr").desc(), F.col("id"))
