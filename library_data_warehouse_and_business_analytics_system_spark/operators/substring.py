@@ -63,6 +63,43 @@ def window_hashes(docs: DataFrame, k: int = 8, id_col: str = "doc_id",
                     F.col("w.wh").alias("wh")))
 
 
+def _reassemble(docs: DataFrame, covered: DataFrame, k: int,
+                id_col: str, text_col: str, *, covered_col: str,
+                with_frac: bool) -> DataFrame:
+    """Rebuild each document from its uncovered tokens, given one
+    (doc_id, _cov: array<int>) row per affected doc.
+
+    Per-doc HOF reassembly (r13, guide §2.4): kept positions are
+    ``array_except(sequence(1, n), _cov)`` — array_except builds a
+    hash set of the covered side, so the per-row cost is O(n +
+    |covered|), NOT the O(n·|covered|) an array_contains probe per
+    position would pay on adversarial documents — and preserves the
+    ascending position order of the sequence, which is exactly the
+    sorted-struct order the previous per-position regroup produced.
+    Output contract unchanged: one row per non-null-text document
+    (split() never returns an empty array, so size ≥ 1; a null text
+    produced no posexplode rows before and is filtered here)."""
+    base = (docs.select(F.col(id_col).alias("doc_id"),
+                        TX.tokens(F.lower(F.col(text_col))).alias("_toks"))
+            .filter(F.col("_toks").isNotNull()))
+    cov = F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    kept = F.transform(
+        F.array_except(F.sequence(F.lit(1), F.size("_toks")), cov),
+        lambda p: F.element_at(F.col("_toks"), p))
+    out = (base.join(covered, "doc_id", "left_outer")
+           .select("doc_id",
+                   F.size("_toks").cast("bigint").alias("n_tokens"),
+                   F.size(cov).cast("bigint").alias(covered_col),
+                   F.array_join(kept, " ").alias("kept_text")))
+    if with_frac:
+        out = out.withColumn(
+            "dup_frac", F.col(covered_col).cast("double")
+            / F.col("n_tokens").cast("double"))
+        return out.select("doc_id", "n_tokens", covered_col, "dup_frac",
+                          "kept_text")
+    return out.select("doc_id", "n_tokens", covered_col, "kept_text")
+
+
 def duplicated_span_scrub(docs: DataFrame, k: int = 8,
                           id_col: str = "doc_id",
                           text_col: str = "text") -> DataFrame:
@@ -73,7 +110,6 @@ def duplicated_span_scrub(docs: DataFrame, k: int = 8,
     division covered/n_tokens; ``kept_text`` is the surviving tokens
     rejoined in position order (sorted-struct reassembly — the
     deterministic order both engines reproduce)."""
-    toks = TX.tokens(F.lower(F.col(text_col)))
     wh = window_hashes(docs, k, id_col, text_col)
 
     # Windows recurring across ≥2 DOCUMENTS (within-doc repeats are
@@ -95,34 +131,18 @@ def duplicated_span_scrub(docs: DataFrame, k: int = 8,
                 F.explode(F.sequence(F.col("start"),
                                      F.col("start") + F.lit(k - 1)))
                 .alias("pos"))
-        .distinct()
-        .withColumn("is_covered", F.lit(True))
-    )
-
-    tok_pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-
-    return (
-        tok_pos.join(covered, ["doc_id", "pos"], "left_outer")
+        # collect_set both DEDUPS the overlapping windows' positions
+        # and reduces to ONE row per doc, so the reassembly below is a
+        # per-DOC join instead of the previous per-POSITION one (r13,
+        # guide §2.4): distinct + (doc,pos) join + token-struct regroup
+        # was three exchanges carrying token strings; this is one
+        # exchange of int sets + one join of doc-grain rows.
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.coalesce("is_covered", F.lit(False)).cast("int"))
-            .cast("bigint").alias("covered_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("is_covered").isNull(),
-                               F.struct("pos", "tok")))),
-                    lambda s: s["tok"]), " ").alias("kept_text"))
-        .withColumn("dup_frac",
-                    F.col("covered_tokens").cast("double")
-                    / F.col("n_tokens").cast("double"))
-        .select("doc_id", "n_tokens", "covered_tokens", "dup_frac",
-                "kept_text")
+        .agg(F.collect_set("pos").alias("_cov"))
     )
+
+    return _reassemble(docs, covered, k, id_col, text_col,
+                       covered_col="covered_tokens", with_frac=True)
 
 
 def self_repeat_scrub(docs: DataFrame, k: int = 8,
@@ -140,7 +160,6 @@ def self_repeat_scrub(docs: DataFrame, k: int = 8,
     windows, bounded by doc length), the bounded k-fan-out explode,
     and the same position-ordered reassembly. Returns (doc_id,
     n_tokens, repeated_tokens, kept_text)."""
-    toks = TX.tokens(F.lower(F.col(text_col)))
     wh = window_hashes(docs, k, id_col, text_col)
 
     w = Window.partitionBy("doc_id", "wh")
@@ -151,26 +170,8 @@ def self_repeat_scrub(docs: DataFrame, k: int = 8,
                        F.explode(F.sequence(F.col("start"),
                                             F.col("start") + F.lit(k - 1)))
                        .alias("pos"))
-        .distinct()
-        .withColumn("is_rep", F.lit(True)))
+        .groupBy("doc_id")             # same per-doc int-set shape as
+        .agg(F.collect_set("pos").alias("_cov")))  # duplicated_span_scrub
 
-    tok_pos = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(toks).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-
-    return (
-        tok_pos.join(covered, ["doc_id", "pos"], "left_outer")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum(F.coalesce("is_rep", F.lit(False)).cast("int"))
-            .cast("bigint").alias("repeated_tokens"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.when(F.col("is_rep").isNull(),
-                               F.struct("pos", "tok")))),
-                    lambda s: s["tok"]), " ").alias("kept_text"))
-        .select("doc_id", "n_tokens", "repeated_tokens", "kept_text")
-    )
+    return _reassemble(docs, covered, k, id_col, text_col,
+                       covered_col="repeated_tokens", with_frac=False)

@@ -247,10 +247,20 @@ def load_fact_borrowing(borrowed_books: DataFrame, book_copies: DataFrame,
         borrowed_books.filter(F.col("borrowDate").isNotNull())
         .join(book_copies.select("copyId", "bookId"), "copyId")
     )
-    metrics = base.groupBy("bookId").agg(
-        F.count(F.lit(1)).alias("total_borrowed"),
-        F.sum(F.when(F.col("returnStatus") == "Returned", 1).otherwise(0))
-        .alias("total_returned"),
+    # Per-book metrics as ONE window pass over the base instead of a
+    # groupBy + self-join (r13, guide §2.4): the join shape evaluated
+    # the borrowed⋈copies subtree twice and shuffled BOTH sides on
+    # bookId; the window needs one evaluation and one exchange, and
+    # every borrow of a book sits in one partition either way. Counts
+    # are identical (the inner join kept every base row — metrics is
+    # an aggregate OF base, so each bookId always matched).
+    w_book = Window.partitionBy("bookId")
+    metrics_base = (
+        base.withColumn("total_borrowed",
+                        F.count(F.lit(1)).over(w_book))
+        .withColumn("total_returned",
+                    F.sum(F.when(F.col("returnStatus") == "Returned", 1)
+                          .otherwise(0)).over(w_book))
     )
     as_of_c = F.lit(as_of)
     overdue = F.coalesce(
@@ -264,7 +274,7 @@ def load_fact_borrowing(borrowed_books: DataFrame, book_copies: DataFrame,
                F.datediff("returnDate", "borrowDate"))
         .otherwise(F.datediff(as_of_c, "borrowDate")), F.lit(0))
     return (
-        base.join(metrics, "bookId")
+        metrics_base
         .join(F.broadcast(dim_date.select("dateKey", "cal_date")),
               base.borrowDate == F.col("cal_date"))
         .join(F.broadcast(dim_members.select("memberKey", "memberId")),
