@@ -226,16 +226,22 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
     # it depends on which file seeds schema inference). Casting BEFORE
     # assignment keeps cell choice, stored vector, and stored norm²
     # mutually consistent at the index's own precision.
-    stored_t = tx_read_parts(spark, asg_t,
-                             as_of=base).schema["vec"].dataType
+    stored = tx_read_parts(spark, asg_t, as_of=base)
+    stored_t = stored.schema["vec"].dataType
     if new_vectors.schema[vec_col].dataType != stored_t:
         new_vectors = new_vectors.withColumn(
             vec_col, F.col(vec_col).cast(stored_t))
-    delta = _assign(new_vectors, id_col, vec_col, cents)
+    # Pin the assigned delta once (r13, guide §2.4 / §8: decide with
+    # small rows, move them once): without this the batch-sized
+    # (id, vec, norm_sq, cell) frame — and therefore the caller's
+    # new_vectors subtree, which may be an expensive upstream query —
+    # is re-derived by every downstream consumer: the moved-id scan,
+    # the merge's touched-partition collect, the staged write, and the
+    # tombstone-resurrection check (3-4 evaluations per upsert).
+    delta = _assign(new_vectors, id_col, vec_col, cents).localCheckpoint()
     moved = None
     if validate or on_move == "reroute":
-        existing = tx_read_parts(spark, asg_t, as_of=base).select(
-            "id", F.col("cell").alias("stored_cell"))
+        existing = stored.select("id", F.col("cell").alias("stored_cell"))
         moved = (delta.select("id", "cell").join(existing, "id")
                  .filter(F.col("cell") != F.col("stored_cell")))
         if on_move == "reroute":
@@ -419,10 +425,18 @@ def ann_index_maintain(spark: SparkSession, root: str,
             if dim is None or n_cells is None:
                 report["rebuild_skipped_missing_params"] = True
             else:
+                # Pin the live set once (r13): the rebuild's
+                # kmeans_fit scans its corpus once per Lloyd
+                # iteration and _assign scans it again for the
+                # final write — without the checkpoint each of
+                # those re-reads EVERY assignments partition and
+                # re-runs the tombstone anti-join (3+ full-index
+                # passes instead of one).
                 live = (tx_read_parts(spark, asg_t)
                         .join(F.broadcast(tomb), "id", "left_anti")
                         .select(F.col("id").alias(id_col),
-                                F.col("vec").alias(vec_col)))
+                                F.col("vec").alias(vec_col))
+                        .localCheckpoint())
                 ann_index_build(spark, live, id_col, vec_col, root,
                                 dim=dim, n_cells=n_cells,
                                 max_iter=max_iter, seed=seed)

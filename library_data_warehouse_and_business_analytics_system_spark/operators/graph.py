@@ -47,26 +47,28 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     pinned in tests/test_search_ops.py.
     """
     # Materialize the (possibly expensive) distinct edge derivation
-    # ONCE: without this, every iteration's join, the node universe,
-    # and the out-degree table each re-execute the upstream lineage —
-    # for the co-purchase gate that's the basket self-join running
-    # 5+ times (measured 20.9s -> ~8s at sf0.1). localCheckpoint also
-    # cuts the per-iteration plan growth, same contract as
-    # connected_components.
-    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .distinct().localCheckpoint())
-    nodes = (e.select(F.col("src").alias("id"))
-             .union(e.select(F.col("dst").alias("id")))
+    # ONCE, with the out-degree already folded in: without this,
+    # every iteration's join, the node universe, and the out-degree
+    # table each re-execute the upstream lineage — for the
+    # co-purchase gate that's the basket expansion running 5+ times
+    # (measured 20.9s -> ~8s at sf0.1). The out-degree is a COUNT
+    # OVER (PARTITION BY src) on the distinct edge set (r13, guide
+    # §2.4) instead of a groupBy + join back: one window pass on the
+    # exchange the iteration join needs anyway, and ONE materialized
+    # edge frame where the join form staged the edge set twice (e,
+    # then e⋈outdeg). Counts are the same per-src edge counts, so
+    # pr / odeg divides the same doubles — ranks are bit-identical.
+    from pyspark.sql import Window
+
+    ew = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+          .distinct()
+          .withColumn("odeg",
+                      F.count(F.lit(1)).over(Window.partitionBy("src")))
+          .localCheckpoint())
+    nodes = (ew.select(F.col("src").alias("id"))
+             .union(ew.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint())
     n_nodes = nodes.count()  # scalar: fixes N for the base term
-    # Fold the out-degree onto the edge list ONCE before iterating
-    # (r13, guide §2.4): the loop body previously joined outdeg to
-    # the rank-carrying edges EVERY iteration — at scale that is one
-    # extra shuffle of the full edge set per iteration for a value
-    # that never changes. (pr / odeg divides the same doubles, so
-    # ranks are bit-identical.)
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
-    ew = e.join(outdeg, "src").localCheckpoint()
 
     base = (1.0 - damping) / n_nodes
     pr = nodes.select("id", (F.lit(1.0) / F.lit(n_nodes)).alias("pr"))
