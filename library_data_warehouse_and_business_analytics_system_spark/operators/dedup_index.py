@@ -147,7 +147,14 @@ def dedup_new_batch(spark: SparkSession, new_docs: DataFrame,
             F.col("_ncoll").desc(), "a", "b")
         hits = (counted.withColumn("_crank", F.row_number().over(wc))
                 .filter(F.col("_crank") <= max_candidates))
-    cand = hits.select("a", "b").distinct()
+    # Pin the candidate set once (r13, guide §2.4): it feeds THREE
+    # plan branches (both sides of the verify-ids union and the
+    # broadcast into the verify join), and without the checkpoint
+    # each branch re-runs the whole probe join — the corpus posting
+    # list scanned three times per batch instead of once. The set is
+    # candidate-bounded (pairs touching the batch), so materializing
+    # it is batch-proportional, never corpus-sized.
+    cand = hits.select("a", "b").distinct().localCheckpoint()
 
     # verify with exact shingle Jaccard; corpus shingles are fetched
     # for CANDIDATE ids only — the broadcast semi-join prunes the

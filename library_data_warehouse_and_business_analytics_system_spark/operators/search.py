@@ -192,10 +192,18 @@ def tfidf_top_terms(docs: DataFrame, per_doc: int = 3,
     count, so no reducer serializes.
     """
     post = doc_postings(docs, id_col, text_col)
-    df_by_term = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    # Document frequency as COUNT OVER (PARTITION BY term) instead of
+    # a groupBy(term) + join back (r13, guide §2.4): the join shape
+    # evaluated the postings subtree twice and shuffled both sides on
+    # the term key; the window needs ONE evaluation and one exchange.
+    # Posting sets are distinct per (doc, term), so the window count
+    # IS df. Skew posture unchanged: a stop-word's partition is
+    # df-sized under either shape (the join shuffled postings by term
+    # too), and WindowExec spills.
     scored = (
-        post.join(df_by_term, "term")
+        post.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "weight",
