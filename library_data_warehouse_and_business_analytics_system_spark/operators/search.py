@@ -185,11 +185,11 @@ def tfidf_top_terms(docs: DataFrame, per_doc: int = 3,
 
     weight = (tf / dl) * idf(df), with the rational odds-ratio idf
     by default (module docstring). The df side spans the whole
-    vocabulary, so the join is a plain shuffled hash join on the
-    term key (no broadcast hint). The per-document top-N is a window
-    partitioned by doc_id: partition cardinality is the corpus,
-    per-partition size is bounded by the document's distinct-term
-    count, so no reducer serializes.
+    vocabulary, so it is computed as a window over a hash exchange on
+    the term key (never a broadcast). The per-document top-N is a
+    window partitioned by doc_id: partition cardinality is the
+    corpus, per-partition size is bounded by the document's
+    distinct-term count, so no reducer serializes.
     """
     post = doc_postings(docs, id_col, text_col)
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))

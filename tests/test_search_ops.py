@@ -246,9 +246,13 @@ def test_tfidf_rare_term_tops_each_doc(spark):
 
 def test_tfidf_vocabulary_join_is_not_force_broadcast(spark, sf_dir):
     """Same contract as doc_token_familiarity (VERDICT r6): the df
-    side spans the Heaps-law vocabulary, so with auto-broadcast off
-    the term join must degrade to a shuffled join — only the 1-row
-    scalar frame is allowed to stay a broadcast (nested-loop)."""
+    side spans the Heaps-law vocabulary, so it must never ride a
+    broadcast — only the 1-row scalar frame is allowed to stay a
+    broadcast (nested-loop). Since the r13 window rewrite the df is a
+    COUNT OVER (PARTITION BY term) — a hash-partitioned exchange on
+    the term key — instead of a groupBy+self-join; assert that shape
+    (or a shuffled join, the pre-r13 form) and, with auto-broadcast
+    off, no hash-broadcast anywhere in the plan."""
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -256,7 +260,8 @@ def test_tfidf_vocabulary_join_is_not_force_broadcast(spark, sf_dir):
              ._jdf.queryExecution().executedPlan().toString())
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+    assert (("SortMergeJoin" in p) or ("ShuffledHashJoin" in p)
+            or ("Window" in p and "hashpartitioning(term" in p))
     assert "BroadcastHashJoin" not in p
 
 
