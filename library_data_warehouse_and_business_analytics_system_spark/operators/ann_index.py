@@ -45,6 +45,9 @@ against a plain SQL top-k oracle.
 
 from __future__ import annotations
 
+import uuid
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -74,23 +77,108 @@ def _deletes_table(root: str) -> str:
     return f"{root}/{_DELETES}"
 
 
-def _live_tombstones(spark: SparkSession, root: str) -> DataFrame | None:
-    """Current tombstoned ids, or None when none exist. The deletes
-    table is merge-on-read: tiny (ids only), rewritten whole on
-    resurrection, folded away entirely by a rebuild."""
+def _tombstone_ids(spark: SparkSession, root: str) -> DataFrame | None:
+    """LAZY distinct tombstoned ids, or None when the deletes table
+    has never been created. No emptiness probe (r13, guide §1.2 /
+    §2.4): the probe cost a full extra Spark job at every query /
+    upsert / maintain touchpoint, while every consumer folds the ids
+    into a broadcast anti-join or a count it runs anyway — an empty
+    frame is free there. The deletes table stays merge-on-read: tiny
+    (ids only), rewritten whole on resurrection, folded away entirely
+    by a rebuild."""
     t = _deletes_table(root)
     if not tx_exists(t):
         return None
-    ids = tx_read(spark, t).select("id").distinct()
-    return ids if ids.limit(1).count() else None
+    return tx_read(spark, t).select("id").distinct()
 
 
 def _load_centroids(spark: SparkSession, root: str) -> list[list[float]]:
+    """Driver-side read of the k-row centroid table (r13, guide §1.2):
+    the quantizer is k×dim — parameter-server-sized BY DESIGN (it is
+    collected to the driver and re-broadcast every call anyway), so a
+    full Spark read job for k rows was pure scheduling overhead. The
+    txlog snapshot resolution is unchanged (visible dirs only); the
+    parquet bytes are read with pyarrow, so values stay the exact
+    doubles Spark wrote."""
+    import pyarrow.parquet as pq
+
+    from ..sources.txlog import _visible_dirs
+
     cent_t, _ = _tables(root)
-    rows = sorted(tx_read(spark, cent_t).collect(), key=lambda r: r["cell"])
-    assert [r["cell"] for r in rows] == list(range(len(rows))), \
+    root_p = Path(cent_t)
+    rows: list[tuple[int, list[float]]] = []
+    for d in _visible_dirs(cent_t):
+        for f in sorted((root_p / d).glob("*.parquet")):
+            t = pq.read_table(f, columns=["cell", "centroid"])
+            rows.extend(zip(t.column("cell").to_pylist(),
+                            t.column("centroid").to_pylist()))
+    rows.sort(key=lambda r: r[0])
+    assert [c for c, _ in rows] == list(range(len(rows))), \
         "centroid table is missing cells or has duplicates"
-    return [list(r["centroid"]) for r in rows]
+    return [list(v) for _, v in rows]
+
+
+def _write_centroids(cent_t: str, cents: list[list[float]]) -> int:
+    """Publish the k×dim centroid matrix as ONE atomic overwrite
+    commit, staged driver-side (r13, guide §1.2): the centroids
+    already live on the driver as a Python list (kmeans_fit returns
+    them; queries collect them back), so staging k rows through a
+    Spark write job cost a full task launch + commit round-trip for
+    parameter-server-sized data. Same txlog protocol as tx_write
+    (stage dir first, then the atomic log-entry link); Spark reads
+    the pyarrow-written parquet identically (int32 cell,
+    list<double> centroid ≡ cell int, centroid array<double>)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.txlog import _DATA, _publish
+
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    d = Path(cent_t) / stage
+    d.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table({
+        "cell": pa.array(range(len(cents)), pa.int32()),
+        "centroid": pa.array([list(c) for c in cents],
+                             pa.list_(pa.float64())),
+    })
+    pq.write_table(tbl, d / "part-00000.parquet")
+    return _publish(cent_t, {"mode": "overwrite", "dir": stage},
+                    max_retries=10, txn_id=None, expect_latest=None)
+
+
+#: pyarrow types for the id column of a driver-staged EMPTY deletes
+#: reset (the only schema the reset needs to reproduce). Exotic id
+#: types fall back to the Spark write path.
+_PA_ID_TYPES = {
+    "bigint": "int64", "int": "int32", "string": "string",
+    "long": "int64", "integer": "int32",
+}
+
+
+def _reset_deletes(del_t: str, id_dtype: str, spark: SparkSession,
+                   corpus: DataFrame, id_col: str) -> None:
+    """Overwrite the deletes table with an EMPTY generation (rebuild
+    folds tombstones away physically). Zero-row data needs no
+    executor: stage an empty parquet with the id schema driver-side
+    and publish it through the same txlog protocol (r13, guide §1.2).
+    Falls back to the Spark write for id dtypes outside the map."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..sources.txlog import _DATA, _publish
+
+    pa_name = _PA_ID_TYPES.get(id_dtype)
+    if pa_name is None:  # pragma: no cover - exotic id types
+        tx_write(corpus.select(F.col(id_col).alias("id")).limit(0),
+                 del_t, mode="overwrite")
+        return
+    stage = f"{_DATA}/{uuid.uuid4().hex}"
+    d = Path(del_t) / stage
+    d.mkdir(parents=True, exist_ok=True)
+    tbl = pa.table({"id": pa.array([], getattr(pa, pa_name)())})
+    pq.write_table(tbl, d / "part-00000.parquet")
+    _publish(del_t, {"mode": "overwrite", "dir": stage},
+             max_retries=10, txn_id=None, expect_latest=None)
 
 
 def _assign(df: DataFrame, id_col: str, vec_col: str,
@@ -112,9 +200,6 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
     cent_t, asg_t = _tables(root)
     cents = kmeans_fit(corpus, vec_col, dim=dim, k=n_cells,
                        max_iter=max_iter, seed=seed)
-    cent_df = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(cents)],
-        "cell int, centroid array<double>")
     # A rebuild folds tombstones away physically: reset the deletes
     # table (the corpus passed in IS the live set by definition).
     # Reset BEFORE publishing the new assignments: the new snapshot
@@ -125,9 +210,9 @@ def ann_index_build(spark: SparkSession, corpus: DataFrame, id_col: str,
     # resurrects deleted ids against the OLD assignments — visible,
     # and healed by re-running the interrupted rebuild.
     if tx_exists(_deletes_table(root)):
-        tx_write(corpus.select(F.col(id_col).alias("id")).limit(0),
-                 _deletes_table(root), mode="overwrite")
-    tx_write(cent_df, cent_t, mode="overwrite")
+        _reset_deletes(_deletes_table(root),
+                       dict(corpus.dtypes)[id_col], spark, corpus, id_col)
+    _write_centroids(cent_t, cents)
     tx_write_parts(_assign(corpus, id_col, vec_col, cents), asg_t,
                    part_col="cell", mode="overwrite")
 
@@ -287,8 +372,11 @@ def ann_index_upsert(spark: SparkSession, root: str, new_vectors: DataFrame,
     # merge commit; a crash between the two is healed on redelivery
     # (the merge no-ops via txn_id, the tombstone clear re-runs) and
     # the rewrite itself is a no-op when nothing overlaps — so the
-    # whole upsert stays idempotent.
-    tomb = _live_tombstones(spark, root)
+    # whole upsert stays idempotent. One overlap probe over the LAZY
+    # ids frame (r13): the previous emptiness pre-probe was a full
+    # extra job that the semi-join probe subsumes (empty tombstones ⇒
+    # zero overlap ⇒ no rewrite, same outcome).
+    tomb = _tombstone_ids(spark, root)
     if tomb is not None:
         upserted = delta.select("id").distinct()
         if tomb.join(upserted, "id", "left_semi").limit(1).count():
@@ -308,14 +396,20 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
     everything and is exactly brute-force top-k."""
     cents = _load_centroids(spark, root)
     _, asg_t = _tables(root)
+    k_eff = min(n_probe, len(cents))
     q = queries.crossJoin(cents_frame(spark, cents)).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
         l2_norm_sq(F.col(vec_col)).alias("nq"),
-        F.transform(_nearest_cells(F.col(vec_col), len(cents),
-                                   min(n_probe, len(cents))),
+        F.transform(_nearest_cells(F.col(vec_col), len(cents), k_eff),
                     lambda s: s.cell).alias("cells"))
-    probed = sorted({c for r in q.select(F.explode("cells").alias("c"))
-                     .distinct().collect() for c in [r["c"]]})
+    if k_eff >= len(cents):
+        # FULL probe: every query's probe set is every cell by
+        # construction — the collect that unioned per-query cells was
+        # a whole Spark job spent computing 0..k-1 (r13, guide §1.2).
+        probed = list(range(len(cents)))
+    else:
+        probed = sorted({c for r in q.select(F.explode("cells").alias("c"))
+                         .distinct().collect() for c in [r["c"]]})
     # kmeans can leave cells empty, so a small n_probe over an unlucky
     # query set may select ONLY empty cells: intersect with the cells
     # that physically exist (commit-log metadata, no listing) and
@@ -334,8 +428,12 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
             T.StructField("rank", T.IntegerType())]))
     cand = tx_read_parts(spark, asg_t,
                          part_values=[str(c) for c in probed])
-    tomb = _live_tombstones(spark, root)
+    tomb = _tombstone_ids(spark, root)
     if tomb is not None:  # merge-on-read: tombstoned ids never score
+        # No emptiness pre-probe (r13): the anti-join of an empty
+        # broadcast is free inside the scoring job, while the probe
+        # was a full extra job on every query against an index whose
+        # deletes table ever existed.
         cand = cand.join(F.broadcast(tomb), "id", "left_anti")
     q_cells = q.select("query_id", "qv", "nq",
                        F.explode("cells").alias("cell"))
@@ -415,10 +513,14 @@ def ann_index_maintain(spark: SparkSession, root: str,
 
     cent_t, asg_t = _tables(root)
     report: dict = {"rebuilt": False, "tombstone_frac": 0.0}
-    tomb = _live_tombstones(spark, root)
-    if tomb is not None:
+    tomb = _tombstone_ids(spark, root)
+    # Count the (tiny) tombstone set first and skip the full physical
+    # count when it is zero (r13, guide §1.2): an empty deletes table
+    # — every index right after a rebuild — used to cost an emptiness
+    # probe AND kept the frac at 0.0 anyway.
+    n_tomb = tomb.count() if tomb is not None else 0
+    if n_tomb:
         n_phys = tx_read_parts(spark, asg_t).count()
-        n_tomb = tomb.count()
         frac = n_tomb / max(n_phys, 1)
         report["tombstone_frac"] = round(frac, 4)
         if frac > rebuild_tombstone_frac:
