@@ -336,19 +336,34 @@ def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     single correctly-rounded IEEE ops — raw doubles hash-match."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice")
-    med = group_quantile_disc(
+    # The per-priority medians are BOUNDED driver aggregates (≤5 rows
+    # — the priority domain), so they ride back as literal maps
+    # instead of broadcast joins (r13 s3, guide §1.2): the join form
+    # re-executed each median's rank-selection subtree in every
+    # downstream branch (mad's range-sample, mad's checkpoint, the
+    # final census — 33 Spark jobs for this query), while the literal
+    # lookup costs nothing per branch. collect→F.lit round-trips the
+    # exact IEEE doubles, so every downstream comparison and the
+    # final hash are unchanged. The quantiles themselves stay the
+    # two-phase grouped rank selection — the 100 TB shape.
+    med_rows = group_quantile_disc(
         orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
-        q=0.5, out_col="median_price")
-    dev = (orders.join(F.broadcast(med.select("o_orderpriority",
-                                              "median_price")),
-                       "o_orderpriority")
+        q=0.5, out_col="median_price").collect()
+    med_map = F.create_map(*[
+        lit for r in med_rows
+        for lit in (F.lit(r["o_orderpriority"]), F.lit(r["median_price"]))])
+    dev = (orders
+           .withColumn("median_price", med_map[F.col("o_orderpriority")])
            .withColumn("dev", F.abs(F.col("o_totalprice")
                                     - F.col("median_price"))))
-    mad = group_quantile_disc(
+    mad_rows = group_quantile_disc(
         dev.select("o_orderpriority", "dev", "o_orderkey"),
-        ["o_orderpriority"], "dev", "o_orderkey", q=0.5, out_col="mad")
-    flagged = (dev.join(F.broadcast(mad.select("o_orderpriority", "mad")),
-                        "o_orderpriority")
+        ["o_orderpriority"], "dev", "o_orderkey", q=0.5,
+        out_col="mad").collect()
+    mad_map = F.create_map(*[
+        lit for r in mad_rows
+        for lit in (F.lit(r["o_orderpriority"]), F.lit(r["mad"]))])
+    flagged = (dev.withColumn("mad", mad_map[F.col("o_orderpriority")])
                .withColumn("is_out", F.col("dev") > 3.0 * F.col("mad")))
     return (flagged.groupBy("o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
