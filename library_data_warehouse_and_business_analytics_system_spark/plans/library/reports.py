@@ -163,11 +163,18 @@ def query2(dw: dict[str, DataFrame], year_from: int, year_to: int,
         F.col("totalAmount").cast("decimal(18,4)").alias("line_amt"),
     )
 
-    # po_tot (:85-92) and po_genre_share (:95-102)
-    po_tot = lines.groupBy("year", "quarter", "qnum", "po_id").agg(
-        F.sum("line_amt").alias("po_amt"), F.sum("line_qty").alias("po_qty"))
+    # po_tot (:85-92) and po_genre_share (:95-102). ONE evaluation of
+    # the fact join feeds both (r13 s3, guide §2.4): po_tot is the
+    # per-PO re-aggregation OF share — decimal sums are associative
+    # and exact, so sum-of-genre-sums ≡ sum-of-lines bit for bit (and
+    # long quantities trivially so) — where the previous shape ran
+    # the lines join twice and shuffled the raw lines for both
+    # groupings. The re-aggregation's input is the already-reduced
+    # share rows, not the fact.
     share = lines.groupBy("year", "quarter", "qnum", "po_id", "genre").agg(
         F.sum("line_amt").alias("g_amt"), F.sum("line_qty").alias("g_qty"))
+    po_tot = share.groupBy("year", "quarter", "qnum", "po_id").agg(
+        F.sum("g_amt").alias("po_amt"), F.sum("g_qty").alias("po_qty"))
 
     # po_primary_genre (:105-117): max-amount genre per PO, alphabetic ties
     wpo = Window.partitionBy("year", "quarter", "qnum", "po_id").orderBy(
@@ -185,8 +192,11 @@ def query2(dw: dict[str, DataFrame], year_from: int, year_to: int,
              F.sum("po_qty").alias("qty_pur"))
     )
 
-    # universe = quarters-present × all genres (:133-151)
-    qtrs = (lines.filter(F.col("year").between(year_from, year_to))
+    # universe = quarters-present × all genres (:133-151). The quarter
+    # set comes from share's grouping keys, not a THIRD evaluation of
+    # the fact join (r13 s3): share keeps one row per (y, q, qn, po,
+    # genre) present in lines, so distinct (y, q, qn) is identical.
+    qtrs = (share.filter(F.col("year").between(year_from, year_to))
             .select("year", "quarter", "qnum").distinct())
     genres = db.filter(F.col("genre").isNotNull()).select("genre").distinct()
     universe = qtrs.crossJoin(F.broadcast(genres))
