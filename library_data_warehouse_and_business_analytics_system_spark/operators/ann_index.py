@@ -106,8 +106,17 @@ def _load_centroids(spark: SparkSession, root: str) -> list[list[float]]:
 
     cent_t, _ = _tables(root)
     root_p = Path(cent_t)
+    dirs = _visible_dirs(cent_t)
+    if not dirs:
+        # Loud-failure contract parity with the tx_read path this
+        # replaced: a missing/never-built index must raise, not return
+        # zero centroids (which would mask a typo'd root as a valid
+        # empty result and fail later with a cryptic element_at error).
+        raise FileNotFoundError(
+            f"ann_index: no committed centroid table at {cent_t} "
+            "(index never built, or wrong root)")
     rows: list[tuple[int, list[float]]] = []
-    for d in _visible_dirs(cent_t):
+    for d in dirs:
         for f in sorted((root_p / d).glob("*.parquet")):
             t = pq.read_table(f, columns=["cell", "centroid"])
             rows.extend(zip(t.column("cell").to_pylist(),
@@ -147,11 +156,12 @@ def _write_centroids(cent_t: str, cents: list[list[float]]) -> int:
 
 
 #: pyarrow types for the id column of a driver-staged EMPTY deletes
-#: reset (the only schema the reset needs to reproduce). Exotic id
-#: types fall back to the Spark write path.
+#: reset (the only schema the reset needs to reproduce). Keys are
+#: DataFrame.dtypes spellings — Spark reports 'bigint'/'int'/'string'
+#: (never 'long'/'integer'). Exotic id types fall back to the Spark
+#: write path.
 _PA_ID_TYPES = {
     "bigint": "int64", "int": "int32", "string": "string",
-    "long": "int64", "integer": "int32",
 }
 
 

@@ -89,7 +89,7 @@ def main() -> None:
         step("upsert.moved_probe", lambda: moved.limit(1).count())
         cid = step("upsert.merge_with_moves", lambda: AI._upsert_with_moves(
             spark, asg_t, delta, moved, None, expect_latest=base))
-        tomb = step("upsert.live_tombstones", lambda: AI._live_tombstones(
+        tomb = step("upsert.tombstone_ids (lazy)", lambda: AI._tombstone_ids(
             spark, root))
         if tomb is not None:
             upserted = delta.select("id").distinct()
@@ -99,7 +99,7 @@ def main() -> None:
                     tomb.join(upserted, "id", "left_anti"),
                     AI._deletes_table(root), mode="overwrite"))
         # ---- maintain, decomposed
-        tomb = step("maintain.live_tombstones", lambda: AI._live_tombstones(
+        tomb = step("maintain.tombstone_ids (lazy)", lambda: AI._tombstone_ids(
             spark, root))
         n_phys = step("maintain.n_phys_count", lambda: TX.tx_read_parts(
             spark, asg_t).count())
@@ -150,7 +150,7 @@ def main() -> None:
             {c for r in q.select(F.explode("cells").alias("c"))
              .distinct().collect() for c in [r["c"]]}))
         step("query.avail_part_values", lambda: TX.tx_part_values(asg_t))
-        step("query.tombstones", lambda: AI._live_tombstones(spark, root))
+        step("query.tombstone_ids (lazy)", lambda: AI._tombstone_ids(spark, root))
         out = AI.ann_index_query(spark, root, queries, "vec_id",
                                  "embedding", k=10, n_probe=8)
         step("query.full_call_collect", lambda: out.collect())
