@@ -123,7 +123,7 @@ _R10_FRONT = ["ann_index_lifecycle", "ann_index_pruned_probe"]
 # The round whose 50-slot window the committed ordering encodes.
 # tests/test_plan_quality.py derives its green-set cutoff from THIS
 # constant (r9 verdict item 3: the manual duplicate went stale twice).
-WINDOW_ROUND = 13
+WINDOW_ROUND = 14
 
 # New gate registered in r10 (growth otherwise frozen; the r9 verdict
 # item 5 work item): ewma_scan's third routing mode (mode="split",
@@ -232,21 +232,46 @@ _R10_GREEN = list(_R10_WINDOW)
 # The 50-slot r13 window (r12 verdict items 1 + 4): the new composed
 # gate first, then 49 rotation slots stalest first — the whole
 # remaining 33-row r9 cohort plus 16 r10-cohort rows FIFO. After r13
-# lands, no green row is older than round 10; r14 retires the
-# remaining 34 r10 rows + the r11 cohort head on the same schedule.
+# landed (50/50 green, CORRECTNESS_r13), no green row is older than
+# round 10.
 _R13_WINDOW = _R13_NEW + _R9_GREEN[16:] + _R10_GREEN[:16]
 
+# Queries the r13 OPTIMIZATION round rewrote whose r13 gate rows were
+# scheduled before the rewrites landed (the r13 verdict "What's wrong"
+# item 2): last driver-green r12, rewritten r13, covered in-round only
+# by repo-side oracle runs. They gate FIRST in r14 so the driver
+# confirms the rewrites (r13 verdict "Next round" item 2).
+_R14_REWRITTEN = [
+    "tfidf_top_terms", "copurchase_pagerank", "copurchase_triangles",
+    "item_cf_similar_parts", "order_price_outliers", "pq_ann_topk",
+    "exact_substring_scrub", "semantic_dedup_pairs",
+]
+
+# Queries whose newest driver-green row is round 11 (all 50 rows of
+# the r11 window — none re-gated since), FIFO in the r11 window order.
+_R11_GREEN = list(_R11_WINDOW)
+
+# The 50-slot r14 window (r13 verdict item 2): the 8 r13-rewritten
+# queries first (driver confirmation of the optimization round's
+# edits), then 42 rotation slots stalest first — the whole remaining
+# 34-row r10 cohort plus 8 r11-cohort rows FIFO. After r14 lands, no
+# green row is older than round 11; r15 retires the remaining 42 r11
+# rows + the r12 cohort head on the same schedule.
+_R14_WINDOW = _R14_REWRITTEN + _R10_GREEN[16:] + _R11_GREEN[:8]
+
 # No round-close registrations pinned behind the window yet.
-_R14_FRONT: list[str] = []
+_R15_FRONT: list[str] = []
 
 
 def _reorder() -> None:
-    listed = set(_R13_WINDOW) | set(_R14_FRONT) | set(_R10_GREEN)
+    listed = set(_R14_WINDOW) | set(_R15_FRONT) | set(_R11_GREEN)
     ordered = (
-        [n for n in _R13_WINDOW if n in QUERIES]
-        + [n for n in _R14_FRONT if n in QUERIES]
-        + [n for n in _R10_GREEN[16:] if n in QUERIES]
-        # r11/r12-green tail (and anything newly registered but
+        [n for n in _R14_WINDOW if n in QUERIES]
+        + [n for n in _R15_FRONT if n in QUERIES]
+        # stalest-first behind the window: the r11 cohort remainder
+        # fronts the r15 rotation.
+        + [n for n in _R11_GREEN[8:] if n in QUERIES]
+        # r12/r13-green tail (and anything newly registered but
         # unlisted - none expected): registration order.
         + [n for n in QUERIES if n not in listed]
     )

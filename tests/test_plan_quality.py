@@ -174,33 +174,34 @@ def test_aggregates_have_partial_phase(plans):
 
 def test_registry_gate_ordering():
     """The driver's correctness gate truncates at 50 rows (observed in
-    round 1), so the registry order IS the rotation schedule. Round-13
-    plan (r12 verdict items 1 + 4): the new composed-lifecycle gate
-    (ann_index_full_cycle) gates first, then 49 rotation slots (the
-    whole remaining 33-row r9 cohort + 16 r10-cohort rows FIFO,
-    stalest first). The green-set cutoff derives from the SAME module
-    that encodes the window (plans.WINDOW_ROUND), so the two cannot
-    drift apart (the r8/r9 stale-constant bug class): artifacts from
-    the window's own round and later are its output, not its planning
+    round 1), so the registry order IS the rotation schedule. Round-14
+    plan (r13 verdict item 2): the 8 queries the r13 optimization
+    round REWROTE after their gate rows were scheduled gate first (the
+    driver confirms the rewrites), then 42 rotation slots (the whole
+    remaining 34-row r10 cohort + 8 r11-cohort rows FIFO, stalest
+    first). The green-set cutoff derives from the SAME module that
+    encodes the window (plans.WINDOW_ROUND), so the two cannot drift
+    apart (the r8/r9 stale-constant bug class): artifacts from the
+    window's own round and later are its output, not its planning
     input, and are excluded."""
     from library_data_warehouse_and_business_analytics_system_spark.plans import (
-        _R9_GREEN,
         _R10_GREEN,
-        _R13_NEW,
-        _R13_WINDOW,
-        _R14_FRONT,
+        _R11_GREEN,
+        _R14_REWRITTEN,
+        _R14_WINDOW,
+        _R15_FRONT,
         WINDOW_ROUND,
     )
 
     names = list(QUERIES)
     # the committed window is exactly the first 50 registry entries
-    assert names[:50] == _R13_WINDOW
-    assert len(_R13_WINDOW) == 50
-    assert _R13_WINDOW[:1] == _R13_NEW
+    assert names[:50] == _R14_WINDOW
+    assert len(_R14_WINDOW) == 50
+    assert _R14_WINDOW[:8] == _R14_REWRITTEN
     # round-close registrations pinned immediately after the window,
     # fronting the next round (the _R9_FRONT/_R10_FRONT convention);
     # none yet this round
-    assert names[50:50 + len(_R14_FRONT)] == _R14_FRONT
+    assert names[50:50 + len(_R15_FRONT)] == _R15_FRONT
     # green rows recorded by rounds BEFORE the window's round (later
     # artifacts are this window's own output, not planning input)
     import json
@@ -219,19 +220,20 @@ def test_registry_gate_ordering():
                 green.add(q)
                 last_green[q] = max(last_green.get(q, 0), rnd)
     if green:
-        # the fronted gate really has no prior driver row (it is a
-        # new registration this round)
-        assert [q for q in _R13_NEW if q in green] == []
-        # the rotation slots refresh only ever-green queries (no slot
+        # every window slot refreshes an ever-green query (no slot
         # wasted on a query that still needs pytest-only coverage)...
-        assert [q for q in _R13_WINDOW[1:] if q not in green] == []
-        # ...and pick the STALEST cohorts: every rotated row's newest
-        # green is r9/r10, and nothing outside the window is staler
-        assert all(last_green[q] <= 10 for q in _R13_WINDOW[1:])
+        assert [q for q in _R14_WINDOW if q not in green] == []
+        # the 8 fronted queries are exactly the r13-rewritten rows the
+        # r13 window missed: last driver-green r12
+        assert all(last_green[q] == 12 for q in _R14_REWRITTEN)
+        # ...and the rotation slots pick the STALEST cohorts: every
+        # rotated row's newest green is r10/r11, and nothing outside
+        # the window is staler
+        assert all(last_green[q] <= 11 for q in _R14_WINDOW[8:])
         behind = [q for q in names[50:] if q in last_green]
-        assert all(last_green[q] >= 10 for q in behind)
-        assert set(_R9_GREEN[16:]) <= green
-        assert set(_R10_GREEN[:16]) <= green
+        assert all(last_green[q] >= 11 for q in behind)
+        assert set(_R10_GREEN[16:]) <= green
+        assert set(_R11_GREEN[:8]) <= green
 
 
 def test_broadcast_joins_for_dimensions(plans):
