@@ -954,12 +954,33 @@ def tx_diff_parts(spark: SparkSession, table: str, v_from: int,
         base = spark.read.parquet(str(Path(table) / any_dirs[0])).limit(0)
         return base.select(F.lit("insert").alias("op"), "*").limit(0)
     if old is None:
-        old = new.limit(0)
+        # nothing visible at v_from in the changed partitions: every
+        # new row is an insert (multiplicity preserved trivially).
+        return new.select(F.lit("insert").alias("op"), "*")
     if new is None:
-        new = old.limit(0)
-    inserts = new.exceptAll(old).select(F.lit("insert").alias("op"), "*")
-    deletes = old.exceptAll(new).select(F.lit("delete").alias("op"), "*")
-    return inserts.unionByName(deletes)
+        return old.select(F.lit("delete").alias("op"), "*")
+    # Fused multiset diff (r14, guide §2.4): the exceptAll PAIR scanned
+    # each side twice and shuffled twice (Catalyst rewrites each
+    # exceptAll to union(+1/-1) → aggregate → replicate). One signed
+    # count over ONE union computes both directions: a row with net
+    # count n > 0 appears n times as insert, n < 0 as |n| deletes —
+    # exactly exceptAll's multiplicity semantics (grouping treats NULL
+    # and NaN keys the way exceptAll's own aggregate rewrite does).
+    cols = new.columns
+    net = (
+        new.select(F.lit(1).cast("long").alias("__diff_sgn"), "*")
+        .unionByName(old.select(F.lit(-1).cast("long").alias("__diff_sgn"), "*"))
+        .groupBy(*cols).agg(F.sum("__diff_sgn").alias("__diff_n"))
+        .filter(F.col("__diff_n") != 0)
+    )
+    return (
+        net.select(
+            F.when(F.col("__diff_n") > 0, "insert").otherwise("delete").alias("op"),
+            *cols,
+            F.explode(F.sequence(F.lit(1).cast("long"), F.abs("__diff_n")))
+            .alias("__diff_i"))
+        .drop("__diff_i")
+    )
 
 
 def tx_optimize_parts(spark: SparkSession, table: str, part_col: str,
