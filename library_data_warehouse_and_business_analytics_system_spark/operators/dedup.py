@@ -563,14 +563,27 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
     """
     # Materialize the edge list once — every round joins it, and an
     # expensive upstream pair-generation lineage (LSH, shingling) must
-    # not be re-executed per iteration.
-    edges = (
-        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    ).localCheckpoint()
-    labels = universe.select(F.col(id_col).alias("id"),
-                             F.col(id_col).alias("label")).localCheckpoint()
+    # not be re-executed per iteration. Repartitioned by src and
+    # checkpointed under no_aqe (r14, guide §2.4) so the preserved
+    # hashpartitioning lets EVERY round's propagation join skip the
+    # edge-side exchange+sort — the edge set is shuffled once total,
+    # not once per round. Same treatment for the label frames: the
+    # per-round checkpoint comes out of a join keyed by id, so keeping
+    # its hash(id) partitioning lets the next round's left join skip
+    # the label-side exchange. Placement only; label values unchanged.
+    from ..session import no_aqe
+
+    spark = pairs.sparkSession
+    with no_aqe(spark):
+        edges = (
+            pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .repartition("src")
+        ).localCheckpoint()
+        labels = (universe.select(F.col(id_col).alias("id"),
+                                  F.col(id_col).alias("label"))
+                  .repartition("id").localCheckpoint())
     converged = False
     for _ in range(max_iterations):
         nbr_min = (
@@ -578,14 +591,15 @@ def connected_components(pairs: DataFrame, universe: DataFrame,
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        updated = (
-            labels.join(nbr_min, "id", "left")
-            .select("id",
-                    F.least("label", F.coalesce("nbr_label", "label"))
-                    .alias("label"),
-                    (F.coalesce("nbr_label", "label") < F.col("label"))
-                    .alias("_changed"))
-        ).localCheckpoint()
+        with no_aqe(spark):
+            updated = (
+                labels.join(nbr_min, "id", "left")
+                .select("id",
+                        F.least("label", F.coalesce("nbr_label", "label"))
+                        .alias("label"),
+                        (F.coalesce("nbr_label", "label") < F.col("label"))
+                        .alias("_changed"))
+            ).localCheckpoint()
         changed = updated.filter(F.col("_changed")).limit(1).count()
         labels = updated.drop("_changed")
         if changed == 0:

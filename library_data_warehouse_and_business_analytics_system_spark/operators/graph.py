@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..session import no_aqe as _no_aqe
+
 
 def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
              src: str = "src", dst: str = "dst",
@@ -60,14 +62,25 @@ def pagerank(edges: DataFrame, iters: int = 2, damping: float = 0.85,
     # pr / odeg divides the same doubles — ranks are bit-identical.
     from pyspark.sql import Window
 
-    ew = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-          .distinct()
-          .withColumn("odeg",
-                      F.count(F.lit(1)).over(Window.partitionBy("src")))
-          .localCheckpoint())
-    nodes = (ew.select(F.col("src").alias("id"))
-             .union(ew.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint())
+    # Both checkpoints materialize under _no_aqe so their
+    # hashpartitioning survives into the LogicalRDD leaf (r14, guide
+    # §2.4): ew stays hash(src)-partitioned and sorted — the exact
+    # distribution the per-iteration contribution join requires, so
+    # the edge set is shuffled ONCE total instead of once per
+    # iteration — and nodes stays hash(id)-partitioned for the
+    # per-iteration left join. Row VALUES are unchanged (only their
+    # partition placement is pinned), and the exact_fold sort makes
+    # rank doubles placement-independent anyway.
+    spark = edges.sparkSession
+    with _no_aqe(spark):
+        ew = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+              .distinct()
+              .withColumn("odeg",
+                          F.count(F.lit(1)).over(Window.partitionBy("src")))
+              .localCheckpoint())
+        nodes = (ew.select(F.col("src").alias("id"))
+                 .union(ew.select(F.col("dst").alias("id")))
+                 .distinct().localCheckpoint())
     n_nodes = nodes.count()  # scalar: fixes N for the base term
 
     base = (1.0 - damping) / n_nodes

@@ -49,6 +49,30 @@ ENGINE_CONFS: dict[str, str] = {
 }
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def no_aqe(spark: SparkSession):
+    """Temporarily disable AQE so an eager ``localCheckpoint`` records
+    its physical ``hashpartitioning``/sort order into the LogicalRDD
+    leaf (r14, guide §2.4): under AQE the final partitioning is only
+    known post-execution and Spark stamps UnknownPartitioning, so
+    every downstream join/aggregate re-exchanged (and re-sorted) the
+    checkpointed frame. With the partitioning preserved, an iterative
+    fixpoint's per-round join reuses the one exchange the checkpoint
+    already paid. Scope the toggle to the checkpoint's own
+    materialization — everything else still runs under AQE. This is
+    partition PLACEMENT only; row values are unchanged at any scale."""
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def get_spark(app_name: str = "library-dwh-spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's config.
