@@ -109,11 +109,20 @@ def pq_fit(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
             F.slice(F.col(vec_col), j * dsub + 1, dsub)
             for j in range(m)])).alias("j", "sv")).cache()
 
+    # Collects run under no_aqe (r14, guide §1.2): AQE materializes
+    # every shuffle stage as its own Spark job, so the training loop
+    # paid 3-4 job round-trips per iteration for fixed-width
+    # aggregations AQE cannot improve (reduce output is m·ksub·dsub
+    # rows by construction; the only join is explicitly broadcast).
+    # Values are exact decimal sums / struct-mins either way.
+    from ..session import no_aqe
+
     w = Window.partitionBy("j").orderBy("vid")
-    init = (subs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= ksub)
-            .select("j", (F.col("rn") - 1).alias("cell"), "sv")
-            .collect())
+    with no_aqe(spark):
+        init = (subs.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= ksub)
+                .select("j", (F.col("rn") - 1).alias("cell"), "sv")
+                .collect())
     cents: dict[tuple[int, int], list[float]] = {
         (r["j"], r["cell"]): [float(x) for x in r["sv"]] for r in init}
     if len(cents) < m * ksub:
@@ -132,7 +141,7 @@ def pq_fit(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
             .groupBy("vid", "j")
             .agg(F.min("cand").alias("best"), F.first("sv").alias("sv"))
         )
-        per_dim = (
+        per_dim_q = (
             assigned.select("j", F.col("best.cell").alias("cell"),
                             F.posexplode("sv").alias("i", "x"))
             .groupBy("j", "cell", "i")
@@ -140,7 +149,9 @@ def pq_fit(corpus: DataFrame, vec_col: str, dim: int, m: int = 4,
                  F.count(F.lit(1)).alias("n"))
             .select("j", "cell", "i",
                     (F.col("s") / F.col("n")).cast("double").alias("mu"))
-        ).collect()
+        )
+        with no_aqe(spark):
+            per_dim = per_dim_q.collect()
         new = dict(cents)  # empty cells keep their previous centroid
         acc: dict[tuple[int, int], dict[int, float]] = {}
         for r in per_dim:

@@ -198,6 +198,8 @@ def kmeans_fit(corpus: DataFrame, vec_col: str, dim: int, k: int = 8,
     exact and independent of partition/merge order — float summation
     would make centroid values (and therefore assignments) vary run to
     run. Empty cells keep their previous centroid."""
+    from ..session import no_aqe
+
     cents = _seeded_planes(dim, k, seed)
     for _ in range(max_iter):
         assigned = corpus.crossJoin(
@@ -212,7 +214,15 @@ def kmeans_fit(corpus: DataFrame, vec_col: str, dim: int, k: int = 8,
             .select("cell", "i",
                     (F.col("s") / F.col("n")).cast("double").alias("m"))
         )
-        rows = per_dim.collect()
+        # One Spark JOB per iteration instead of three (r14, guide
+        # §1.2): under AQE every shuffle stage materializes as its own
+        # job, so each Lloyd round paid 3 job-scheduling round-trips
+        # for one fixed-width aggregation. AQE has nothing to offer
+        # here — the reduce side is k×dim rows by construction (no
+        # skew, nothing to coalesce but empty partitions), values are
+        # exact decimal sums either way.
+        with no_aqe(corpus.sparkSession):
+            rows = per_dim.collect()
         new_cents = [list(c) for c in cents]
         by_cell: dict[int, dict[int, float]] = {}
         for r in rows:
