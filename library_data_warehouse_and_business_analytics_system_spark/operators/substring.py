@@ -127,18 +127,22 @@ def duplicated_span_scrub(docs: DataFrame, k: int = 8,
         wh.withColumn("_shared",
                       F.min("doc_id").over(w_wh) != F.max("doc_id").over(w_wh))
         .filter(F.col("_shared"))
-        .select("doc_id",
-                F.explode(F.sequence(F.col("start"),
-                                     F.col("start") + F.lit(k - 1)))
-                .alias("pos"))
-        # collect_set both DEDUPS the overlapping windows' positions
-        # and reduces to ONE row per doc, so the reassembly below is a
-        # per-DOC join instead of the previous per-POSITION one (r13,
-        # guide §2.4): distinct + (doc,pos) join + token-struct regroup
-        # was three exchanges carrying token strings; this is one
-        # exchange of int sets + one join of doc-grain rows.
+        # collect_set reduces to ONE row per doc, so the reassembly
+        # below is a per-DOC join instead of the previous per-POSITION
+        # one (r13, guide §2.4). It aggregates window STARTS, not the
+        # k-exploded positions (r14, guide §2.3 "shuffle fewer
+        # bytes"): the k-fan-out explode pushed k× rows through the
+        # partial aggregate and k× ints through the doc_id exchange;
+        # expanding starts to covered positions is a per-row HOF over
+        # the final set (array_distinct ∘ flatten ∘ sequence) — the
+        # POSITION SET is identical.
         .groupBy("doc_id")
-        .agg(F.collect_set("pos").alias("_cov"))
+        .agg(F.collect_set("start").alias("_starts"))
+        .select("doc_id",
+                F.array_distinct(F.flatten(F.transform(
+                    "_starts",
+                    lambda s: F.sequence(s, s + F.lit(k - 1)))))
+                .alias("_cov"))
     )
 
     return _reassemble(docs, covered, k, id_col, text_col,
@@ -166,12 +170,16 @@ def self_repeat_scrub(docs: DataFrame, k: int = 8,
     repeats = (wh.withColumn("first_start", F.min("start").over(w))
                .filter(F.col("start") > F.col("first_start")))
     covered = (
-        repeats.select("doc_id",
-                       F.explode(F.sequence(F.col("start"),
-                                            F.col("start") + F.lit(k - 1)))
-                       .alias("pos"))
-        .groupBy("doc_id")             # same per-doc int-set shape as
-        .agg(F.collect_set("pos").alias("_cov")))  # duplicated_span_scrub
+        repeats
+        # same starts-not-positions aggregation shape as
+        # duplicated_span_scrub (r14, guide §2.3): identical set.
+        .groupBy("doc_id")
+        .agg(F.collect_set("start").alias("_starts"))
+        .select("doc_id",
+                F.array_distinct(F.flatten(F.transform(
+                    "_starts",
+                    lambda s: F.sequence(s, s + F.lit(k - 1)))))
+                .alias("_cov")))
 
     return _reassemble(docs, covered, k, id_col, text_col,
                        covered_col="repeated_tokens", with_frac=False)
