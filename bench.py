@@ -369,8 +369,18 @@ def main() -> None:
             oltp = raw.to_spark(spark)
             dw = initial_load(spark, oltp, as_of=AS_OF)
             dw = {k: v.cache() for k, v in dw.items()}
-            for df in dw.values():
-                df.count()      # materialize the warehouse
+            # Materialize the warehouse: same computation as the
+            # sequential per-table count loop rounds 1-13 timed (all 7
+            # tables cached + counted inside the timer), submitted
+            # from a small thread pool (r14, guide §2.6 "overlap
+            # independent jobs"): each load's tail stages run on 1-5
+            # partitions while the other 27+ cores sat idle, and the
+            # three fact loads are independent jobs. Dims are listed
+            # first and win their cache blocks' per-block locks, so
+            # fact-side dim subtrees still reuse them.
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                list(pool.map(lambda df: df.count(), dw.values()))
             etl_samples.append(time.perf_counter() - start)
             if i < n_etl - 1:   # rebuild from scratch next iteration
                 for df in dw.values():
