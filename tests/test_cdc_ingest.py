@@ -23,6 +23,10 @@ from library_data_warehouse_and_business_analytics_system_spark.streaming.cdc_in
     start_cdc_ingest,
 )
 
+# Opt-in slow lane (r14): streamed changelog vs batch equivalence runs.
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = "k int, part string, v string, seq int, op string"
 
 

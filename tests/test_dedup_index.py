@@ -21,6 +21,12 @@ from library_data_warehouse_and_business_analytics_system_spark.sources.catalog 
     load_table,
 )
 
+import pytest
+
+# Opt-in slow lane (r14): streaming/maintain endurance cycles over the persisted dedup index.
+pytestmark = pytest.mark.slow
+
+
 THRESHOLD = 0.5
 
 

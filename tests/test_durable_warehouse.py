@@ -24,6 +24,10 @@ from library_data_warehouse_and_business_analytics_system_spark.plans.library.du
 )
 
 
+# Opt-in slow lane (r14): durable-warehouse round-trips build the full warehouse repeatedly.
+pytestmark = pytest.mark.slow
+
+
 @pytest.fixture(scope="module")
 def oltp(spark):
     return {k: v.cache()

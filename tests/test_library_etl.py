@@ -293,6 +293,7 @@ def test_committed_fixture_matches_live_etl(spark, dw):
                             f"fixture:{name}")
 
 
+@pytest.mark.slow  # opt-in lane (r14): long single test
 def test_lqy_parameter_sweep(dw, duck_dw):
     """r11 verdict item 6: the three LQY gates pin 2 parameter tuples
     each; this sweep pushes 21 seeded (year_from, year_to, limit /

@@ -364,6 +364,7 @@ def test_connected_components_raises_on_non_convergence(spark):
     assert got == {0}
 
 
+@pytest.mark.slow  # opt-in lane (r14): long single test
 def test_connected_components_random_graphs_vs_union_find(spark):
     """Randomized differential: Spark min-label propagation vs a
     pure-Python union-find on seeded random graphs (varying density,

@@ -20,6 +20,10 @@ from library_data_warehouse_and_business_analytics_system_spark.streaming.mv_mai
     FactWithRollups, MaterializedRollup, ingest_mv_batch, start_mv_ingest,
 )
 
+# Opt-in slow lane (r14): real structured-streaming availableNow runs.
+pytestmark = pytest.mark.slow
+
+
 SCHEMA = "k long, part int, grp long, v double"
 
 

@@ -25,6 +25,12 @@ from library_data_warehouse_and_business_analytics_system_spark.sources.txlog im
 )
 from tests.test_bpe import _ref_train
 
+import pytest
+
+# Opt-in slow lane (r14): randomized property sweeps (minmax/scan/holt/bpe) across many seeds.
+pytestmark = pytest.mark.slow
+
+
 _SETTINGS = dict(max_examples=8, deadline=None,
                  suppress_health_check=[HealthCheck.function_scoped_fixture])
 

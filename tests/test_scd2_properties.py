@@ -24,6 +24,10 @@ from library_data_warehouse_and_business_analytics_system_spark.operators.scd2 i
     OPEN_END, scd2_apply,
 )
 
+# Opt-in slow lane (r14): randomized SCD2 invariant sweep.
+pytestmark = pytest.mark.slow
+
+
 KEYS = ["A", "B", "C", "D"]
 
 # one batch: per-key optional action — (new_value | "close")

@@ -5,6 +5,7 @@ algebra could go wrong)."""
 
 from __future__ import annotations
 
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -417,6 +418,7 @@ def test_split_mode_matches_sequential_all_scans(spark):
         assert abs(r["run_max"] - emx) <= 1e-9 * max(1.0, abs(emx))
 
 
+@pytest.mark.slow  # opt-in lane (r14): long single test
 def test_split_10m_point_key_bounded_partitions(spark):
     """The documented dead zone (numerous keys AND one oversized key):
     one 10M-point key among 100k two-row keys. mode="split" routes the

@@ -33,6 +33,10 @@ from library_data_warehouse_and_business_analytics_system_spark.sources.txlog im
     tx_truncate_log, tx_vacuum, tx_write,
 )
 
+# Opt-in slow lane (r14): randomized multi-commit lifecycle model.
+pytestmark = pytest.mark.slow
+
+
 _SETTINGS = dict(max_examples=10, deadline=None,
                  suppress_health_check=[HealthCheck.function_scoped_fixture])
 

@@ -20,6 +20,10 @@ from library_data_warehouse_and_business_analytics_system_spark.sources.txmulti 
 )
 
 
+# Opt-in slow lane (r14): multi-table durable-warehouse manifest publishes.
+pytestmark = pytest.mark.slow
+
+
 def _seed(spark, root):
     dim = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
     fact = spark.createDataFrame(
