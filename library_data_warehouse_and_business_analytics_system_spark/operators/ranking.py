@@ -114,11 +114,21 @@ def with_group_rank(df: DataFrame, group_cols: list[str],
     (include a unique tie-break)."""
     parts = n_partitions or df.sparkSession.sparkContext.defaultParallelism
     gcols = [F.col(c) for c in group_cols]
-    ranged = (df.repartitionByRange(parts, *gcols, *order_by)
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint())
-    counts = (ranged.groupBy("_pid", *group_cols)
-              .agg(F.count("*").alias("c")).collect())
+    # The checkpoint materialization and the tiny per-(partition,
+    # group) count collect run under no_aqe (r14, guide §1.2): AQE
+    # turned each into 2-4 stage-materialization jobs, and it has
+    # nothing to re-plan here — the range partition count is pinned
+    # to ``parts`` by contract (the offsets below assume it), and the
+    # count reduce output is #partitions × #groups rows by
+    # construction. Values identical either way.
+    from ..session import no_aqe
+
+    with no_aqe(df.sparkSession):
+        ranged = (df.repartitionByRange(parts, *gcols, *order_by)
+                  .withColumn("_pid", F.spark_partition_id())
+                  .localCheckpoint())
+        counts = (ranged.groupBy("_pid", *group_cols)
+                  .agg(F.count("*").alias("c")).collect())
     # per-group prefix offsets in pid order
     by_group: dict[tuple, list] = {}
     for r in counts:

@@ -346,9 +346,15 @@ def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact IEEE doubles, so every downstream comparison and the
     # final hash are unchanged. The quantiles themselves stay the
     # two-phase grouped rank selection — the 100 TB shape.
-    med_rows = group_quantile_disc(
-        orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
-        q=0.5, out_col="median_price").collect()
+    # Both ≤5-row collects run under no_aqe (r14, guide §1.2): every
+    # join in the selection is explicitly broadcast (off_df, sizes),
+    # so AQE only added stage-materialization jobs per collect.
+    from ..session import no_aqe
+
+    with no_aqe(spark):
+        med_rows = group_quantile_disc(
+            orders, ["o_orderpriority"], "o_totalprice", "o_orderkey",
+            q=0.5, out_col="median_price").collect()
     med_map = F.create_map(*[
         lit for r in med_rows
         for lit in (F.lit(r["o_orderpriority"]), F.lit(r["median_price"]))])
@@ -356,10 +362,11 @@ def order_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn("median_price", med_map[F.col("o_orderpriority")])
            .withColumn("dev", F.abs(F.col("o_totalprice")
                                     - F.col("median_price"))))
-    mad_rows = group_quantile_disc(
-        dev.select("o_orderpriority", "dev", "o_orderkey"),
-        ["o_orderpriority"], "dev", "o_orderkey", q=0.5,
-        out_col="mad").collect()
+    with no_aqe(spark):
+        mad_rows = group_quantile_disc(
+            dev.select("o_orderpriority", "dev", "o_orderkey"),
+            ["o_orderpriority"], "dev", "o_orderkey", q=0.5,
+            out_col="mad").collect()
     mad_map = F.create_map(*[
         lit for r in mad_rows
         for lit in (F.lit(r["o_orderpriority"]), F.lit(r["mad"]))])
