@@ -418,8 +418,14 @@ def ann_index_query(spark: SparkSession, root: str, queries: DataFrame,
         # a whole Spark job spent computing 0..k-1 (r13, guide §1.2).
         probed = list(range(len(cents)))
     else:
-        probed = sorted({c for r in q.select(F.explode("cells").alias("c"))
-                         .distinct().collect() for c in [r["c"]]})
+        # Join-free bounded collect (≤ n_cells values): one job under
+        # no_aqe instead of three stage-materializations (r14, §1.2).
+        from ..session import no_aqe
+
+        with no_aqe(spark):
+            probed = sorted({c for r in
+                             q.select(F.explode("cells").alias("c"))
+                             .distinct().collect() for c in [r["c"]]})
     # kmeans can leave cells empty, so a small n_probe over an unlucky
     # query set may select ONLY empty cells: intersect with the cells
     # that physically exist (commit-log metadata, no listing) and
@@ -528,9 +534,14 @@ def ann_index_maintain(spark: SparkSession, root: str,
     # count when it is zero (r13, guide §1.2): an empty deletes table
     # — every index right after a rebuild — used to cost an emptiness
     # probe AND kept the frac at 0.0 anyway.
-    n_tomb = tomb.count() if tomb is not None else 0
+    from ..session import no_aqe
+
+    with no_aqe(spark):
+        # join-free counts: one job each under no_aqe (r14, §1.2)
+        n_tomb = tomb.count() if tomb is not None else 0
     if n_tomb:
-        n_phys = tx_read_parts(spark, asg_t).count()
+        with no_aqe(spark):
+            n_phys = tx_read_parts(spark, asg_t).count()
         frac = n_tomb / max(n_phys, 1)
         report["tombstone_frac"] = round(frac, 4)
         if frac > rebuild_tombstone_frac:
