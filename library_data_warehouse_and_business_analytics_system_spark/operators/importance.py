@@ -82,11 +82,20 @@ def dsir_importance(docs: DataFrame, target_pred: Column,
     target_ids = docs.filter(target_pred).select(
         F.col(id_col).alias("doc_id"))
 
-    raw = feats.groupBy("bucket").agg(F.sum("cnt").alias("raw_n"))
-    tgt = (feats.join(target_ids, "doc_id", "left_semi")
-           .groupBy("bucket").agg(F.sum("cnt").alias("tgt_n")))
-    dist = (raw.join(tgt, "bucket", "left_outer")
-            .withColumn("tgt_n", F.coalesce("tgt_n", F.lit(0))))
+    # BOTH distribution tables from ONE pass over feats (r14, guide
+    # §2.4): the raw/tgt pair evaluated the tokenize+hash+explode
+    # feature subtree twice and shuffled on bucket twice; a target
+    # flag attached by one doc-keyed join feeds raw_n and tgt_n as
+    # conditional sums in a single bucket aggregation. Sums are exact
+    # longs over the same rows → dist is identical (tgt_n of a bucket
+    # with no target rows coalesces to 0 exactly as the old left
+    # join's missing-row case did).
+    flagged = feats.join(target_ids.withColumn("_t", F.lit(1)),
+                         "doc_id", "left_outer")
+    dist = (flagged.groupBy("bucket")
+            .agg(F.sum("cnt").alias("raw_n"),
+                 F.coalesce(F.sum(F.when(F.col("_t") == 1, F.col("cnt"))),
+                            F.lit(0)).alias("tgt_n")))
     totals = dist.agg(
         F.sum("raw_n").alias("raw_total"),
         F.sum("tgt_n").alias("tgt_total"))
