@@ -6,6 +6,7 @@ files."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from library_data_warehouse_and_business_analytics_system_spark.operators.ann_index import (
@@ -34,6 +35,7 @@ def _rows(df):
         for r in df.collect())
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir)
     root = str(tmp_path / "idx")
@@ -46,6 +48,7 @@ def test_full_probe_equals_brute_force(spark, sf_dir, tmp_path):
     assert _rows(got) == _rows(want)
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_upsert_equals_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
     emb = _emb(spark, sf_dir)
     base = emb.filter(F.col("vec_id") % 4 != 0)
@@ -126,6 +129,7 @@ def test_cell_stats_cover_corpus(spark, sf_dir, tmp_path):
     assert all(r["n_vectors"] > 0 for r in stats)
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_streaming_ingest_equals_sequential_upserts(spark, sf_dir,
                                                     tmp_path):
     """start_ann_ingest over per-file micro-batches ≡ sequential
@@ -181,6 +185,7 @@ def test_streaming_ingest_equals_sequential_upserts(spark, sf_dir,
     assert _rows(got) == _rows(want)
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_delete_resurrect_rebuild(spark, sf_dir, tmp_path):
     """Merge-on-read deletes: tombstoned ids vanish from queries
     without touching any assignment partition; upserting a deleted id
@@ -232,6 +237,7 @@ def test_delete_resurrect_rebuild(spark, sf_dir, tmp_path):
     assert _rows(got3) == _rows(want2)
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_maintain_rebuilds_on_tombstone_pressure(spark, sf_dir, tmp_path):
     """ann_index_maintain: tombstones past the threshold trigger a
     rebuild from the live set (deletes folded away physically), the
@@ -336,6 +342,7 @@ def test_upsert_validate_rejects_cross_cell_move(spark, sf_dir, tmp_path):
         F.sum("n_vectors")).first()[0] == n_before
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_upsert_reroute_moves_id_across_cells(spark, sf_dir, tmp_path):
     """on_move='reroute' (r10 verdict item 6): a re-embedded id whose
     max-dot cell changed is EVICTED from its old cell and upserted

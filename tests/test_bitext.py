@@ -171,6 +171,7 @@ def test_half_boundary_rounds_up(spark):
         assert math.floor(x * 1e6 + 0.5) / 1e6 == want
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_bucket_cap_bounds_degenerate_corpus(spark):
     """A planted degenerate corpus — 60 IDENTICAL vectors per side —
     lands every copy in one shared bucket per table; uncapped that is

@@ -201,6 +201,7 @@ def test_kmeans_fit_is_deterministic(emb):
     assert c1 == c2
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_trained_ivf_beats_random_on_clustered_vectors(spark):
     """On clustered data (IVF's target regime) Lloyd-trained centroids
     must reach at least the random-centroid recall — and in practice
@@ -586,6 +587,7 @@ def test_chunking_and_contamination_null_and_empty_text(spark, tmp_path):
     assert got == {2: (1, 1)}
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_centroid_persistence_roundtrip(spark, emb, tmp_path):
     """Train-once/serve-many: persisted centroids must reload exactly
     and produce bit-identical IVF results to the in-memory fit."""
@@ -886,6 +888,7 @@ def test_temperature_mixture_two_phase_cumsum_matches_single_window(spark):
     assert windows and all("_pid" in ln for ln in windows), windows
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_srp_diverse_sample_partitioning_independent(spark):
     """The two-phase per-cell top-N must equal the single-window
     ranking regardless of input partitioning, including when one cell

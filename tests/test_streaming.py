@@ -181,6 +181,7 @@ def test_watermark_bounds_state(spark, stream_dir, tmp_path):
                                   _sorted_pdf(expected), check_dtype=False)
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_stream_stream_interval_join(spark, stream_dir, tmp_path):
     """Watermarked purchases⋈views interval join: streaming pairs ==
     batch pairs on the same replay."""
@@ -314,6 +315,7 @@ def test_streaming_ewma_equals_batch_on_finalized_days(
     assert (abs(g["ewma"].to_numpy() - r["ewma"].to_numpy()) < 1e-6).all()
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_streaming_ewma_rejects_out_of_order_days(spark, tmp_path):
     """A day older than the pending one must RAISE, not fold silently."""
     import os

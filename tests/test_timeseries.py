@@ -311,6 +311,7 @@ def test_million_keys_bounded_driver(spark):
     assert abs(total["s"] - expect) <= 1e-6 * max(1.0, abs(expect))
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_ewma_extreme_alpha_vectorization_guards(spark):
     """alpha near 1 (decay 1e-10: chunked rescale degenerates to
     chunk=1) and alpha near 0 (decay ~1: full 32k chunks) must both
@@ -383,6 +384,7 @@ def test_split_oversized_partitions_keys(spark):
     assert rest.filter(F.col("k") == "hot").count() == 0
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_split_mode_matches_sequential_all_scans(spark):
     """One 600-row hot key (> threshold 100 → ranged branch) plus a
     40-key tail (grouped branch): all three scans under mode="split"

@@ -481,6 +481,7 @@ def test_read_parts_schema_evolution(spark, tmp_path):
     assert tx_read_parts(spark, t).count() == 2
 
 
+@pytest.mark.slow  # opt-in lane (r14): endurance/equivalence run
 def test_incremental_minmax_refresh_two_tier(spark, tmp_path):
     """MIN/MAX maintenance: inserts and interior deletes ride the
     delta-sized fast path (0 recomputed groups); deleting a group's
