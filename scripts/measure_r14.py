@@ -22,7 +22,7 @@ from library_data_warehouse_and_business_analytics_system_spark.session import g
 HEAVY = [
     "library_etl_section", "ann_index_full_cycle", "copurchase_pagerank",
     "item_cf_similar_parts", "merge_parts_orders", "incremental_agg_orders",
-    "dedup_canonical_keep", "corpus_curation", "corpus_curation_durable",
+    "dedup_canonical_keep",
     "exact_substring_scrub", "self_repeat_scrub", "dedup_kept_corpus",
     "incremental_minmax_orders", "bloom_point_lookup", "bucketed_join_revenue",
     "ann_index_lifecycle", "ann_index_reroute", "ann_index_pruned_probe",
